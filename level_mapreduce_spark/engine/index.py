@@ -1,0 +1,408 @@
+"""MapIndex — the stored map engine (the whole reference, Spark-first).
+
+Reference semantics being reproduced (file:line into /root/reference/):
+
+- materialize ``map(doc) -> [[key, value], ...]`` into a sorted
+  persistent index (index.js:173-249);
+- incrementally maintain it under overwrite / tombstone-delete via the
+  per-doc "meta" reverse index (index.js:182-205, 232-242);
+- read it back by exact key, prefix, or range, in key order
+  (index.js:124-172);
+- chain indexes so one index's output feeds another (index.js:250-253).
+
+Spark design (SURVEY.md §7):
+
+- **Storage** — Parquet *segments* ``(index_key, emit_pos, value,
+  doc_key)`` partitioned by an ``epoch`` counter, written
+  ``repartitionByRange('index_key')`` + ``sortWithinPartitions`` so
+  every file covers a narrow key range: Parquet min/max row-group
+  statistics + partition layout give LevelDB-seek-equivalent range
+  pruning (parity with index.js:127-134) and the layout survives a
+  1000-executor scale-out (each range partition is an independent
+  file set; no global sort at read time).
+- **Incremental maintenance** — LSM-style: an update appends one new
+  segment epoch plus per-``doc_key`` *tombstones*; a reader
+  anti-joins segments against the (small, broadcast) max-epoch
+  tombstone map. This IS the reference's meta-index delete-then-insert
+  (index.js:183-186), re-expressed so an update touches only
+  O(changed docs) data instead of rewriting the index — the property
+  that matters at 100 TB. ``compact()`` folds epochs back to one.
+- **Emit identity** — deterministic ``(doc_key, emit_pos)`` replaces
+  the reference's ``uuid()`` suffix (index.js:236), keeping multi-emit
+  rows collision-free *and* testable.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark.engine.mapper import DOC_KEY, Mapper, pairs_type
+from level_mapreduce_spark.engine.query import Query
+
+_SEGMENTS = "segments"
+_TOMBSTONES = "tombstones"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _list_epochs(spark: SparkSession, path: str) -> list[int]:
+    """Epoch partition dirs under ``path`` (works on any Hadoop FS)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+class MapIndex:
+    """One named stored-map index (reference ``Index``, index.js:112-122).
+
+    Parameters
+    ----------
+    spark : SparkSession
+    name : str
+        Index namespace; storage lives at ``{store_path}/{name}/``
+        (the reference namespaces LevelDB keys by name, index.js:118).
+    mapper : Mapper
+        The user map function (ExprMapper / PythonMapper /
+        AsyncPythonMapper).
+    store_path : str
+        Base directory (local, HDFS, or object store).
+    doc_key : str
+        Column in the documents DataFrame holding the document id.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        mapper: Mapper,
+        store_path: str,
+        doc_key: str = DOC_KEY,
+    ):
+        self.spark = spark
+        self.name = name
+        self.mapper = mapper
+        self.store_path = store_path
+        self.doc_key = doc_key
+        self._downstreams: list[MapIndex] = []
+
+    # ---------------------------------------------------------------- paths
+
+    @property
+    def root(self) -> str:
+        return posixpath.join(self.store_path, self.name)
+
+    @property
+    def segments_path(self) -> str:
+        return posixpath.join(self.root, _SEGMENTS)
+
+    @property
+    def tombstones_path(self) -> str:
+        return posixpath.join(self.root, _TOMBSTONES)
+
+    # ------------------------------------------------------------- schemas
+
+    @property
+    def _storage_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("index_key", T.StringType(), False),
+                T.StructField("emit_pos", T.IntegerType(), False),
+                T.StructField("value", self.mapper.value_type, True),
+                T.StructField(DOC_KEY, T.StringType(), False),
+                T.StructField("epoch", T.IntegerType(), False),
+            ]
+        )
+
+    # ------------------------------------------------------ change handling
+
+    def _normalize_changes(self, docs: DataFrame) -> DataFrame:
+        """Uniform change rows: payload + doc_key(str) + deleted(bool).
+
+        If a ``seq`` column is present, the latest version per doc_key
+        wins — the batch equivalent of the reference's serialized
+        write order (level-mutex, index.js:114).
+        """
+        out = docs.withColumn(DOC_KEY, F.col(self.doc_key).cast("string"))
+        if "deleted" not in out.columns:
+            out = out.withColumn("deleted", F.lit(False))
+        else:
+            out = out.withColumn(
+                "deleted", F.coalesce(F.col("deleted").cast("boolean"), F.lit(False))
+            )
+        if "seq" in out.columns:
+            w = Window.partitionBy(DOC_KEY).orderBy(F.col("seq").desc())
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return out
+
+    def _emits(self, live_docs: DataFrame) -> DataFrame:
+        """(index_key, emit_pos, value, doc_key) — the UDTF explode.
+
+        ``posexplode`` is the multi-emit flatten (reference
+        index.js:233-240); docs mapping to zero pairs vanish here,
+        which is exactly the reference's "empty emit un-indexes the
+        doc" behavior (index.js:218-230).
+        """
+        pairs = self.mapper.pairs(live_docs, doc_key=DOC_KEY)
+        return (
+            pairs.select(
+                DOC_KEY, F.posexplode("pairs").alias("emit_pos", "pair")
+            )
+            .select(
+                F.col("pair.index_key").alias("index_key"),
+                F.col("emit_pos").cast("int").alias("emit_pos"),
+                F.col("pair.value").alias("value"),
+                DOC_KEY,
+            )
+            .where(F.col("index_key").isNotNull())
+        )
+
+    def _write_segment(self, emits: DataFrame, epoch: int, mode: str) -> None:
+        (
+            emits.withColumn("epoch", F.lit(epoch).cast("int"))
+            .repartitionByRange("index_key", DOC_KEY)
+            .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
+            .write.mode(mode)
+            .partitionBy("epoch")
+            .parquet(self.segments_path)
+        )
+
+    # --------------------------------------------------------------- build
+
+    def build(self, docs: DataFrame) -> "MapIndex":
+        """Full (re)materialization — the batch form of the reference's
+        write path (index.js:173-249) over a whole documents table.
+        """
+        changes = self._normalize_changes(docs)
+        live = changes.where(~F.col("deleted"))
+        emits = self._emits(live)
+        self._write_segment(emits, epoch=0, mode="overwrite")
+        _delete_path(self.spark, self.tombstones_path)
+        for down in self._downstreams:
+            down.build(self.as_documents())
+        return self
+
+    # -------------------------------------------------------------- update
+
+    def update(self, changes: DataFrame) -> DataFrame:
+        """Incremental maintenance: one LSM epoch per batch.
+
+        Semantics per changed doc (reference index.js:182-242):
+        previously-emitted rows die (tombstone), new emits append;
+        ``deleted: true`` docs emit nothing. Cost is O(changed docs),
+        not O(index) — no existing segment is rewritten.
+
+        Returns the downstream change feed ``(doc_key, value, deleted)``
+        where ``value`` is the doc's full live emit list — the shape
+        the reference pushes to piped indexes (index.js:244, 250-253).
+        """
+        epochs = _list_epochs(self.spark, self.segments_path)
+        epoch = (max(epochs) + 1) if epochs else 1
+        changes = self._normalize_changes(changes)
+
+        changed_keys = changes.select(DOC_KEY).distinct()
+        (
+            changed_keys.withColumn("epoch", F.lit(epoch).cast("int"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("epoch")
+            .parquet(self.tombstones_path)
+        )
+
+        live = changes.where(~F.col("deleted"))
+        emits = self._emits(live)
+        self._write_segment(emits, epoch=epoch, mode="append")
+
+        feed = self.changes_feed(changed_keys)
+        for down in self._downstreams:
+            down.update(feed)
+        return feed
+
+    def changes_feed(self, keys: DataFrame) -> DataFrame:
+        """(doc_key, value, deleted) for the given doc keys, from the
+        stored index — docs with no live emits surface as
+        ``value=[], deleted=true`` (reference pushes ``{key, value:[]}``
+        on tombstone, index.js:190, 201).
+        """
+        docs = self.as_documents(keys=keys)
+        return keys.join(docs, DOC_KEY, "left").select(
+            DOC_KEY,
+            F.coalesce(
+                F.col("value"), F.array().cast(pairs_type(self.mapper.value_type))
+            ).alias("value"),
+            F.col("value").isNull().alias("deleted"),
+        )
+
+    # ---------------------------------------------------------------- read
+
+    def read(self) -> DataFrame:
+        """Live index rows: segments minus tombstoned generations.
+
+        The tombstone side is tiny relative to the index (one row per
+        ever-changed doc since last compact), so it broadcasts; the
+        anti-join never shuffles the index itself.
+        """
+        if not _list_epochs(self.spark, self.segments_path):
+            return self.spark.createDataFrame([], self._storage_schema).drop(
+                "epoch"
+            )
+        segs = self.spark.read.parquet(self.segments_path)
+        tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
+        if not tomb_epochs:
+            return segs.drop("epoch")
+        tombs = (
+            self.spark.read.parquet(self.tombstones_path)
+            .groupBy(DOC_KEY)
+            .agg(F.max("epoch").alias("tomb_epoch"))
+        )
+        live = segs.alias("s").join(
+            F.broadcast(tombs).alias("t"),
+            (F.col(f"s.{DOC_KEY}") == F.col(f"t.{DOC_KEY}"))
+            & (F.col("s.epoch") < F.col("t.tomb_epoch")),
+            "left_anti",
+        )
+        return live.drop("epoch")
+
+    def scan(
+        self,
+        start: str | None = None,
+        end: str | None = None,
+        key: str | None = None,
+        sort: bool = False,
+    ) -> DataFrame:
+        """Range / prefix / full scan (reference createReadStream,
+        index.js:124-138) with the *intended* end-bound semantics
+        (start inclusive, end exclusive) — the reference encodes the
+        end bound from ``opts.start`` by mistake (index.js:128;
+        SURVEY.md §7.4).
+
+        The key predicates push down to the Parquet scan (min/max
+        row-group skipping over the range-partitioned layout) — the
+        LevelDB iterator-seek equivalent.
+        """
+        df = self.read()
+        if key is not None:
+            df = df.where(F.col("index_key") == key)
+        else:
+            if start is not None:
+                df = df.where(F.col("index_key") >= start)
+            if end is not None:
+                df = df.where(F.col("index_key") < end)
+        if sort:
+            df = df.orderBy("index_key", DOC_KEY, "emit_pos")
+        return df
+
+    def get_df(self, key: str) -> DataFrame:
+        return (
+            self.scan(key=key)
+            .orderBy(DOC_KEY, "emit_pos")
+            .select("value")
+        )
+
+    def get(self, key: str) -> list:
+        """All values emitted under exactly ``key`` (reference get,
+        index.js:151-172), ordered by ``(doc_key, emit_pos)`` — the
+        deterministic stand-in for uuid-insertion order (SURVEY.md
+        §7.3 hard part 2). Driver-side collect by design: this is the
+        point-lookup API, not a bulk path.
+        """
+        return [r["value"] for r in self.get_df(key).collect()]
+
+    def count(self, key: str | None = None) -> int:
+        """The reference's declared-but-empty ``count`` stub
+        (index.js:148-150), implemented."""
+        return self.scan(key=key).count()
+
+    def count_by_key(self) -> DataFrame:
+        return self.read().groupBy("index_key").agg(
+            F.count("*").alias("n")
+        )
+
+    def query(self, start=None, end=None, key=None) -> Query:
+        """Scan -> lazy pipeline (reference Index.query, index.js:140-147)."""
+        return Query(self.scan(start=start, end=end, key=key))
+
+    # ------------------------------------------------------------ chaining
+
+    def pipe(self, downstream: "MapIndex") -> "MapIndex":
+        """Cascade: every (re)index result of this index feeds
+        ``downstream`` as documents (reference pipe, index.js:250-253).
+        Batch-synchronous, so chained indexes are consistent at every
+        build/update boundary — strictly stronger than the reference's
+        eventual consistency (tests/test-replication.js:29,42).
+        """
+        self._downstreams.append(downstream)
+        return downstream
+
+    def as_documents(self, keys: DataFrame | None = None) -> DataFrame:
+        """This index's output as a documents table
+        ``(doc_key, value: array<struct<index_key, value>>)`` — the
+        shape piped downstream by the reference (index.js:244).
+        """
+        idx = self.read()
+        if keys is not None:
+            idx = idx.join(F.broadcast(keys), DOC_KEY, "left_semi")
+        return (
+            idx.groupBy(DOC_KEY)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("emit_pos", "index_key", "value"))
+                ).alias("_e")
+            )
+            .select(
+                DOC_KEY,
+                F.transform(
+                    "_e",
+                    lambda s: F.struct(
+                        s["index_key"].alias("index_key"),
+                        s["value"].alias("value"),
+                    ),
+                ).alias("value"),
+            )
+        )
+
+    # ---------------------------------------------------------- compaction
+
+    def compact(self) -> "MapIndex":
+        """Fold all epochs + tombstones into a single epoch-0 segment
+        set. Run when the tombstone map grows past broadcast size —
+        the LSM merge step."""
+        live = self.read()
+        tmp = self.segments_path + ".compacting"
+        (
+            live.withColumn("epoch", F.lit(0).cast("int"))
+            .repartitionByRange("index_key", DOC_KEY)
+            .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(tmp)
+        )
+        fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
+        _delete_path(self.spark, self.segments_path)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seg_path)
+        _delete_path(self.spark, self.tombstones_path)
+        return self

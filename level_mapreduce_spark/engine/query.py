@@ -1,0 +1,179 @@
+"""Query — the lazy post-scan record pipeline (reference index.js:13-94).
+
+The reference interprets a closure list (``mutations[]``) one record at
+a time; here each pipeline step is a DataFrame transformation, so
+Catalyst fuses the whole chain into a single whole-stage-codegen'd
+stage — the "plan" IS the logical plan (SURVEY.md §3.3).
+
+Parity surface:
+
+- ``map``        — scalar projection (index.js:47-52)
+- ``async_map``  — async projection (index.js:53-56); Arrow-batched
+- ``filter``     — predicate; drop-on-skip (index.js:57-63)
+- ``group``      — key -> [values] grouping with the *intended*
+  semantics: no boundary-record loss and uniform ``{key, results}``
+  output (the reference drops each group's boundary record and mixes
+  output shapes — index.js:70-74, 71 vs 86; SURVEY.md §7.4), plus the
+  declared-but-ignored ``finish`` reduce finalizer (index.js:64)
+  actually applied.
+- ``end``        — collect (index.js:90-94)
+
+Records are ``(key, value)`` — the decoded projection the reference's
+DecodeStream applies to every scan (index.js:96-109).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Awaitable, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Query:
+    """Fluent, lazy pipeline over an index scan.
+
+    Column-expression steps (``map``/``filter`` with Columns) stay
+    JVM-side; ``map_fn``/``async_map``/``filter_fn`` accept arbitrary
+    Python and run as Arrow-batched pandas UDFs (the slow path, kept
+    off the hot loop by design).
+    """
+
+    def __init__(self, df: DataFrame):
+        cols = df.columns
+        sel = [
+            F.col("index_key").alias("key") if "index_key" in cols else F.col("key"),
+            F.col("value"),
+        ]
+        for extra in ("doc_key", "emit_pos"):
+            if extra in cols:
+                sel.append(F.col(extra))
+        self._df = df.select(*sel)
+
+    # ------------------------------------------------------------ plumbing
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _with(self, df: DataFrame) -> "Query":
+        q = object.__new__(Query)
+        q._df = df
+        return q
+
+    # ----------------------------------------------------------------- map
+
+    def map(self, value: Column | None = None, key: Column | None = None) -> "Query":
+        """Scalar projection over (key, value) as Column expressions —
+        e.g. ``q.map(value=F.col('value') * 2)``."""
+        df = self._df
+        if value is not None:
+            df = df.withColumn("value", value)
+        if key is not None:
+            df = df.withColumn("key", key.cast("string"))
+        return self._with(df)
+
+    def map_fn(
+        self,
+        fn: Callable[[str, object], object],
+        value_type: T.DataType | None = None,
+    ) -> "Query":
+        """Arbitrary Python record transform ``fn(key, value) -> value'``
+        (reference Query.map closure, index.js:47-52), Arrow-batched.
+        With no ``value_type`` the result is JSON-encoded to string
+        (schema-less reference values, index.js:113)."""
+        jsonify = value_type is None
+        out_type = value_type or T.StringType()
+
+        @F.pandas_udf(out_type)
+        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
+            out = [fn(k, v) for k, v in zip(key, value)]
+            if jsonify:
+                out = [json.dumps(v, sort_keys=True) for v in out]
+            return pd.Series(out, dtype=object)
+
+        return self._with(self._df.withColumn("value", apply("key", "value")))
+
+    def async_map(
+        self,
+        fn: Callable[[str, object], Awaitable[object]],
+        value_type: T.DataType | None = None,
+    ) -> "Query":
+        """Async record transform (reference Query.asyncMap,
+        index.js:53-56) — whole Arrow batches awaited concurrently."""
+        jsonify = value_type is None
+        out_type = value_type or T.StringType()
+
+        @F.pandas_udf(out_type)
+        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
+            import asyncio
+
+            async def run_all():
+                return await asyncio.gather(
+                    *[fn(k, v) for k, v in zip(key, value)]
+                )
+
+            out = asyncio.run(run_all())
+            if jsonify:
+                out = [json.dumps(v, sort_keys=True) for v in out]
+            return pd.Series(out, dtype=object)
+
+        return self._with(self._df.withColumn("value", apply("key", "value")))
+
+    # -------------------------------------------------------------- filter
+
+    def filter(self, predicate: Column) -> "Query":
+        """Keep records where the predicate holds (reference
+        Query.filter drop-on-'skip', index.js:57-63)."""
+        return self._with(self._df.where(predicate))
+
+    def filter_fn(self, fn: Callable[[str, object], bool]) -> "Query":
+        @F.pandas_udf(T.BooleanType())
+        def keep(key: pd.Series, value: pd.Series) -> pd.Series:
+            return pd.Series([bool(fn(k, v)) for k, v in zip(key, value)])
+
+        return self._with(self._df.where(keep("key", "value")))
+
+    # --------------------------------------------------------------- group
+
+    def group(self, finish: Callable[[Column], Column] | None = None) -> "Query":
+        """key -> sorted list of values (reference group, index.js:64-89,
+        intent not bugs). ``finish`` — the reference's declared-but-
+        unused reduce finalizer (index.js:64) — is a Column fn applied
+        to the collected array, e.g.
+        ``q.group(finish=lambda r: F.size(r))``.
+
+        Hash aggregation (map-side partial + final) replaces the
+        reference's sort-based adjacent-key grouping with identical
+        logical results and no required global sort.
+        """
+        df = self._df
+        order_cols = [c for c in ("doc_key", "emit_pos") if c in df.columns]
+        if order_cols:
+            collected = F.array_sort(
+                F.collect_list(F.struct(*order_cols, "value"))
+            )
+            results = F.transform(collected, lambda s: s["value"])
+        else:
+            results = F.array_sort(F.collect_list("value"))
+        grouped = df.groupBy("key").agg(results.alias("results"))
+        if finish is not None:
+            grouped = grouped.select("key", finish(F.col("results")).alias("result"))
+        return self._with(grouped)
+
+    # ------------------------------------------------------------- actions
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def end(self, sort: bool = True) -> list:
+        """Terminal collect (reference Query.end / callback results,
+        index.js:90-94). Driver-side by design — for bulk output use
+        ``.df`` and write distributed."""
+        df = self._df
+        if sort and "key" in df.columns:
+            df = df.orderBy("key")
+        return df.collect()

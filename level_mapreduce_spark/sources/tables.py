@@ -1,0 +1,49 @@
+"""Sources — the driver-generated Parquet star schema (TESTDATA.md).
+
+These tables stand in for the reference's document source: any
+object-mode stream of ``{key, value[, deleted]}`` records
+(reference index.js:173-180; the ``couchup`` dependency signals a
+CouchDB-style changes feed, package.json:11). ``kv_documents`` recasts
+any table into that shape.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def kv_documents(df: DataFrame, key_col: str) -> DataFrame:
+    """Recast a table as a documents change-feed: ``doc_key`` +
+    payload columns (reference input shape, index.js:176-180)."""
+    return df.withColumn("doc_key", F.col(key_col).cast("string"))

@@ -1,0 +1,168 @@
+"""Port of the reference test suite + the untested-but-documented intent
+(FIXTURES.md §A.3; reference tests/test-basic.js, tests/test-replication.js).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex, PythonMapper, emit
+
+
+def docs_df(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("deleted", T.BooleanType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (r["doc_key"], json.dumps(r.get("value")), r.get("deleted", False), i)
+            for i, r in enumerate(rows)
+        ],
+        schema,
+    )
+
+
+def ref_map(doc):
+    """reference tests/test-basic.js:14 — obj -> [['test', obj.value.test]]"""
+    v = json.loads(doc["value"])
+    return [("test", v["test"])]
+
+
+def make_index(spark, store, name="idx"):
+    return MapIndex(spark, name, PythonMapper(ref_map), store)
+
+
+def test_write_and_get(spark, store):
+    """tests/test-basic.js:19-27 — write one doc, get('test') == [123]."""
+    idx = make_index(spark, store)
+    idx.build(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 123}}]))
+    assert [json.loads(v) for v in idx.get("test")] == [123]
+
+
+def test_overwrite(spark, store):
+    """tests/test-basic.js:29-39 — overwrite replaces emits, no dupes."""
+    idx = make_index(spark, store)
+    idx.build(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 123}}]))
+    idx.update(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 345}}]))
+    got = [json.loads(v) for v in idx.get("test")]
+    assert got == [345]
+    assert idx.count() == 1
+
+
+def test_tombstone(spark, store):
+    """index.js:187-205 intent — deleted doc is un-indexed."""
+    idx = make_index(spark, store)
+    idx.build(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 123}}]))
+    idx.update(docs_df(spark, [{"doc_key": "asdf", "deleted": True}]))
+    assert idx.get("test") == []
+    assert idx.count() == 0
+
+
+def test_multi_emit(spark, store):
+    """index.js:233-240 — N pairs per doc, emit order preserved."""
+
+    def mapper(doc):
+        v = json.loads(doc["value"])
+        return [("k", x) for x in v["items"]]
+
+    idx = MapIndex(spark, "multi", PythonMapper(mapper), store)
+    idx.build(docs_df(spark, [{"doc_key": "d1", "value": {"items": [5, 3, 9]}}]))
+    assert [json.loads(v) for v in idx.get("k")] == [5, 3, 9]
+
+
+def test_empty_emit_unindexes(spark, store):
+    """index.js:218-230 — mapping to [] removes prior emits."""
+
+    def mapper(doc):
+        v = json.loads(doc["value"])
+        return [("k", v["x"])] if v.get("x") else []
+
+    idx = MapIndex(spark, "empt", PythonMapper(mapper), store)
+    idx.build(docs_df(spark, [{"doc_key": "d1", "value": {"x": 1}}]))
+    assert idx.count("k") == 1
+    idx.update(docs_df(spark, [{"doc_key": "d1", "value": {"x": 0}}]))
+    assert idx.count("k") == 0
+
+
+def test_range_scan_intended_end_bound(spark, store):
+    """index.js:124-138 with the intended end-bound semantics
+    (start inclusive / end exclusive — fixes the index.js:128 bug)."""
+    mapper = ExprMapper.of(
+        (F.col("k"), F.col("k")), value_type=T.StringType()
+    )
+    df = spark.createDataFrame(
+        [(c, c) for c in "abcdefgh"], "doc_key string, k string"
+    )
+    idx = MapIndex(spark, "rng", mapper, store)
+    idx.build(df)
+    keys = [r["index_key"] for r in idx.scan(start="c", end="f", sort=True).collect()]
+    assert keys == ["c", "d", "e"]
+    # prefix/exact
+    assert idx.get("d") == ["d"]
+    # full scan
+    assert idx.count() == 8
+
+
+def test_chained_index(spark, store):
+    """tests/test-replication.js — indexB over indexA's output;
+    batch-synchronous convergence (no sleeps needed)."""
+    a = make_index(spark, store, "a")
+    # B's map: obj -> [['test2', obj.value[0][1]]] (test-replication.js:18)
+    b_mapper = ExprMapper(
+        F.array(emit(F.lit("test2"), F.col("value")[0]["value"])),
+        value_type=T.StringType(),
+    )
+    b = MapIndex(spark, "b", b_mapper, store)
+    a.pipe(b)
+
+    a.build(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 123}}]))
+    assert [json.loads(v) for v in b.get("test2")] == [123]
+
+    a.update(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 345}}]))
+    got = [json.loads(v) for v in b.get("test2")]
+    assert got == [345]
+    assert b.count() == 1
+
+    # tombstone propagates (reference pushes {key, value: []})
+    a.update(docs_df(spark, [{"doc_key": "asdf", "deleted": True}]))
+    assert b.get("test2") == []
+
+
+def test_incremental_equals_rebuild(spark, store):
+    """FIXTURES.md A.3 — churn via update() must equal a from-scratch
+    build() of the final document state."""
+    initial = [{"doc_key": f"d{i}", "value": {"test": i}} for i in range(20)]
+    churn = (
+        [{"doc_key": f"d{i}", "value": {"test": i * 100}} for i in range(0, 20, 3)]
+        + [{"doc_key": f"d{i}", "deleted": True} for i in range(0, 20, 7)]
+        + [{"doc_key": "d21", "value": {"test": 21}}]
+    )
+
+    def final_state():
+        state = {r["doc_key"]: r for r in initial}
+        for r in churn:
+            state[r["doc_key"]] = r
+        return [r for r in state.values() if not r.get("deleted")]
+
+    inc = make_index(spark, store, "inc")
+    inc.build(docs_df(spark, initial))
+    for i in range(0, len(churn), 4):  # several epochs
+        inc.update(docs_df(spark, churn[i : i + 4]))
+
+    full = make_index(spark, store, "full")
+    full.build(docs_df(spark, final_state()))
+
+    cols = ["index_key", "emit_pos", "value", "doc_key"]
+    inc_rows = sorted(map(tuple, inc.read().select(cols).collect()))
+    full_rows = sorted(map(tuple, full.read().select(cols).collect()))
+    assert inc_rows == full_rows
+
+    # compaction preserves the live view
+    inc.compact()
+    assert sorted(map(tuple, inc.read().select(cols).collect())) == full_rows
