@@ -46,6 +46,15 @@ from level_mapreduce_spark.engine.query import Query
 _SEGMENTS = "segments"
 _TOMBSTONES = "tombstones"
 
+# LSM maintenance thresholds (100 TB guard rails): past either, update()
+# folds epochs back to one — unbounded epoch/tombstone growth is the
+# scale failure mode flagged in round 1 (small-file proliferation +
+# tombstone map outgrowing broadcast).
+AUTO_COMPACT_EPOCHS = 24
+# Tombstone bytes past which read() stops broadcasting the anti-join
+# side and lets AQE pick the strategy (sort-merge / shuffled-hash).
+TOMBSTONE_BROADCAST_BYTES = 64 * 1024 * 1024
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -71,6 +80,14 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs, hpath, _ = _hadoop_fs(spark, path)
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+def _path_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (metadata-only, no Spark job)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return fs.getContentSummary(hpath).getLength()
 
 
 class MapIndex:
@@ -136,12 +153,24 @@ class MapIndex:
 
     # ------------------------------------------------------ change handling
 
-    def _normalize_changes(self, docs: DataFrame) -> DataFrame:
+    def _normalize_changes(
+        self, docs: DataFrame, assume_unique: bool = False
+    ) -> DataFrame:
         """Uniform change rows: payload + doc_key(str) + deleted(bool).
 
         If a ``seq`` column is present, the latest version per doc_key
         wins — the batch equivalent of the reference's serialized
-        write order (level-mutex, index.js:114).
+        write order (level-mutex, index.js:114). Without ``seq`` a
+        batch may still contain the same doc_key twice; the reference
+        serializes writes so last-wins, but an unordered batch has no
+        "last" — we reduce to exactly one row per doc_key with a
+        deterministic tie-break (row-content hash) so a re-run always
+        materializes the same index.
+
+        ``assume_unique=True`` skips the per-key window entirely —
+        callers whose input is one-row-per-doc by construction (the
+        chained-index feed; a primary-keyed source table) avoid a
+        full shuffle on the write path, which matters at 100 TB.
         """
         out = docs.withColumn(DOC_KEY, F.col(self.doc_key).cast("string"))
         if "deleted" not in out.columns:
@@ -150,14 +179,18 @@ class MapIndex:
             out = out.withColumn(
                 "deleted", F.coalesce(F.col("deleted").cast("boolean"), F.lit(False))
             )
+        if assume_unique:
+            return out
         if "seq" in out.columns:
-            w = Window.partitionBy(DOC_KEY).orderBy(F.col("seq").desc())
-            out = (
-                out.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        return out
+            order = [F.col("seq").desc()]
+        else:
+            order = [F.xxhash64(*[F.col(c) for c in out.columns]).desc()]
+        w = Window.partitionBy(DOC_KEY).orderBy(*order)
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def _emits(self, live_docs: DataFrame) -> DataFrame:
         """(index_key, emit_pos, value, doc_key) — the UDTF explode.
@@ -193,22 +226,27 @@ class MapIndex:
 
     # --------------------------------------------------------------- build
 
-    def build(self, docs: DataFrame) -> "MapIndex":
+    def build(self, docs: DataFrame, assume_unique: bool = False) -> "MapIndex":
         """Full (re)materialization — the batch form of the reference's
         write path (index.js:173-249) over a whole documents table.
+
+        ``assume_unique=True`` declares docs one-row-per-key (e.g. a
+        primary-keyed source table) and skips the dedup shuffle.
         """
-        changes = self._normalize_changes(docs)
+        changes = self._normalize_changes(docs, assume_unique=assume_unique)
         live = changes.where(~F.col("deleted"))
         emits = self._emits(live)
         self._write_segment(emits, epoch=0, mode="overwrite")
         _delete_path(self.spark, self.tombstones_path)
         for down in self._downstreams:
-            down.build(self.as_documents())
+            down.build(self.as_documents(), assume_unique=True)
         return self
 
     # -------------------------------------------------------------- update
 
-    def update(self, changes: DataFrame) -> DataFrame:
+    def update(
+        self, changes: DataFrame, assume_unique: bool = False
+    ) -> DataFrame:
         """Incremental maintenance: one LSM epoch per batch.
 
         Semantics per changed doc (reference index.js:182-242):
@@ -216,14 +254,26 @@ class MapIndex:
         ``deleted: true`` docs emit nothing. Cost is O(changed docs),
         not O(index) — no existing segment is rewritten.
 
+        Write order is segment first, tombstones last: a crash between
+        the two leaves recoverable duplicates (old + new emits both
+        visible) that the retry's higher-epoch tombstone supersedes —
+        the reverse order would tombstone prior emits with no
+        replacement rows, losing data unrecoverably.
+
         Returns the downstream change feed ``(doc_key, value, deleted)``
         where ``value`` is the doc's full live emit list — the shape
         the reference pushes to piped indexes (index.js:244, 250-253).
         """
         epochs = _list_epochs(self.spark, self.segments_path)
         epoch = (max(epochs) + 1) if epochs else 1
-        changes = self._normalize_changes(changes)
+        changes = self._normalize_changes(changes, assume_unique=assume_unique)
 
+        live = changes.where(~F.col("deleted"))
+        emits = self._emits(live)
+        self._write_segment(emits, epoch=epoch, mode="append")
+
+        # Tombstone at the SAME epoch: read() keeps seg.epoch >= tomb_epoch,
+        # so this kills every prior emit while keeping the batch just written.
         changed_keys = changes.select(DOC_KEY).distinct()
         (
             changed_keys.withColumn("epoch", F.lit(epoch).cast("int"))
@@ -233,20 +283,25 @@ class MapIndex:
             .parquet(self.tombstones_path)
         )
 
-        live = changes.where(~F.col("deleted"))
-        emits = self._emits(live)
-        self._write_segment(emits, epoch=epoch, mode="append")
+        if epoch >= AUTO_COMPACT_EPOCHS or (
+            _path_bytes(self.spark, self.tombstones_path)
+            > TOMBSTONE_BROADCAST_BYTES
+        ):
+            self.compact()
 
         feed = self.changes_feed(changed_keys)
         for down in self._downstreams:
-            down.update(feed)
+            down.update(feed, assume_unique=True)
         return feed
 
     def changes_feed(self, keys: DataFrame) -> DataFrame:
         """(doc_key, value, deleted) for the given doc keys, from the
-        stored index — docs with no live emits surface as
-        ``value=[], deleted=true`` (reference pushes ``{key, value:[]}``
-        on tombstone, index.js:190, 201).
+        stored index. Docs with no live emits surface as
+        ``value=[], deleted=false`` — the reference pushes
+        ``{key, value: []}`` downstream on tombstone/empty-emit
+        (index.js:190, 201, 223) and the *downstream map fn* runs on
+        the empty array and decides; it is not a tombstone for the
+        downstream index.
         """
         docs = self.as_documents(keys=keys)
         return keys.join(docs, DOC_KEY, "left").select(
@@ -254,7 +309,7 @@ class MapIndex:
             F.coalesce(
                 F.col("value"), F.array().cast(pairs_type(self.mapper.value_type))
             ).alias("value"),
-            F.col("value").isNull().alias("deleted"),
+            F.lit(False).alias("deleted"),
         )
 
     # ---------------------------------------------------------------- read
@@ -262,9 +317,12 @@ class MapIndex:
     def read(self) -> DataFrame:
         """Live index rows: segments minus tombstoned generations.
 
-        The tombstone side is tiny relative to the index (one row per
-        ever-changed doc since last compact), so it broadcasts; the
-        anti-join never shuffles the index itself.
+        The tombstone side is normally tiny relative to the index (one
+        row per ever-changed doc since last compact), so it broadcasts
+        and the anti-join never shuffles the index itself. If churn has
+        grown the tombstones past broadcast size (checked from file
+        metadata, no job) the hint is dropped and AQE picks the join
+        strategy — correct either way, never OOMs the driver.
         """
         if not _list_epochs(self.spark, self.segments_path):
             return self.spark.createDataFrame([], self._storage_schema).drop(
@@ -279,8 +337,13 @@ class MapIndex:
             .groupBy(DOC_KEY)
             .agg(F.max("epoch").alias("tomb_epoch"))
         )
+        if (
+            _path_bytes(self.spark, self.tombstones_path)
+            <= TOMBSTONE_BROADCAST_BYTES
+        ):
+            tombs = F.broadcast(tombs)
         live = segs.alias("s").join(
-            F.broadcast(tombs).alias("t"),
+            tombs.alias("t"),
             (F.col(f"s.{DOC_KEY}") == F.col(f"t.{DOC_KEY}"))
             & (F.col("s.epoch") < F.col("t.tomb_epoch")),
             "left_anti",
@@ -293,6 +356,7 @@ class MapIndex:
         end: str | None = None,
         key: str | None = None,
         sort: bool = False,
+        limit: int | None = None,
     ) -> DataFrame:
         """Range / prefix / full scan (reference createReadStream,
         index.js:124-138) with the *intended* end-bound semantics
@@ -303,6 +367,12 @@ class MapIndex:
         The key predicates push down to the Parquet scan (min/max
         row-group skipping over the range-partitioned layout) — the
         LevelDB iterator-seek equivalent.
+
+        ``limit`` is levelup's read-stream ``limit`` passthrough
+        (reference index.js:124-137 forwards opts verbatim): first N
+        rows in key order. With ``sort`` (implied by limit) Spark plans
+        it as distributed top-k (TakeOrderedAndProject), never a global
+        sort.
         """
         df = self.read()
         if key is not None:
@@ -312,8 +382,10 @@ class MapIndex:
                 df = df.where(F.col("index_key") >= start)
             if end is not None:
                 df = df.where(F.col("index_key") < end)
-        if sort:
+        if sort or limit is not None:
             df = df.orderBy("index_key", DOC_KEY, "emit_pos")
+        if limit is not None:
+            df = df.limit(limit)
         return df
 
     def get_df(self, key: str) -> DataFrame:
@@ -389,10 +461,17 @@ class MapIndex:
 
     def compact(self) -> "MapIndex":
         """Fold all epochs + tombstones into a single epoch-0 segment
-        set. Run when the tombstone map grows past broadcast size —
-        the LSM merge step."""
+        set — the LSM merge step (run automatically by ``update()``
+        past the epoch/tombstone thresholds).
+
+        Swap order keeps a readable segments dir at every step: write
+        compacted → rename live dir aside → rename compacted in →
+        delete old. A crash mid-swap leaves either the old or the new
+        copy in place, never an empty index.
+        """
         live = self.read()
         tmp = self.segments_path + ".compacting"
+        old = self.segments_path + ".old"
         (
             live.withColumn("epoch", F.lit(0).cast("int"))
             .repartitionByRange("index_key", DOC_KEY)
@@ -402,7 +481,9 @@ class MapIndex:
             .parquet(tmp)
         )
         fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
-        _delete_path(self.spark, self.segments_path)
+        _delete_path(self.spark, old)
+        fs.rename(seg_path, jvm.org.apache.hadoop.fs.Path(old))
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seg_path)
         _delete_path(self.spark, self.tombstones_path)
+        _delete_path(self.spark, old)
         return self

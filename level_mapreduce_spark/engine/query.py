@@ -64,14 +64,39 @@ class Query:
         q._df = df
         return q
 
+    @property
+    def _vcol(self) -> str:
+        """The current value column: ``value`` before group(),
+        ``results``/``result`` after — so pipelines keep chaining past
+        a group, which the reference allows (mutations run in order,
+        index.js:32-44)."""
+        for name in ("value", "results", "result"):
+            if name in self._df.columns:
+                return name
+        raise ValueError(f"no value column among {self._df.columns}")
+
+    def _value_converter(self):
+        """Python-side view of the value column inside a pandas UDF.
+
+        Spark hands a StructType column to a pandas UDF as a
+        pd.DataFrame — iterating it yields column *names*; convert to
+        per-row dicts so user fns see records, not garbage.
+        """
+        vt = self._df.schema[self._vcol].dataType
+        if isinstance(vt, T.StructType):
+            return lambda v: v.to_dict("records")
+        return list
+
     # ----------------------------------------------------------------- map
 
     def map(self, value: Column | None = None, key: Column | None = None) -> "Query":
         """Scalar projection over (key, value) as Column expressions —
-        e.g. ``q.map(value=F.col('value') * 2)``."""
+        e.g. ``q.map(value=F.col('value') * 2)``. After ``group()`` the
+        value column is named ``results``/``result``; assignment targets
+        whichever is current."""
         df = self._df
         if value is not None:
-            df = df.withColumn("value", value)
+            df = df.withColumn(self._vcol, value)
         if key is not None:
             df = df.withColumn("key", key.cast("string"))
         return self._with(df)
@@ -87,15 +112,16 @@ class Query:
         (schema-less reference values, index.js:113)."""
         jsonify = value_type is None
         out_type = value_type or T.StringType()
+        vcol, conv = self._vcol, self._value_converter()
 
         @F.pandas_udf(out_type)
-        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
-            out = [fn(k, v) for k, v in zip(key, value)]
+        def apply(key: pd.Series, value) -> pd.Series:
+            out = [fn(k, v) for k, v in zip(key, conv(value))]
             if jsonify:
                 out = [json.dumps(v, sort_keys=True) for v in out]
             return pd.Series(out, dtype=object)
 
-        return self._with(self._df.withColumn("value", apply("key", "value")))
+        return self._with(self._df.withColumn(vcol, apply("key", vcol)))
 
     def async_map(
         self,
@@ -106,14 +132,15 @@ class Query:
         index.js:53-56) — whole Arrow batches awaited concurrently."""
         jsonify = value_type is None
         out_type = value_type or T.StringType()
+        vcol, conv = self._vcol, self._value_converter()
 
         @F.pandas_udf(out_type)
-        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
+        def apply(key: pd.Series, value) -> pd.Series:
             import asyncio
 
             async def run_all():
                 return await asyncio.gather(
-                    *[fn(k, v) for k, v in zip(key, value)]
+                    *[fn(k, v) for k, v in zip(key, conv(value))]
                 )
 
             out = asyncio.run(run_all())
@@ -121,7 +148,7 @@ class Query:
                 out = [json.dumps(v, sort_keys=True) for v in out]
             return pd.Series(out, dtype=object)
 
-        return self._with(self._df.withColumn("value", apply("key", "value")))
+        return self._with(self._df.withColumn(vcol, apply("key", vcol)))
 
     # -------------------------------------------------------------- filter
 
@@ -131,11 +158,13 @@ class Query:
         return self._with(self._df.where(predicate))
 
     def filter_fn(self, fn: Callable[[str, object], bool]) -> "Query":
-        @F.pandas_udf(T.BooleanType())
-        def keep(key: pd.Series, value: pd.Series) -> pd.Series:
-            return pd.Series([bool(fn(k, v)) for k, v in zip(key, value)])
+        vcol, conv = self._vcol, self._value_converter()
 
-        return self._with(self._df.where(keep("key", "value")))
+        @F.pandas_udf(T.BooleanType())
+        def keep(key: pd.Series, value) -> pd.Series:
+            return pd.Series([bool(fn(k, v)) for k, v in zip(key, conv(value))])
+
+        return self._with(self._df.where(keep("key", vcol)))
 
     # --------------------------------------------------------------- group
 
@@ -151,14 +180,15 @@ class Query:
         logical results and no required global sort.
         """
         df = self._df
+        vcol = self._vcol
         order_cols = [c for c in ("doc_key", "emit_pos") if c in df.columns]
         if order_cols:
             collected = F.array_sort(
-                F.collect_list(F.struct(*order_cols, "value"))
+                F.collect_list(F.struct(*order_cols, vcol))
             )
-            results = F.transform(collected, lambda s: s["value"])
+            results = F.transform(collected, lambda s: s[vcol])
         else:
-            results = F.array_sort(F.collect_list("value"))
+            results = F.array_sort(F.collect_list(vcol))
         grouped = df.groupBy("key").agg(results.alias("results"))
         if finish is not None:
             grouped = grouped.select("key", finish(F.col("results")).alias("result"))

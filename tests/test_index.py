@@ -113,9 +113,17 @@ def test_chained_index(spark, store):
     """tests/test-replication.js — indexB over indexA's output;
     batch-synchronous convergence (no sleeps needed)."""
     a = make_index(spark, store, "a")
-    # B's map: obj -> [['test2', obj.value[0][1]]] (test-replication.js:18)
+    # B's map: obj -> [['test2', obj.value[0][1]]] (test-replication.js:18),
+    # emitting nothing for the empty-array doc the upstream pushes on
+    # tombstone (reference {key, value: []}, index.js:190,201) — the
+    # downstream map fn decides.
     b_mapper = ExprMapper(
-        F.array(emit(F.lit("test2"), F.col("value")[0]["value"])),
+        F.transform(
+            F.slice(F.col("value"), 1, 1),
+            lambda p: F.struct(
+                F.lit("test2").alias("index_key"), p["value"].alias("value")
+            ),
+        ),
         value_type=T.StringType(),
     )
     b = MapIndex(spark, "b", b_mapper, store)
@@ -129,9 +137,30 @@ def test_chained_index(spark, store):
     assert got == [345]
     assert b.count() == 1
 
-    # tombstone propagates (reference pushes {key, value: []})
+    # upstream tombstone pushes {key, value: []}; this mapper emits
+    # nothing for it, so the doc un-indexes downstream
     a.update(docs_df(spark, [{"doc_key": "asdf", "deleted": True}]))
     assert b.get("test2") == []
+
+
+def test_chained_index_constant_mapper(spark, store):
+    """Reference semantics for the downstream feed (index.js:218-230):
+    the downstream map fn RUNS on the empty-emit doc — a mapper that
+    emits regardless of input keeps the doc indexed after an upstream
+    tombstone."""
+    a = make_index(spark, store, "a2")
+    b = MapIndex(
+        spark,
+        "b2",
+        ExprMapper.of((F.lit("seen"), F.size("value").cast("string"))),
+        store,
+    )
+    a.pipe(b)
+    a.build(docs_df(spark, [{"doc_key": "asdf", "value": {"test": 123}}]))
+    assert b.get("seen") == ["1"]
+    a.update(docs_df(spark, [{"doc_key": "asdf", "deleted": True}]))
+    # doc still indexed downstream, now recording the empty emit list
+    assert b.get("seen") == ["0"]
 
 
 def test_incremental_equals_rebuild(spark, store):
