@@ -90,6 +90,25 @@ def _path_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(hpath).getLength()
 
 
+def _hashable(col: str, dt: T.DataType):
+    """xxhash64-safe view of a column: hashing a MapType (at any
+    nesting depth) raises DATATYPE_MISMATCH.HASH_MAP_TYPE, so
+    map-bearing columns are hashed through their JSON serialization."""
+    if _contains_map(dt):
+        return F.xxhash64(F.to_json(F.col(col)))
+    return F.col(col)
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 class MapIndex:
     """One named stored-map index (reference ``Index``, index.js:112-122).
 
@@ -115,13 +134,26 @@ class MapIndex:
         mapper: Mapper,
         store_path: str,
         doc_key: str = DOC_KEY,
+        auto_compact: bool = True,
     ):
         self.spark = spark
         self.name = name
         self.mapper = mapper
         self.store_path = store_path
         self.doc_key = doc_key
+        # auto_compact=True folds epochs inline when update() crosses the
+        # thresholds — convenient at small scale. Large deployments pass
+        # False and schedule compact() themselves off the hot path: an
+        # inline compaction turns an O(changed-docs) micro-batch into an
+        # O(index) rewrite, a multi-hour stall at 100 TB. Either way
+        # ``compaction_due`` reports when a compact() would help.
+        self.auto_compact = auto_compact
+        self.compaction_due = False
         self._downstreams: list[MapIndex] = []
+        # (tomb epoch signature) -> bytes, so repeated read()s don't
+        # re-walk the tombstone dir (getContentSummary is a recursive
+        # listing — expensive on object stores).
+        self._tomb_bytes_cache: tuple[tuple[int, ...], int] | None = None
 
     # ---------------------------------------------------------------- paths
 
@@ -184,7 +216,7 @@ class MapIndex:
         if "seq" in out.columns:
             order = [F.col("seq").desc()]
         else:
-            order = [F.xxhash64(*[F.col(c) for c in out.columns]).desc()]
+            order = [F.xxhash64(*[_hashable(c, out.schema[c].dataType) for c in out.columns]).desc()]
         w = Window.partitionBy(DOC_KEY).orderBy(*order)
         return (
             out.withColumn("_rn", F.row_number().over(w))
@@ -238,8 +270,19 @@ class MapIndex:
         emits = self._emits(live)
         self._write_segment(emits, epoch=0, mode="overwrite")
         _delete_path(self.spark, self.tombstones_path)
-        for down in self._downstreams:
-            down.build(self.as_documents(), assume_unique=True)
+        self._tomb_bytes_cache = None
+        self.compaction_due = False
+        if self._downstreams:
+            # Same feed shape as update(): every input doc key appears,
+            # empty-emit/tombstoned docs as (doc_key, value=[], deleted
+            # =false) — so rebuilding a chain from scratch converges to
+            # the same downstream state as incremental maintenance
+            # (incremental == rebuild invariant, FIXTURES.md A.3).
+            feed = self.changes_feed(
+                changes.select(DOC_KEY).distinct(), broadcast_keys=False
+            )
+            for down in self._downstreams:
+                down.build(feed, assume_unique=True)
         return self
 
     # -------------------------------------------------------------- update
@@ -274,19 +317,22 @@ class MapIndex:
 
         # Tombstone at the SAME epoch: read() keeps seg.epoch >= tomb_epoch,
         # so this kills every prior emit while keeping the batch just written.
+        # distinct() already shuffled, so AQE has right-sized the output
+        # partitions (1 file at small scale, parallel at 10^8 changed docs —
+        # no coalesce(1) single-task funnel).
         changed_keys = changes.select(DOC_KEY).distinct()
         (
             changed_keys.withColumn("epoch", F.lit(epoch).cast("int"))
-            .coalesce(1)
             .write.mode("append")
             .partitionBy("epoch")
             .parquet(self.tombstones_path)
         )
+        self._tomb_bytes_cache = None
 
-        if epoch >= AUTO_COMPACT_EPOCHS or (
-            _path_bytes(self.spark, self.tombstones_path)
-            > TOMBSTONE_BROADCAST_BYTES
-        ):
+        self.compaction_due = epoch >= AUTO_COMPACT_EPOCHS or (
+            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+        )
+        if self.compaction_due and self.auto_compact:
             self.compact()
 
         feed = self.changes_feed(changed_keys)
@@ -294,7 +340,9 @@ class MapIndex:
             down.update(feed, assume_unique=True)
         return feed
 
-    def changes_feed(self, keys: DataFrame) -> DataFrame:
+    def changes_feed(
+        self, keys: DataFrame, broadcast_keys: bool = True
+    ) -> DataFrame:
         """(doc_key, value, deleted) for the given doc keys, from the
         stored index. Docs with no live emits surface as
         ``value=[], deleted=false`` — the reference pushes
@@ -302,8 +350,11 @@ class MapIndex:
         (index.js:190, 201, 223) and the *downstream map fn* runs on
         the empty array and decides; it is not a tombstone for the
         downstream index.
+
+        ``broadcast_keys=False`` for full-table feeds (build-time chain
+        propagation) where the key set is the whole corpus.
         """
-        docs = self.as_documents(keys=keys)
+        docs = self.as_documents(keys=keys, broadcast_keys=broadcast_keys)
         return keys.join(docs, DOC_KEY, "left").select(
             DOC_KEY,
             F.coalesce(
@@ -313,6 +364,16 @@ class MapIndex:
         )
 
     # ---------------------------------------------------------------- read
+
+    def _tomb_bytes(self) -> int:
+        """Tombstone dir size, cached per epoch-list signature so
+        repeated reads cost one listStatus, not a recursive walk."""
+        sig = tuple(_list_epochs(self.spark, self.tombstones_path))
+        if self._tomb_bytes_cache and self._tomb_bytes_cache[0] == sig:
+            return self._tomb_bytes_cache[1]
+        n = _path_bytes(self.spark, self.tombstones_path)
+        self._tomb_bytes_cache = (sig, n)
+        return n
 
     def read(self) -> DataFrame:
         """Live index rows: segments minus tombstoned generations.
@@ -337,10 +398,10 @@ class MapIndex:
             .groupBy(DOC_KEY)
             .agg(F.max("epoch").alias("tomb_epoch"))
         )
-        if (
-            _path_bytes(self.spark, self.tombstones_path)
-            <= TOMBSTONE_BROADCAST_BYTES
-        ):
+        # Compare against the broadcast budget with a 4x margin: Parquet
+        # compresses, and the in-memory broadcast relation can be several
+        # times the on-disk bytes.
+        if self._tomb_bytes() * 4 <= TOMBSTONE_BROADCAST_BYTES:
             tombs = F.broadcast(tombs)
         live = segs.alias("s").join(
             tombs.alias("t"),
@@ -430,14 +491,17 @@ class MapIndex:
         self._downstreams.append(downstream)
         return downstream
 
-    def as_documents(self, keys: DataFrame | None = None) -> DataFrame:
+    def as_documents(
+        self, keys: DataFrame | None = None, broadcast_keys: bool = True
+    ) -> DataFrame:
         """This index's output as a documents table
         ``(doc_key, value: array<struct<index_key, value>>)`` — the
         shape piped downstream by the reference (index.js:244).
         """
         idx = self.read()
         if keys is not None:
-            idx = idx.join(F.broadcast(keys), DOC_KEY, "left_semi")
+            k = F.broadcast(keys) if broadcast_keys else keys
+            idx = idx.join(k, DOC_KEY, "left_semi")
         return (
             idx.groupBy(DOC_KEY)
             .agg(
@@ -460,20 +524,30 @@ class MapIndex:
     # ---------------------------------------------------------- compaction
 
     def compact(self) -> "MapIndex":
-        """Fold all epochs + tombstones into a single epoch-0 segment
-        set — the LSM merge step (run automatically by ``update()``
-        past the epoch/tombstone thresholds).
+        """Fold all epochs + tombstones into a single segment set — the
+        LSM merge step (run by ``update()`` past the epoch/tombstone
+        thresholds when ``auto_compact``, else on the caller's schedule
+        when ``compaction_due``).
+
+        The folded segment keeps ``epoch = max(existing epochs)``, NOT
+        0: read() keeps rows where ``seg.epoch >= tomb_epoch``, so if a
+        crash lands after the segment swap but before tombstone cleanup,
+        the stale tombstones (all ``tomb_epoch <= max``) cannot kill any
+        compacted row — tombstone deletion is pure cleanup, not a
+        correctness step.
 
         Swap order keeps a readable segments dir at every step: write
         compacted → rename live dir aside → rename compacted in →
         delete old. A crash mid-swap leaves either the old or the new
-        copy in place, never an empty index.
+        copy in place.
         """
+        epochs = _list_epochs(self.spark, self.segments_path)
+        keep_epoch = max(epochs) if epochs else 0
         live = self.read()
         tmp = self.segments_path + ".compacting"
         old = self.segments_path + ".old"
         (
-            live.withColumn("epoch", F.lit(0).cast("int"))
+            live.withColumn("epoch", F.lit(keep_epoch).cast("int"))
             .repartitionByRange("index_key", DOC_KEY)
             .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
             .write.mode("overwrite")
@@ -486,4 +560,6 @@ class MapIndex:
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seg_path)
         _delete_path(self.spark, self.tombstones_path)
         _delete_path(self.spark, old)
+        self._tomb_bytes_cache = None
+        self.compaction_due = False
         return self

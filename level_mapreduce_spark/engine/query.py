@@ -114,8 +114,12 @@ class Query:
         out_type = value_type or T.StringType()
         vcol, conv = self._vcol, self._value_converter()
 
+        # NB: the `value: pd.Series` hint drives pandas_udf eval-type
+        # inference only (omitting it raises TYPE_HINT_SHOULD_BE_SPECIFIED);
+        # a StructType column still arrives as pd.DataFrame at runtime and
+        # _value_converter turns it into per-row dicts.
         @F.pandas_udf(out_type)
-        def apply(key: pd.Series, value) -> pd.Series:
+        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
             out = [fn(k, v) for k, v in zip(key, conv(value))]
             if jsonify:
                 out = [json.dumps(v, sort_keys=True) for v in out]
@@ -135,7 +139,7 @@ class Query:
         vcol, conv = self._vcol, self._value_converter()
 
         @F.pandas_udf(out_type)
-        def apply(key: pd.Series, value) -> pd.Series:
+        def apply(key: pd.Series, value: pd.Series) -> pd.Series:
             import asyncio
 
             async def run_all():
@@ -161,7 +165,7 @@ class Query:
         vcol, conv = self._vcol, self._value_converter()
 
         @F.pandas_udf(T.BooleanType())
-        def keep(key: pd.Series, value) -> pd.Series:
+        def keep(key: pd.Series, value: pd.Series) -> pd.Series:
             return pd.Series([bool(fn(k, v)) for k, v in zip(key, conv(value))])
 
         return self._with(self._df.where(keep("key", vcol)))

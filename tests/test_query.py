@@ -1,0 +1,174 @@
+"""Query pipeline tests — reference index.js:13-94 (map/asyncMap/filter/
+group/end) plus the round-2 regression surface: map_fn/async_map/
+filter_fn must work on BOTH scalar and struct value columns
+(pandas_udf type-hint inference, ADVICE r2 item 1).
+"""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex, emit
+
+
+def scalar_index(spark, store):
+    """orders-like index: key=k, value=double."""
+    df = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "a", 2.0), ("d3", "b", 3.0), ("d4", "c", 4.0)],
+        "doc_key string, k string, v double",
+    )
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    return MapIndex(spark, "qscalar", mapper, store).build(df)
+
+
+def struct_index(spark, store):
+    """index whose value is a struct<name string, n long>."""
+    df = spark.createDataFrame(
+        [("d1", "a", "x", 1), ("d2", "b", "y", 2)],
+        "doc_key string, k string, name string, n long",
+    )
+    vt = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    mapper = ExprMapper.of(
+        (F.col("k"), F.struct("name", "n")), value_type=vt
+    )
+    return MapIndex(spark, "qstruct", mapper, store).build(df)
+
+
+# --------------------------------------------------------- Column fast path
+
+
+def test_map_column(spark, store):
+    """index.js:47-52 — scalar projection, Column expression path."""
+    q = scalar_index(spark, store).query().map(value=F.col("value") * 2)
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("a", 2.0), ("a", 4.0), ("b", 6.0), ("c", 8.0)]
+
+
+def test_filter_column(spark, store):
+    """index.js:57-63 — drop-on-predicate."""
+    q = scalar_index(spark, store).query().filter(F.col("value") > 2.5)
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("b", 3.0), ("c", 4.0)]
+
+
+# ------------------------------------------------------ Python record path
+
+
+def test_map_fn_scalar(spark, store):
+    """index.js:47-52 closure parity — Arrow-batched pandas UDF on a
+    scalar value column (broken in round 2, regression lock)."""
+    q = scalar_index(spark, store).query(key="a").map_fn(
+        lambda k, v: v + 0.5, value_type=T.DoubleType()
+    )
+    assert sorted(r["value"] for r in q.end()) == [1.5, 2.5]
+
+
+def test_map_fn_struct(spark, store):
+    """map_fn over a StructType value column — arrives as per-row dicts."""
+    q = struct_index(spark, store).query().map_fn(
+        lambda k, v: f'{v["name"]}:{v["n"]}', value_type=T.StringType()
+    )
+    assert sorted(r["value"] for r in q.end()) == ["x:1", "y:2"]
+
+
+def test_map_fn_jsonify_default(spark, store):
+    """No value_type -> JSON-encoded string (schema-less reference
+    values, index.js:113)."""
+    q = scalar_index(spark, store).query(key="b").map_fn(lambda k, v: {"was": v})
+    assert [json.loads(r["value"]) for r in q.end()] == [{"was": 3.0}]
+
+
+def test_async_map(spark, store):
+    """index.js:53-56, 268-276 — async projection, batch-awaited."""
+
+    async def double(k, v):
+        return v * 2
+
+    q = scalar_index(spark, store).query().async_map(
+        double, value_type=T.DoubleType()
+    )
+    assert sorted(r["value"] for r in q.end()) == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_async_map_struct(spark, store):
+    async def name_of(k, v):
+        return v["name"]
+
+    q = struct_index(spark, store).query().async_map(
+        name_of, value_type=T.StringType()
+    )
+    assert sorted(r["value"] for r in q.end()) == ["x", "y"]
+
+
+def test_filter_fn(spark, store):
+    q = scalar_index(spark, store).query().filter_fn(lambda k, v: v >= 3.0)
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("b", 3.0), ("c", 4.0)]
+
+
+def test_filter_fn_struct(spark, store):
+    q = struct_index(spark, store).query().filter_fn(lambda k, v: v["n"] == 2)
+    assert [r["key"] for r in q.end()] == ["b"]
+
+
+# ---------------------------------------------------------------- group
+
+
+def test_group(spark, store):
+    """index.js:64-89 intent — key -> [values], no boundary loss,
+    uniform output shape (reference bugs fixed per SURVEY §7.4)."""
+    rows = scalar_index(spark, store).query().group().end()
+    got = {r["key"]: list(r["results"]) for r in rows}
+    assert got == {"a": [1.0, 2.0], "b": [3.0], "c": [4.0]}
+
+
+def test_group_finish(spark, store):
+    """The declared-but-unused finish finalizer (index.js:64), applied."""
+    rows = (
+        scalar_index(spark, store)
+        .query()
+        .group(finish=lambda r: F.size(r))
+        .end()
+    )
+    assert {r["key"]: r["result"] for r in rows} == {"a": 2, "b": 1, "c": 1}
+
+
+def test_chain_past_group(spark, store):
+    """Mutations run in order past a group (index.js:32-44): map and
+    filter keep working on the grouped value column."""
+    q = (
+        scalar_index(spark, store)
+        .query()
+        .group(finish=lambda r: F.size(r))
+        .filter(F.col("result") > 1)
+        .map(value=F.col("result") * 10)
+    )
+    rows = q.end()
+    assert [(r["key"], r["result"]) for r in rows] == [("a", 20)]
+
+
+def test_map_fn_after_group(spark, store):
+    """Python record path over grouped array values."""
+    q = (
+        scalar_index(spark, store)
+        .query()
+        .group()
+        .map_fn(lambda k, v: sum(v), value_type=T.DoubleType())
+    )
+    rows = q.end()
+    assert {r["key"]: r["results"] for r in rows} == {"a": 3.0, "b": 3.0, "c": 4.0}
+
+
+# --------------------------------------------------------------- actions
+
+
+def test_count_and_end_order(spark, store):
+    q = scalar_index(spark, store).query()
+    assert q.count() == 4
+    assert [r["key"] for r in q.end(sort=True)] == ["a", "a", "b", "c"]
