@@ -3,36 +3,48 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The registry lives in :mod:`level_mapreduce_spark.queries` — one
+(query, oracle) pair per SURVEY.md §2 operator plus the LLM-pipeline
+extension operators (dedup / similarity / text analysis).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from level_mapreduce_spark import queries as _q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7.2 step 1): materialize the orders
+    index keyed by o_orderpriority with an ExprMapper (JVM-side map
+    fn), then range-scan it in key order — the reference's core write
+    path + sorted read (index.js:173-249, 124-138) end-to-end."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    idx = _q._orders_index(spark, sf_dir)
+    return idx.scan(sort=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    LLM-pipeline extensions). Each callable takes (spark, sf_dir) and
+    returns a DataFrame whose column names match its oracle."""
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query. ``dedup_simhash`` and
+    ``ann_lsh`` are intentionally absent (hash-function bucketing not
+    expressible in DuckDB SQL) → driver records the rows-only check;
+    their recall vs the exact operators is asserted in pytest."""
+    return dict(_q.ORACLES)

@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+100 TB design notes:
+
+- **Exact** dedup is one hash-groupBy on ``md5(text)`` — a single
+  shuffle on a uniformly distributed key; no skew by construction.
+- **MinHash-LSH** generates candidate pairs *within LSH buckets only*
+  (an inverted index on band keys — exactly a MapIndex key), never
+  all-pairs: candidate volume scales with true-duplicate density, not
+  O(n²). A per-bucket size cap bounds the worst hot bucket.
+- **SimHash** candidates come from exact-matching 16-bit chunks of the
+  64-bit fingerprint (Manku et al., WWW'07): hamming distance <= 3
+  guarantees at least one of the 4 chunks matches, so chunk buckets
+  are a complete candidate generator for d<=3.
+
+All computation is Column expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark.operators.text import tokens_expr, word_shingles
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod P over
+# x = xxhash64(shingle) mod P. P = 2^31 - 1 keeps every product under
+# 2^62, safe for ANSI-mode long arithmetic (no overflow).
+_P = 2_147_483_647
+_NUM_HASHES = 16
+
+
+def _hash_params(n: int = _NUM_HASHES) -> tuple[list[int], list[int]]:
+    rng = random.Random(42)
+    return (
+        [rng.randrange(1, _P) for _ in range(n)],
+        [rng.randrange(0, _P) for _ in range(n)],
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(key, result): content-hash group -> surviving doc_id (min).
+
+    One hash aggregation; the kept set is ``result``, duplicates are
+    every other doc_id in the group.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("key"))
+        .agg(F.min(F.col("doc_id").cast("long")).alias("result"))
+    )
+
+
+def minhash_signature(text: Column | str, k: int = 3) -> Column:
+    """Array of _NUM_HASHES minhash values over word k-shingles."""
+    sh = word_shingles(text, k=k)
+    a, b = _hash_params()
+    a_lit = F.array(*[F.lit(x) for x in a])
+    b_lit = F.array(*[F.lit(x) for x in b])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: (
+                    F.element_at(a_lit, i + 1) * F.pmod(F.xxhash64(s), F.lit(_P))
+                    + F.element_at(b_lit, i + 1)
+                )
+                % F.lit(_P),
+            )
+        ),
+    )
+
+
+def band_keys(signature: Column, rows_per_band: int = 1) -> Column:
+    """LSH band keys from a minhash signature: ``band_idx:joined_rows``.
+    With r rows per band and b bands, P(candidate | jaccard=s) =
+    1-(1-s^r)^b. r=1, b=16 gives recall ~1-(0.3)^16 at s=0.7 —
+    effectively exhaustive above threshold; raise r at scale to shed
+    low-similarity candidates."""
+    n_bands = _NUM_HASHES // rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.concat_ws(
+            ":",
+            i.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice(signature, i * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                "_",
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    rows_per_band: int = 1,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, jaccard>=threshold verified).
+
+    Plan: signature -> explode band keys (the LSH bucket inverted
+    index) -> self-join within buckets (candidates) -> verify exact
+    Jaccard on the shingle sets -> threshold. ``max_bucket`` drops
+    degenerate hot buckets (a stopword-like band shared by a large
+    fraction of the corpus carries no discriminating signal — the
+    other b-1 bands still cover its true pairs).
+
+    Jaccard is computed on distinct word k-shingles; output doc ids are
+    ordered doc_a < doc_b, one row per pair.
+    """
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        word_shingles("text", k=k).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+
+    # the signature is computed from the staged shingle arrays (not
+    # from text again) so the corpus is scanned once
+    a, b = _hash_params()
+    a_lit = F.array(*[F.lit(x) for x in a])
+    b_lit = F.array(*[F.lit(x) for x in b])
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: (
+                    F.element_at(a_lit, i + 1) * F.pmod(F.xxhash64(s), F.lit(_P))
+                    + F.element_at(b_lit, i + 1)
+                )
+                % F.lit(_P),
+            )
+        ),
+    )
+    buckets = staged.select(
+        "doc_id", F.explode(band_keys(sig, rows_per_band)).alias("bkey")
+    )
+    sizes = buckets.groupBy("bkey").agg(F.count("*").alias("_n"))
+    buckets = buckets.join(
+        sizes.where(F.col("_n") <= max_bucket), "bkey", "inner"
+    )
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bkey")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = staged.select("doc_id", "_sh", F.size("_sh").alias("_n"))
+    verified = (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame, threshold: float = 0.7, k: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the inverted shingle index (the
+    recall oracle for LSH, and itself a scalable dedup: the join is on
+    shared shingles, not all pairs)."""
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(word_shingles("text", k=k)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over distinct tokens — per
+    bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes
+    the fingerprint bit. One explode + one groupBy with 64 codegen'd
+    conditional sums."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_bit = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return per_bit.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
+    from exact-match 16-bit chunks (complete for max_hamming <= 3 by
+    pigeonhole over 4 chunks)."""
+    fps = simhash(docs)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    )
+    cands = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), "ck")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,132 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, per the 100 TB design rule:
+
+- :func:`brute_topk` — exact cosine top-k: one narrow projection
+  (``zip_with``/``aggregate`` dot product, JVM codegen) + a
+  distributed top-k (``TakeOrderedAndProject``). The correctness
+  baseline; O(corpus) per probe.
+- :func:`lsh_topk` — random-hyperplane LSH: each vector lands in a
+  sign-bit bucket; a probe searches its own bucket plus the buckets
+  within hamming distance 1 (multiprobe), then exact-reranks. At
+  scale the bucket id is a MapIndex key, so a probe prunes to
+  O(corpus / 2^bits * (bits+1)) — the scan never touches the rest.
+
+Hyperplanes are deterministic (seeded) ±1 vectors shipped as literal
+arrays, so the bucketing is pure Column arithmetic — no UDF, no
+driver-side model object.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double with sequential fold order (oracle-reproducible)."""
+    a, b = _as_double_array(a), _as_double_array(b)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (na * nb)
+
+
+def probe_vector(embeddings: DataFrame, vec_id: int) -> list[float]:
+    """Point-lookup of one embedding (driver-side by design — it is the
+    query argument, not a dataset)."""
+    row = embeddings.where(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def brute_topk(
+    embeddings: DataFrame, probe: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine: (vec_id, sim) — sim rounded to 6dp.
+    Ties break on vec_id; the plan is a distributed partial top-k per
+    partition + merge (no global sort)."""
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_bits: int = 6, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 random hyperplanes (sign-LSH for cosine)."""
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    vec = _as_double_array(vec)
+    out = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = probe's LSH bucket plus all
+    buckets at hamming distance 1 (multiprobe), exact cosine rerank
+    within candidates. Returns (vec_id, sim)."""
+    dim = len(probe)
+    planes = hyperplanes(dim, n_bits=n_bits, seed=seed)
+    # probe bucket computed driver-side (tiny, pure python)
+    pb = 0
+    for j, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(probe, plane)) > 0:
+            pb |= 1 << j
+    wanted = [pb] + [pb ^ (1 << j) for j in range(n_bits)]
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.withColumn(
+            "_bucket", bucket_expr(F.col("embedding"), planes)
+        )
+        .where(F.col("_bucket").isin(wanted))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,203 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path computation is Column expressions (JVM-side, whole-stage
+codegen — no Python in the loop), so every operator here scales to the
+100 TB corpus case: tokenization/stats are embarrassingly parallel
+narrow transforms; the inverted index and TF-IDF shuffle once on the
+term key, which is the minimum possible.
+
+Tokenization contract: documents are split on single spaces (the
+synthetic corpus' only whitespace) so the DuckDB oracles can reproduce
+results exactly with ``string_split``. Regex-based token classes use
+explicit ASCII classes (``[A-Za-z0-9]``) — identical semantics in Java
+regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark.engine.mapper import ExprMapper
+
+# Stopword heads used for the language-ID heuristic and the quality
+# score's stopword ratio. Deliberately tiny and explicit so the DuckDB
+# oracle can restate them verbatim.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "un"],
+    "es": ["el", "los", "y", "una", "en"],
+    "zh": ["de", "le", "he", "shi", "zai"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped.
+
+    Oracle equivalent: ``list_filter(string_split(lower(text), ' '),
+    t -> t <> '')``.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles (n-gram units for Jaccard dedup).
+
+    ``['a','b','c','d'] -> ['a_b_c','b_c_d']`` — built with
+    ``sequence``/``slice``/``array_join``, all codegen'd.
+    """
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), "_"),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality/statistics features:
+
+    - ``n_chars``   — character length
+    - ``n_words``   — runs of ``[A-Za-z0-9]+`` (BPE-ish word tokens)
+    - ``n_nonalnum``— non-alphanumeric, non-space characters
+    - ``n_tokens``  — whitespace tokens
+    - ``stop_cnt``  — English stopword occurrences
+    - ``stop_ratio``/``alnum_ratio`` — quality ratios, rounded to 6dp
+      so double formatting is oracle-stable.
+    """
+    toks = tokens_expr("text")
+    n_tokens = F.size(toks).cast("long")
+    n_words = F.size(
+        F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+    ).cast("long")
+    n_nonalnum = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_cnt = _count_in(toks, STOPWORDS["en"]).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_nonalnum.alias("n_nonalnum"),
+        n_tokens.alias("n_tokens"),
+        stop_cnt.alias("stop_cnt"),
+        F.round(stop_cnt / n_tokens, 6).alias("stop_ratio"),
+        F.round((n_chars - n_nonalnum) / n_chars, 6).alias("alnum_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language-ID heuristic: score each language by
+    stopword hits; highest score wins, ties broken by LANG_ORDER, zero
+    hits -> 'und'. The oracle restates the same CASE chain."""
+    toks = tokens_expr("text")
+    scores = {lang: _count_in(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit("und")
+    # build the CASE back-to-front so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("score"),
+    )
+
+
+def inverted_index_mapper() -> ExprMapper:
+    """Map fn for the term -> document inverted index — the most
+    level-mapreduce-shaped text operator: one emit per token
+    occurrence, ``index_key=token``, ``value=doc_id``. Feeding it
+    through MapIndex gives partitioned, sorted, incrementally
+    maintainable postings (reference write path, index.js:173-249)."""
+    return ExprMapper(
+        F.transform(
+            tokens_expr("text"),
+            lambda t: F.struct(
+                t.alias("index_key"), F.col("doc_id").cast("long").alias("value")
+            ),
+        ),
+        value_type=T.LongType(),
+    )
+
+
+def term_frequencies(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — one shuffle on the (term, doc) key."""
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(tokens_expr("text")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """(doc_id, term, tf, df, score) with score = round(tf * ln(N/df), 6).
+
+    Classic two-aggregation plan: tf per (term, doc), df per term —
+    df is reused via a self-aggregation of tf (no second scan of the
+    corpus). The df side joins back on ``term``; at 100 TB both sides
+    are already hash-partitioned by term from their aggregations, so
+    the join adds no extra shuffle of the large side.
+    """
+    n = n_docs if n_docs is not None else docs.count()
+    tf = term_frequencies(docs)
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every character k-gram, slide a window of ``window`` hashes,
+    keep each window's minimum, distinct per doc.
+
+    The k-gram hash is the hex md5 (min taken lexicographically) so
+    the DuckDB oracle reproduces fingerprints bit-for-bit — a rolling
+    xxhash64 would be faster but is not oracle-checkable.
+
+    Returns (doc_id, fp) exploded — the winnowed fingerprint set.
+    """
+    n_grams = F.length("text") - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(F.col("text"), i, k)),
+    )
+    # materialize the gram-hash array as a column first so each window
+    # min slices a computed array instead of re-evaluating the md5
+    # transform per window (O(n) vs O(n*w) hashing per doc)
+    staged = docs.where(F.length("text") >= k + window - 1).select(
+        F.col("doc_id").cast("long").alias("doc_id"), grams.alias("_grams")
+    )
+    n_windows = F.size("_grams") - (window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
+    )
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )

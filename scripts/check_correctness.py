@@ -1,0 +1,105 @@
+"""Local mimic of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables, compare row count + column names + exact
+values (columns sorted by name, rows sorted — order-insensitive, like
+the driver's value hash).
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from level_mapreduce_spark import get_spark
+from level_mapreduce_spark.sources.tables import TABLES
+
+
+def norm_cell(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(
+                f"ROWS-ONLY {name}: {len(spark_rows)} rows"
+                f" ({time.time() - t0:.1f}s)"
+            )
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            oracle_cols = [d[0] for d in cur.description]
+            oracle_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(spark_cols, spark_rows)
+        oc, orr = norm_rows(oracle_cols, oracle_rows)
+        if sc != oc:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+        elif len(sr) != len(orr):
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}")
+            n_fail += 1
+        elif sr != orr:
+            diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            print(f"FAIL {name}: values differ, e.g. {diff}")
+            n_fail += 1
+        else:
+            print(
+                f"PASS {name}: {len(sr)} rows ({time.time() - t0:.1f}s)"
+            )
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
