@@ -1,0 +1,161 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Covers BASELINE.md's four planned engine measurements (build
+throughput, pruned-scan latency, incremental-vs-rebuild, chained
+propagation) plus the flagship read/aggregate queries and the
+LLM-pipeline operators. Every timed query materializes fully through
+the JVM noop sink (or a driver collect for point lookups, matching the
+reference's callback-collect API).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from level_mapreduce_spark import get_spark
+from level_mapreduce_spark import queries as q
+from level_mapreduce_spark.engine.index import MapIndex
+from level_mapreduce_spark.sources.tables import load_table
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="lmr-bench")
+    store = tempfile.mkdtemp(prefix="lmr_bench_")
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.count()  # warm the session + file listing before timing
+
+    # --- engine measurements (BASELINE.md) ---------------------------------
+    idx = MapIndex(
+        spark, "bench_orders", q._orders_mapper(), store, doc_key="o_orderkey"
+    )
+    timed("build_orders", lambda: idx.build(orders, assume_unique=True))
+
+    timed("point_get", lambda: idx.get("1-URGENT"))
+    timed(
+        "range_scan",
+        lambda: materialize(idx.scan(start="2", end="4")),
+    )
+
+    # incremental update (1% churn) vs the full rebuild above
+    churn = orders.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.5
+    )
+    timed("update_1pct", lambda: idx.update(churn, assume_unique=True))
+
+    # chained propagation (2-stage pipe, reference replication scenario)
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark.engine.mapper import ExprMapper
+
+    def chained_build():
+        a = MapIndex(
+            spark, "bench_chain_a", q._orders_mapper(), store, doc_key="o_orderkey"
+        )
+        b_mapper = ExprMapper(
+            F.transform(
+                F.col("value"),
+                lambda p: F.struct(
+                    F.concat(F.lit("by_"), p["index_key"]).alias("index_key"),
+                    p["value"].alias("value"),
+                ),
+            ),
+            value_type=T.DoubleType(),
+        )
+        b = MapIndex(spark, "bench_chain_b", b_mapper, store)
+        a.pipe(b)
+        a.build(orders, assume_unique=True)
+
+    timed("chained_build", chained_build)
+
+    # --- flagship read/aggregate queries -----------------------------------
+    timed("count_by_key", lambda: materialize(idx.count_by_key()))
+    timed(
+        "group_finish",
+        lambda: materialize(
+            idx.query().group(finish=lambda r: F.array_min(r)).df
+        ),
+    )
+    timed(
+        "query_map",
+        lambda: materialize(
+            idx.query().map(value=F.col("value") * 2).df
+        ),
+    )
+
+    # --- LLM-pipeline operators ---------------------------------------------
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from level_mapreduce_spark.operators import (
+        brute_topk,
+        exact_dedup,
+        minhash_lsh_pairs,
+        text_stats,
+        tfidf,
+    )
+    from level_mapreduce_spark.operators.similarity import probe_vector
+
+    timed("dedup_exact", lambda: materialize(exact_dedup(docs)))
+    timed(
+        "dedup_minhash",
+        lambda: materialize(minhash_lsh_pairs(docs, threshold=0.7)),
+    )
+    timed("text_stats", lambda: materialize(text_stats(docs)))
+    timed("tfidf", lambda: materialize(tfidf(docs)))
+
+    from level_mapreduce_spark.operators.text import inverted_index_mapper
+
+    def inverted():
+        iidx = MapIndex(
+            spark, "bench_inverted", inverted_index_mapper(), store, doc_key="doc_id"
+        )
+        iidx.build(docs, assume_unique=True)
+        materialize(iidx.count_by_key())
+
+    timed("inverted_index", inverted)
+
+    probe = probe_vector(emb, 0)
+    timed("ann_topk", lambda: materialize(brute_topk(emb, probe, k=10)))
+
+    shutil.rmtree(store, ignore_errors=True)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

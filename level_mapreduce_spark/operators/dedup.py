@@ -100,8 +100,8 @@ def band_keys(signature: Column, rows_per_band: int = 1) -> Column:
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
-    k: int = 3,
-    rows_per_band: int = 1,
+    k: int = 5,
+    rows_per_band: int = 2,
     max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a, doc_b, jaccard>=threshold verified).
@@ -116,13 +116,11 @@ def minhash_lsh_pairs(
     Jaccard is computed on distinct word k-shingles; output doc ids are
     ordered doc_a < doc_b, one row per pair.
     """
-    staged = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        word_shingles("text", k=k).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-
-    # the signature is computed from the staged shingle arrays (not
-    # from text again) so the corpus is scanned once
+    # Stage shingles + signature ONCE and persist: the plan branches
+    # into the bucket index, both self-join sides, and the verify join —
+    # without the persist each branch re-tokenizes and re-hashes the
+    # whole corpus (higher-order-function expressions are the dominant
+    # cost). At 100 TB this staging table is what you'd checkpoint.
     a, b = _hash_params()
     a_lit = F.array(*[F.lit(x) for x in a])
     b_lit = F.array(*[F.lit(x) for x in b])
@@ -139,9 +137,23 @@ def minhash_lsh_pairs(
             )
         ),
     )
-    buckets = staged.select(
-        "doc_id", F.explode(band_keys(sig, rows_per_band)).alias("bkey")
+    # repartition first: a small-file corpus (one parquet file = one
+    # input split) would otherwise tokenize+hash on a single core; the
+    # shuffle moves raw text once and buys full parallelism for the
+    # expression-heavy staging
+    staged = (
+        docs.repartition("doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            word_shingles("text", k=k).alias("_sh"),
+        )
+        .where(F.size("_sh") > 0)
+        .withColumn("_sig", sig)
+        .persist()
     )
+    buckets = staged.select(
+        "doc_id", F.explode(band_keys(F.col("_sig"), rows_per_band)).alias("bkey")
+    ).persist()
     sizes = buckets.groupBy("bkey").agg(F.count("*").alias("_n"))
     buckets = buckets.join(
         sizes.where(F.col("_n") <= max_bucket), "bkey", "inner"
@@ -187,12 +199,12 @@ def minhash_lsh_pairs(
 
 
 def jaccard_pairs_exact(
-    docs: DataFrame, threshold: float = 0.7, k: int = 3
+    docs: DataFrame, threshold: float = 0.7, k: int = 5
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via the inverted shingle index (the
     recall oracle for LSH, and itself a scalable dedup: the join is on
     shared shingles, not all pairs)."""
-    sh = docs.select(
+    sh = docs.repartition("doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(word_shingles("text", k=k)).alias("s"),
     )
@@ -223,7 +235,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes
     the fingerprint bit. One explode + one groupBy with 64 codegen'd
     conditional sums."""
-    toks = docs.select(
+    toks = docs.repartition("doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))

@@ -190,8 +190,12 @@ def doc_fingerprints(
     # materialize the gram-hash array as a column first so each window
     # min slices a computed array instead of re-evaluating the md5
     # transform per window (O(n) vs O(n*w) hashing per doc)
-    staged = docs.where(F.length("text") >= k + window - 1).select(
-        F.col("doc_id").cast("long").alias("doc_id"), grams.alias("_grams")
+    staged = (
+        docs.where(F.length("text") >= k + window - 1)
+        .repartition("doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), grams.alias("_grams")
+        )
     )
     n_windows = F.size("_grams") - (window - 1)
     mins = F.transform(

@@ -397,12 +397,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+# word 5-shingles (k=5 — the dedup operators' default)
 _SHINGLES = f"""
   SELECT doc_id, s FROM (
     SELECT doc_id,
-           t[x.i] || '_' || t[x.i+1] || '_' || t[x.i+2] AS s
+           array_to_string(t[x.i : x.i + 4], '_') AS s
     FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-    CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i) x
+    CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) x
   ) GROUP BY doc_id, s
 """
 
