@@ -16,7 +16,15 @@ The Spark realization is DataFrame-native throughout:
   tombstones (the reference's meta reverse-index, index.js:182-205,
   232-242, folded into a ``doc_key`` provenance column);
 - the query pipeline = Catalyst-fused DataFrame transformations
-  (reference Query, index.js:13-94).
+  (reference Query, index.js:13-94);
+- live maintenance = Structured Streaming ``foreachBatch`` updates
+  (:mod:`level_mapreduce_spark.streaming` — the reference is itself a
+  change-stream sink, index.js:121,173);
+- LLM-data-pipeline extensions (:mod:`level_mapreduce_spark.operators`):
+  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+  similarity search (brute cosine + hyperplane LSH), text analysis
+  (quality stats, language-ID, inverted index, TF-IDF, winnowing
+  fingerprints), multimodal binary-column plumbing.
 """
 
 from level_mapreduce_spark.engine.index import MapIndex
@@ -28,6 +36,7 @@ from level_mapreduce_spark.engine.mapper import (
 )
 from level_mapreduce_spark.engine.query import Query
 from level_mapreduce_spark.session import get_spark
+from level_mapreduce_spark.streaming import stream_into
 
 __all__ = [
     "AsyncPythonMapper",
@@ -37,4 +46,5 @@ __all__ = [
     "Query",
     "emit",
     "get_spark",
+    "stream_into",
 ]

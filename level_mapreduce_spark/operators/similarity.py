@@ -104,25 +104,33 @@ def lsh_topk(
     probe: list[float],
     k: int = 10,
     n_bits: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates = probe's LSH bucket plus all
-    buckets at hamming distance 1 (multiprobe), exact cosine rerank
-    within candidates. Returns (vec_id, sim)."""
+    """Approximate top-k: ``n_tables`` independent hyperplane tables;
+    per table, candidates = probe's bucket plus buckets at hamming
+    distance 1 (multiprobe); union the tables, exact cosine rerank.
+
+    Multiple tables are the standard recall lever when neighbors are
+    not angularly tight (P(candidate) = 1-(1-p1)^L): per-table bucket
+    checks are narrow Column predicates OR-ed together, so the corpus
+    is still scanned once and only candidates reach the rerank sort.
+    Returns (vec_id, sim).
+    """
     dim = len(probe)
-    planes = hyperplanes(dim, n_bits=n_bits, seed=seed)
-    # probe bucket computed driver-side (tiny, pure python)
-    pb = 0
-    for j, plane in enumerate(planes):
-        if sum(x * y for x, y in zip(probe, plane)) > 0:
-            pb |= 1 << j
-    wanted = [pb] + [pb ^ (1 << j) for j in range(n_bits)]
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    hit = F.lit(False)
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        # probe bucket computed driver-side (tiny, pure python)
+        pb = 0
+        for j, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(probe, plane)) > 0:
+                pb |= 1 << j
+        wanted = [pb] + [pb ^ (1 << j) for j in range(n_bits)]
+        hit = hit | bucket_expr(F.col("embedding"), planes).isin(wanted)
     return (
-        embeddings.withColumn(
-            "_bucket", bucket_expr(F.col("embedding"), planes)
-        )
-        .where(F.col("_bucket").isin(wanted))
+        embeddings.where(hit)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),

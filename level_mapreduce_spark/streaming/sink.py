@@ -1,0 +1,59 @@
+"""Structured Streaming sink: live incremental index maintenance.
+
+The reference Index IS a change-stream sink — a Node Transform stream
+you pipe a changes feed into (index.js:121, 173; the couchup dependency
+signals a CouchDB _changes source). The Spark-native equivalent is
+``writeStream.foreachBatch``: each micro-batch is one ``update()``
+epoch — the same delete-old-emits/insert-new semantics
+(index.js:182-242), with chained indexes updated batch-synchronously
+inside the same ``foreachBatch`` call (reference pipe, index.js:250-253,
+minus its 10ms eventual-consistency sleeps).
+
+Exactly-once notes: ``update()`` appends one epoch per call. On a
+retried micro-batch the re-written epoch's tombstones supersede the
+partial first attempt (same doc keys, higher epoch), so replays
+converge — idempotent at the read() level, matching the crash-safety
+argument in MapIndex.update.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from level_mapreduce_spark.engine.index import MapIndex
+
+
+def stream_into(
+    index: MapIndex,
+    changes: DataFrame,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    assume_unique: bool = False,
+) -> StreamingQuery:
+    """Pipe a streaming changes DataFrame into ``index``.
+
+    ``changes`` must be a streaming DataFrame with the index's doc-key
+    column (plus optional ``deleted``/``seq``); every micro-batch runs
+    one incremental ``update()``, propagating to piped downstream
+    indexes synchronously.
+
+    ``available_now=True`` drains the backlog then stops (batch-like
+    catch-up); pass ``processing_time='5 seconds'`` instead for a
+    continuous micro-batch cadence.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.update(batch_df, assume_unique=assume_unique)
+
+    writer = changes.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

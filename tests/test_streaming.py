@@ -1,0 +1,99 @@
+"""Structured Streaming sink: foreachBatch-driven incremental index
+maintenance (reference change-stream-sink nature, index.js:121, 173)
+with chained propagation (index.js:250-253) — batch-synchronous, no
+sleeps (SURVEY §7.3 hard part 4).
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex
+from level_mapreduce_spark.streaming import stream_into
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_key", T.StringType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def write_batch(src_dir, name, rows):
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def drain(spark, idx, src_dir, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(src_dir)
+    q = stream_into(idx, stream, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_update_and_tombstone(spark, store, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    idx = MapIndex(spark, "stream_idx", mapper, store)
+    # seed an empty index (stream epochs append on top)
+    idx.build(spark.createDataFrame([], SCHEMA))
+
+    write_batch(
+        src,
+        "b1.json",
+        [
+            {"doc_key": "d1", "k": "a", "v": 1.0, "seq": 1},
+            {"doc_key": "d2", "k": "b", "v": 2.0, "seq": 2},
+        ],
+    )
+    drain(spark, idx, src, ckpt)
+    assert idx.get("a") == [1.0]
+    assert idx.count() == 2
+
+    # second micro-batch: overwrite d1, tombstone d2 — a NEW file in the
+    # same source dir; restart from the same checkpoint picks up only it
+    write_batch(
+        src,
+        "b2.json",
+        [
+            {"doc_key": "d1", "k": "a", "v": 10.0, "seq": 3},
+            {"doc_key": "d2", "deleted": True, "seq": 4},
+        ],
+    )
+    drain(spark, idx, src, ckpt)
+    assert idx.get("a") == [10.0]
+    assert idx.get("b") == []
+    assert idx.count() == 1
+
+
+def test_stream_chained_propagation(spark, store, tmp_path):
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(src)
+    a = MapIndex(
+        spark,
+        "stream_a",
+        ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType()),
+        store,
+    )
+    b = MapIndex(
+        spark,
+        "stream_b",
+        ExprMapper.of((F.lit("n_emits"), F.size("value").cast("string"))),
+        store,
+    )
+    a.pipe(b)
+    a.build(spark.createDataFrame([], SCHEMA))
+
+    write_batch(src, "b1.json", [{"doc_key": "d1", "k": "a", "v": 5.0, "seq": 1}])
+    drain(spark, a, src, ckpt)
+    # downstream converged within the same micro-batch (no sleeps)
+    assert b.get("n_emits") == ["1"]
