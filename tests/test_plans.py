@@ -1,0 +1,65 @@
+"""Physical-plan audits — the 100 TB design assertions (VERDICT r2
+items: no Python UDF in any registry query outside the three
+intentionally-Python record-path operators; key predicates pushed to
+the Parquet scan; tombstone anti-join broadcasts).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from level_mapreduce_spark import queries as q
+
+PYTHON_PATH_QUERIES = {"query_map_fn", "query_async_map", "query_filter_fn"}
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in q.QUERIES if n not in PYTHON_PATH_QUERIES]
+)
+def test_no_python_udf_in_plan(spark, name):
+    """Every registry query except the explicit record-path trio stays
+    JVM-side end to end (whole-stage codegen eligible)."""
+    df = q.QUERIES[name](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_python_path_queries_do_use_arrow(spark):
+    """The record-path trio runs as Arrow-batched pandas UDFs (never
+    row-at-a-time BatchEvalPython)."""
+    for name in PYTHON_PATH_QUERIES:
+        plan = plan_of(q.QUERIES[name](spark, SF_DIR))
+        assert "ArrowEvalPython" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_scan_pushes_key_predicates(spark):
+    """get/scan key bounds reach the Parquet reader (PushedFilters) —
+    the LevelDB iterator-seek equivalent (reference index.js:127-134)."""
+    idx = q._orders_index(spark, SF_DIR)
+    plan = plan_of(idx.scan(start="2", end="4"))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(index_key,2" in plan
+    assert "LessThan(index_key,4" in plan
+    plan_get = plan_of(idx.get_df("1-URGENT"))
+    assert "EqualTo(index_key,1-URGENT)" in plan_get
+
+
+def test_tombstone_antijoin_broadcasts(spark):
+    """read() over an updated index anti-joins segments against a
+    BROADCAST tombstone map — the index side never shuffles."""
+    idx = q._tombstone_index(spark, SF_DIR)
+    plan = plan_of(idx.read())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_limit_plans_topk(spark):
+    """scan(limit=) plans as distributed top-k, not a global sort."""
+    idx = q._orders_index(spark, SF_DIR)
+    plan = plan_of(idx.scan(limit=5))
+    assert "TakeOrderedAndProject" in plan
