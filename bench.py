@@ -125,6 +125,9 @@ def main() -> None:
         "dedup_minhash",
         lambda: materialize(minhash_lsh_pairs(docs, threshold=0.7)),
     )
+    # the LSH staging tables are persisted inside the operator; drop
+    # them so later timings aren't skewed by cache memory pressure
+    spark.catalog.clearCache()
     timed("text_stats", lambda: materialize(text_stats(docs)))
     timed("tfidf", lambda: materialize(tfidf(docs)))
 
@@ -141,6 +144,12 @@ def main() -> None:
 
     probe = probe_vector(emb, 0)
     timed("ann_topk", lambda: materialize(brute_topk(emb, probe, k=10)))
+
+    from level_mapreduce_spark.operators.events import sessionize, windowed_counts
+
+    events = load_table(spark, sf_dir, "events")
+    timed("events_window", lambda: materialize(windowed_counts(events)))
+    timed("events_sessionize", lambda: materialize(sessionize(events)))
 
     shutil.rmtree(store, ignore_errors=True)
     total = round(sum(times.values()), 3)

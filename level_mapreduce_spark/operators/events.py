@@ -1,0 +1,86 @@
+"""Event-stream relational operators over the ``events`` table —
+the window/event-time capabilities the reference lacks entirely
+(SURVEY §2.2: "window functions: absent", "streaming windows: absent"),
+provided as engine extensions.
+
+Decimal sums: event values aggregate as DECIMAL(18,2), not double —
+decimal addition is associative, so results are identical under any
+Spark partitioning/merge order AND match the DuckDB oracle exactly.
+A double sum would be partition-order-dependent and unhashable.
+
+All three operators express with built-in window/aggregate functions:
+tumbling windows are a groupBy on ``date_trunc`` (shuffle on the
+window+type key); running numbers and sessionization are SQL window
+functions over ``(user_id)`` partitions — one shuffle each, and the
+per-user partitions are naturally balanced (no whale users in this
+schema; at 100 TB a skewed entity key would get AQE skew-join/salting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type:
+    (ws, event_type, n, total) — total as exact DECIMAL(18,2)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ws"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+def running_number(events: DataFrame) -> DataFrame:
+    """Per-user event sequence number in time order (deterministic
+    tie-break on event_id): (event_id, user_id, rn)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle longer than ``gap_us``. (event_id, user_id, session_id) with
+    session_id numbered per user from 1 — the batch equivalent of a
+    streaming session window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        us - F.lag(us).over(w) > gap_us, 1
+    ).otherwise(0)
+    return (
+        events.withColumn("_new", new_session)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            (
+                F.sum("_new").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("session_id"),
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event_type — the
+    approximate/sketch operator family (rows-only check: HLL estimates
+    are implementation-specific, so no cross-engine oracle)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 from level_mapreduce_spark.engine.index import MapIndex
 from level_mapreduce_spark.engine.mapper import ExprMapper, emit
 from level_mapreduce_spark.operators import dedup as dd
+from level_mapreduce_spark.operators import events as ev
 from level_mapreduce_spark.operators import similarity as sim
 from level_mapreduce_spark.operators import text as tx
 from level_mapreduce_spark.sources.tables import load_table
@@ -348,6 +349,22 @@ def q_fingerprint(spark, sf_dir):
     return tx.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_events_window(spark, sf_dir):
+    return ev.windowed_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_running(spark, sf_dir):
+    return ev.running_number(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    return ev.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_approx_users(spark, sf_dir):
+    return ev.approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
@@ -388,6 +405,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "events_window": q_events_window,
+    "events_running": q_events_running,
+    "events_sessionize": q_events_sessionize,
+    "events_approx_users": q_events_approx_users,
 }
 
 
@@ -572,6 +593,37 @@ ORACLES: dict[str, str] = {
       ORDER BY sim DESC, vec_id
       LIMIT 10
     """,
+    "events_window": """
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2
+    """,
+    "events_running": """
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(user_id AS BIGINT) AS user_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS BIGINT) AS rn
+      FROM events
+    """,
+    "events_sessionize": """
+      WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                    ) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM events
+      )
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(user_id AS BIGINT) AS user_id,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) + 1 AS BIGINT) AS session_id
+      FROM flagged
+    """,
     # dedup_simhash, ann_lsh: hash-function/bucketing not expressible in
-    # DuckDB SQL -> rows-only check; recall vs exact covered in pytest.
+    # DuckDB SQL; events_approx_users: HLL estimates are implementation-
+    # specific -> rows-only checks; pytest covers their semantics.
 }

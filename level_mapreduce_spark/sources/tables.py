@@ -29,7 +29,22 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+    """Load one star-schema table.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark
+    rejects outright (PARQUET_TYPE_ILLEGAL) — read it as raw nanos via
+    the legacy flag and truncate to a microsecond TimestampType column
+    (exactly DuckDB's nanos->micros conversion, so oracles agree)."""
+    path = posixpath.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

@@ -100,3 +100,22 @@ def test_multimodal_real_decode_is_stubbed(docs):
     media = attach_fake_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_fn="real")
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from level_mapreduce_spark.operators.events import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, base, "click", 1.0, "{}"),
+        (2, 7, base + dt.timedelta(minutes=10), "click", 1.0, "{}"),
+        (3, 7, base + dt.timedelta(minutes=50), "click", 1.0, "{}"),  # 40min gap
+        (4, 8, base, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    got = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
