@@ -116,11 +116,16 @@ def minhash_lsh_pairs(
     Jaccard is computed on distinct word k-shingles; output doc ids are
     ordered doc_a < doc_b, one row per pair.
     """
-    # Stage shingles + signature ONCE and persist: the plan branches
-    # into the bucket index, both self-join sides, and the verify join —
-    # without the persist each branch re-tokenizes and re-hashes the
-    # whole corpus (higher-order-function expressions are the dominant
-    # cost). At 100 TB this staging table is what you'd checkpoint.
+    # Stage hashed shingles + signature ONCE and persist: the plan
+    # branches into the bucket index, both self-join sides, and the
+    # verify join — without the persist each branch re-tokenizes and
+    # re-hashes the whole corpus. Shingles are reduced to 64-bit
+    # xxhash64 longs immediately (_shh): the 16 minhash functions then
+    # permute the SAME long (one string hash per shingle, not 16), the
+    # cached rows carry array<long> instead of array<string> (~5x
+    # lighter), and the Jaccard verify intersects long arrays. Hash
+    # collisions would need ~2^32 shingles per doc to matter. At 100 TB
+    # this staging table is what you'd checkpoint.
     a, b = _hash_params()
     a_lit = F.array(*[F.lit(x) for x in a])
     b_lit = F.array(*[F.lit(x) for x in b])
@@ -128,9 +133,9 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
         lambda i: F.array_min(
             F.transform(
-                F.col("_sh"),
-                lambda s: (
-                    F.element_at(a_lit, i + 1) * F.pmod(F.xxhash64(s), F.lit(_P))
+                F.col("_shh"),
+                lambda h: (
+                    F.element_at(a_lit, i + 1) * F.pmod(h, F.lit(_P))
                     + F.element_at(b_lit, i + 1)
                 )
                 % F.lit(_P),
@@ -145,9 +150,11 @@ def minhash_lsh_pairs(
         docs.repartition("doc_id")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            word_shingles("text", k=k).alias("_sh"),
+            F.transform(
+                word_shingles("text", k=k), lambda s: F.xxhash64(s)
+            ).alias("_shh"),
         )
-        .where(F.size("_sh") > 0)
+        .where(F.size("_shh") > 0)
         .withColumn("_sig", sig)
         .persist()
     )
@@ -167,12 +174,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = staged.select("doc_id", "_sh", F.size("_sh").alias("_n"))
+    sh = staged.select("doc_id", "_shh", F.size("_shh").alias("_n"))
     verified = (
         cands.join(
             sh.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("_sh").alias("_sha"),
+                F.col("_shh").alias("_sha"),
                 F.col("_n").alias("_na"),
             ),
             "doc_a",
@@ -180,7 +187,7 @@ def minhash_lsh_pairs(
         .join(
             sh.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("_sh").alias("_shb"),
+                F.col("_shh").alias("_shb"),
                 F.col("_n").alias("_nb"),
             ),
             "doc_b",
