@@ -470,6 +470,21 @@ class MapIndex:
         (index.js:148-150), implemented."""
         return self.scan(key=key).count()
 
+    def get_meta(self, doc_key: str) -> list[str]:
+        """The keys a document currently emits — reference ``getMeta``'s
+        ``{keys: [...]}`` reverse lookup (index.js:255-263). Not a
+        separate stored structure here: ``doc_key`` is a column of the
+        index, so the meta index is a filtered projection (SURVEY §1.1).
+        Emit order = ``emit_pos``, matching the meta array order."""
+        rows = (
+            self.read()
+            .where(F.col(DOC_KEY) == doc_key)
+            .orderBy("emit_pos")
+            .select("index_key")
+            .collect()
+        )
+        return [r["index_key"] for r in rows]
+
     def count_by_key(self) -> DataFrame:
         return self.read().groupBy("index_key").agg(
             F.count("*").alias("n")

@@ -25,7 +25,7 @@ DecodeStream applies to every scan (index.js:96-109).
 from __future__ import annotations
 
 import json
-from collections.abc import Awaitable, Callable, Iterable
+from collections.abc import Awaitable, Callable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level_mapreduce_spark.engine.index import MapIndex
-from level_mapreduce_spark.engine.mapper import ExprMapper, emit
+from level_mapreduce_spark.engine.mapper import ExprMapper
 from level_mapreduce_spark.operators import dedup as dd
 from level_mapreduce_spark.operators import events as ev
 from level_mapreduce_spark.operators import similarity as sim

@@ -195,3 +195,20 @@ def test_incremental_equals_rebuild(spark, store):
     # compaction preserves the live view
     inc.compact()
     assert sorted(map(tuple, inc.read().select(cols).collect())) == full_rows
+
+
+def test_get_meta(spark, store):
+    """Reference getMeta (index.js:255-263): the keys a doc currently
+    emits, in emit order; updates replace them; tombstones clear them."""
+
+    def mapper(doc):
+        v = json.loads(doc["value"])
+        return [(k, 1) for k in v["ks"]]
+
+    idx = MapIndex(spark, "meta", PythonMapper(mapper), store)
+    idx.build(docs_df(spark, [{"doc_key": "d1", "value": {"ks": ["b", "a"]}}]))
+    assert idx.get_meta("d1") == ["b", "a"]
+    idx.update(docs_df(spark, [{"doc_key": "d1", "value": {"ks": ["z"]}}]))
+    assert idx.get_meta("d1") == ["z"]
+    idx.update(docs_df(spark, [{"doc_key": "d1", "deleted": True}]))
+    assert idx.get_meta("d1") == []
