@@ -42,10 +42,16 @@ def main() -> None:
     store = tempfile.mkdtemp(prefix="lmr_bench_")
     times: dict[str, float] = {}
 
-    def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, repeat: int = 2) -> None:
+        # min-of-N: drops first-run codegen/JIT-compile noise so
+        # round-over-round comparisons track real plan cost
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     orders = load_table(spark, sf_dir, "orders")
     orders.count()  # warm the session + file listing before timing
@@ -121,12 +127,13 @@ def main() -> None:
     from level_mapreduce_spark.operators.similarity import probe_vector
 
     timed("dedup_exact", lambda: materialize(exact_dedup(docs)))
-    timed(
-        "dedup_minhash",
-        lambda: materialize(minhash_lsh_pairs(docs, threshold=0.7)),
-    )
-    # the LSH staging tables are persisted inside the operator; drop
-    # them so later timings aren't skewed by cache memory pressure
+    def minhash_cold():
+        # drop the operator's persisted staging first so every repeat
+        # measures the full recompute (warm JIT, cold cache)
+        spark.catalog.clearCache()
+        materialize(minhash_lsh_pairs(docs, threshold=0.7))
+
+    timed("dedup_minhash", minhash_cold)
     spark.catalog.clearCache()
     timed("text_stats", lambda: materialize(text_stats(docs)))
     timed("tfidf", lambda: materialize(tfidf(docs)))

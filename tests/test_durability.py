@@ -1,0 +1,153 @@
+"""Durability / convergence properties of the LSM maintenance scheme:
+crash-window safety of compact(), replayed-batch idempotence, and a
+property-based incremental==rebuild check under random churn.
+"""
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex
+
+
+def kv_index(spark, store, name):
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    return MapIndex(spark, name, mapper, store)
+
+
+def kv_df(spark, rows):
+    schema = (
+        "doc_key string, k string, v double, deleted boolean, seq long"
+    )
+    return spark.createDataFrame(
+        [
+            (r["doc_key"], r.get("k"), r.get("v"), r.get("deleted", False), i)
+            for i, r in enumerate(rows)
+        ],
+        schema,
+    )
+
+
+def live_rows(idx):
+    return sorted(
+        (r["doc_key"], r["index_key"], r["value"])
+        for r in idx.read().collect()
+    )
+
+
+def test_stale_tombstones_after_compact_are_harmless(spark, store):
+    """Simulates the compact() crash window ADVICE r2 flagged: the
+    segment swap completed but tombstone cleanup did not. Because the
+    folded segment keeps epoch=max (>= every stale tomb_epoch), the
+    leftover tombstones cannot kill compacted rows."""
+    idx = kv_index(spark, store, "crash")
+    idx.build(kv_df(spark, [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(6)]))
+    idx.update(kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 100.0}]))
+    idx.update(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 200.0}]))
+    before = live_rows(idx)
+
+    # snapshot the tombstone dir, compact, then restore the snapshot —
+    # exactly the state a crash between the two final steps leaves
+    import shutil
+
+    tomb_bak = store + "/tomb_bak"
+    shutil.copytree(idx.tombstones_path, tomb_bak)
+    idx.compact()
+    shutil.copytree(tomb_bak, idx.tombstones_path)
+    idx._tomb_bytes_cache = None
+
+    assert live_rows(idx) == before
+    # and the NEXT update still behaves (epochs continue past max)
+    idx.update(kv_df(spark, [{"doc_key": "d2", "k": "a", "v": 300.0}]))
+    want = [r for r in before if r[0] != "d2"] + [("d2", "a", 300.0)]
+    assert live_rows(idx) == sorted(want)
+
+
+def test_replayed_update_batch_converges(spark, store):
+    """foreachBatch retry semantics: re-running the same changes batch
+    (same content, new epoch) must not duplicate emits — the replay's
+    tombstones supersede the first attempt."""
+    idx = kv_index(spark, store, "replay")
+    idx.build(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]))
+    batch = [{"doc_key": "d1", "k": "a", "v": 2.0}, {"doc_key": "d2", "k": "b", "v": 3.0}]
+    idx.update(kv_df(spark, batch))
+    first = live_rows(idx)
+    idx.update(kv_df(spark, batch))  # the replay
+    assert live_rows(idx) == first
+    assert idx.count() == 2
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_incremental_equals_rebuild_property(spark, tmp_path_factory, data):
+    """Property: ANY churn sequence applied via update() epochs equals a
+    from-scratch build() of the final document state (FIXTURES.md A.3,
+    generalizing the reference overwrite tests)."""
+    store = str(tmp_path_factory.mktemp("hyp"))
+    n_docs = 6
+    ops = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_docs - 1),  # doc
+                st.sampled_from(["set", "del"]),
+                st.integers(0, 99),  # value
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    state = {}
+    idx = kv_index(spark, store, "hyp")
+    idx.build(spark.createDataFrame([], "doc_key string, k string, v double, deleted boolean, seq long"))
+    # apply in chunks of up to 3 ops per epoch
+    for i in range(0, len(ops), 3):
+        chunk = ops[i : i + 3]
+        rows = []
+        for doc, op, val in chunk:
+            if op == "set":
+                rows.append({"doc_key": f"d{doc}", "k": "x", "v": float(val)})
+                state[f"d{doc}"] = float(val)
+            else:
+                rows.append({"doc_key": f"d{doc}", "deleted": True})
+                state.pop(f"d{doc}", None)
+        idx.update(kv_df(spark, rows))
+
+    rebuilt = kv_index(spark, store, "hyp_rebuild")
+    rebuilt.build(
+        kv_df(
+            spark,
+            [{"doc_key": dk, "k": "x", "v": v} for dk, v in state.items()],
+        )
+    )
+    assert live_rows(idx) == live_rows(rebuilt)
+
+
+def test_update_crash_before_tombstones_recovers_on_retry(spark, store):
+    """The documented update() crash window: segment written, tombstone
+    write lost. Old+new emits are both visible (recoverable duplicates,
+    never data loss); retrying the same batch supersedes both."""
+    import shutil
+
+    from level_mapreduce_spark.engine.index import _list_epochs
+
+    idx = kv_index(spark, store, "crash2")
+    idx.build(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]))
+    tomb_bak = store + "/tomb_bak2"
+    idx.update(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 2.0}]))
+    # simulate the crash: drop the tombstone epoch the update just wrote
+    last = max(_list_epochs(spark, idx.tombstones_path))
+    shutil.rmtree(os.path.join(idx.tombstones_path, f"epoch={last}"))
+    idx._tomb_bytes_cache = None
+    # duplicates visible (old 1.0 + new 2.0) — degraded but lossless
+    assert sorted(r["value"] for r in idx.read().collect()) == [1.0, 2.0]
+    # retry the batch: higher-epoch tombstones kill both prior versions
+    idx.update(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 2.0}]))
+    assert [r["value"] for r in idx.read().collect()] == [2.0]
