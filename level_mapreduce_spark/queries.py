@@ -349,6 +349,54 @@ def q_fingerprint(spark, sf_dir):
     return tx.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_join_broadcast(spark, sf_dir):
+    """Dim join (orders x customer): the customer side broadcasts —
+    order count + exact decimal revenue per market segment. Joins are a
+    Spark-native extension (SURVEY §2.2: absent in the reference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+def q_join_large(spark, sf_dir):
+    """Fact-fact join (lineitem x orders) shuffled on the join key,
+    aggregated to revenue per order priority (decimal-exact)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_set_except(spark, sf_dir):
+    """Set op (EXCEPT): customers with an 'F' order but no 'O' order."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    o_cust = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").cast("long").alias("custkey")
+    )
+    return f_cust.subtract(o_cust)  # EXCEPT (distinct) semantics
+
+
 def q_events_window(spark, sf_dir):
     return ev.windowed_counts(load_table(spark, sf_dir, "events"))
 
@@ -405,6 +453,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "join_broadcast": q_join_broadcast,
+    "join_large": q_join_large,
+    "set_except": q_set_except,
     "events_window": q_events_window,
     "events_running": q_events_running,
     "events_sessionize": q_events_sessionize,
@@ -592,6 +643,25 @@ ORACLES: dict[str, str] = {
       FROM embeddings, p
       ORDER BY sim DESC, vec_id
       LIMIT 10
+    """,
+    "join_broadcast": """
+      SELECT c_mktsegment, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    """,
+    "join_large": """
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+    """,
+    "set_except": """
+      SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+      WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT CAST(o_custkey AS BIGINT) FROM orders
+      WHERE o_orderstatus = 'O'
     """,
     "events_window": """
       SELECT date_trunc('hour', ts) AS ws, event_type,

@@ -63,3 +63,11 @@ def test_scan_limit_plans_topk(spark):
     idx = q._orders_index(spark, SF_DIR)
     plan = plan_of(idx.scan(limit=5))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    """The orders x customer dim join must plan as a broadcast hash
+    join (no shuffle of the fact side on the join key)."""
+    plan = plan_of(q.QUERIES["join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
