@@ -1,0 +1,243 @@
+"""Index-backed dedup and ANN: the LSH bucket key IS a MapIndex key.
+
+Routing the bucket inverted indexes through :class:`MapIndex` instead
+of ad-hoc DataFrames buys, for free, everything the engine already
+guarantees for stored maps:
+
+- **incremental maintenance** — adding/overwriting/tombstoning a
+  document updates only its own band rows (O(changed docs), reference
+  meta-index semantics), so near-dup detection over a growing corpus
+  never recomputes old signatures;
+- **sorted, range-partitioned persistence** — probing a bucket is a
+  pushed-down key lookup, not a scan;
+- **chaining/streaming** — the band index can sit downstream of a
+  `foreachBatch` change feed like any other index.
+
+This is the 100 TB shape: signatures are computed once per document
+*when it arrives*, and candidate generation is an equality join on the
+stored bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark.engine.index import MapIndex
+from level_mapreduce_spark.engine.mapper import ExprMapper
+from level_mapreduce_spark.operators.dedup import (
+    _NUM_HASHES,
+    _P,
+    _hash_params,
+    band_keys,
+)
+from level_mapreduce_spark.operators.similarity import (
+    bucket_expr,
+    cosine_sim,
+    hyperplanes,
+)
+from level_mapreduce_spark.operators.text import word_shingles
+
+
+def minhash_band_mapper(k: int = 5, rows_per_band: int = 2) -> ExprMapper:
+    """Map fn emitting one (band_key, doc_id) pair per LSH band — the
+    inverted bucket index as a stored map."""
+    a, b = _hash_params()
+    a_lit = F.array(*[F.lit(x) for x in a])
+    b_lit = F.array(*[F.lit(x) for x in b])
+    shh = F.transform(word_shingles("text", k=k), lambda s: F.xxhash64(s))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shh,
+                lambda h: (
+                    F.element_at(a_lit, i + 1) * F.pmod(h, F.lit(_P))
+                    + F.element_at(b_lit, i + 1)
+                )
+                % F.lit(_P),
+            )
+        ),
+    )
+    return ExprMapper(
+        F.transform(
+            band_keys(sig, rows_per_band),
+            lambda bk: F.struct(
+                bk.alias("index_key"),
+                F.col("doc_id").cast("long").alias("value"),
+            ),
+        ),
+        value_type=T.LongType(),
+    )
+
+
+def build_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: str,
+    name: str = "minhash_bands",
+    k: int = 5,
+    rows_per_band: int = 2,
+) -> MapIndex:
+    idx = MapIndex(
+        spark, name, minhash_band_mapper(k, rows_per_band), store, doc_key="doc_id"
+    )
+    idx.build(docs.repartition("doc_id"), assume_unique=True)
+    return idx
+
+
+def lsh_pairs_from_index(
+    band_index: MapIndex,
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 5,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-dup pairs from a stored band index: candidates = self-join
+    of the persisted buckets, verification = exact Jaccard on shingle
+    sets recomputed from the candidate docs only (not the corpus)."""
+    buckets = band_index.read().select(
+        F.col("index_key").alias("bkey"), F.col("value").alias("doc_id")
+    )
+    sizes = buckets.groupBy("bkey").agg(F.count("*").alias("_n"))
+    buckets = buckets.join(sizes.where(F.col("_n") <= max_bucket), "bkey")
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bkey")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    sh = (
+        docs.join(
+            cand_docs,
+            docs["doc_id"].cast("long") == cand_docs["doc_id"],
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.transform(word_shingles("text", k=k), lambda s: F.xxhash64(s)).alias(
+                "_shh"
+            ),
+        )
+        .withColumn("_n", F.size("_shh"))
+    )
+    verified = (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_shh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_shh").alias("_shb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def ann_bucket_mapper(
+    dim: int, n_bits: int = 6, n_tables: int = 8, seed: int = 42
+) -> ExprMapper:
+    """Map fn emitting one (table:bucket, vec_id) pair per hash table."""
+    pairs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        bucket = bucket_expr(F.col("embedding"), planes)
+        pairs.append(
+            F.struct(
+                F.concat_ws(":", F.lit(str(t)), bucket.cast("string")).alias(
+                    "index_key"
+                ),
+                F.col("vec_id").cast("long").alias("value"),
+            )
+        )
+    return ExprMapper(F.array(*pairs), value_type=T.LongType())
+
+
+def build_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    store: str,
+    name: str = "ann_buckets",
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> MapIndex:
+    dim = len(embeddings.select("embedding").head()[0])
+    idx = MapIndex(
+        spark,
+        name,
+        ann_bucket_mapper(dim, n_bits, n_tables, seed),
+        store,
+        doc_key="vec_id",
+    )
+    idx.build(embeddings, assume_unique=True)
+    return idx
+
+
+def ann_topk_from_index(
+    ann_index: MapIndex,
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe the stored bucket index: candidate vec_ids come from a
+    pushed-down key lookup over (table:bucket) keys within hamming
+    distance 1 of the probe's buckets; exact cosine rerank follows."""
+    wanted = []
+    for t in range(n_tables):
+        planes = hyperplanes(len(probe), n_bits=n_bits, seed=seed + 1000 * t)
+        pb = 0
+        for j, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(probe, plane)) > 0:
+                pb |= 1 << j
+        for bucket in [pb] + [pb ^ (1 << j) for j in range(n_bits)]:
+            wanted.append(f"{t}:{bucket}")
+    cand_ids = (
+        ann_index.read()
+        .where(F.col("index_key").isin(wanted))
+        .select(F.col("value").alias("vec_id"))
+        .distinct()
+    )
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(
+            F.broadcast(cand_ids),
+            embeddings["vec_id"].cast("long") == cand_ids["vec_id"],
+            "left_semi",
+        )
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

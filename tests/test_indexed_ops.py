@@ -1,0 +1,66 @@
+"""Index-backed LSH dedup/ANN: equivalence with the DataFrame
+operators plus the capability the index adds — incremental maintenance
+of the bucket structures.
+"""
+
+from pyspark.sql import functions as F
+
+from level_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+from level_mapreduce_spark.operators.indexed import (
+    ann_topk_from_index,
+    build_ann_index,
+    build_band_index,
+    lsh_pairs_from_index,
+)
+from level_mapreduce_spark.operators.similarity import brute_topk, probe_vector
+from level_mapreduce_spark.sources.tables import load_table
+
+
+def test_indexed_lsh_equals_dataframe_lsh(spark, store, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_band_index(spark, docs, store)
+    via_index = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(idx, docs).collect()
+    }
+    direct = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert via_index == direct and direct
+
+
+def test_band_index_incremental_new_neardup(spark, store, sf_dir):
+    """The index-backed path's point: a NEW near-duplicate document is
+    detected by updating only its own band rows — no corpus recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_band_index(spark, docs, store, name="bands_inc")
+    base_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(idx, docs).collect()
+    }
+    # clone doc 0's text under a fresh id -> jaccard 1.0 with doc 0
+    donor = docs.where(F.col("doc_id") == 0).select("text").head()["text"]
+    new_doc = spark.createDataFrame(
+        [(99999, donor, "en", "clone", len(donor))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx.update(new_doc, assume_unique=True)  # O(1 doc), appends one epoch
+    all_docs = docs.unionByName(new_doc)
+    new_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(idx, all_docs).collect()
+    }
+    assert (0, 99999) in new_pairs
+    assert base_pairs <= new_pairs
+
+
+def test_indexed_ann_matches_brute(spark, store, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = probe_vector(emb, 0)
+    idx = build_ann_index(spark, emb, store)
+    approx = [
+        r["vec_id"] for r in ann_topk_from_index(idx, emb, probe).collect()
+    ]
+    brute = [r["vec_id"] for r in brute_topk(emb, probe, k=10).collect()]
+    assert approx[0] == 0  # probe finds itself via its own bucket
+    assert len(set(brute) & set(approx)) >= 5
