@@ -43,8 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. ``dedup_simhash`` and
-    ``ann_lsh`` are intentionally absent (hash-function bucketing not
-    expressible in DuckDB SQL) → driver records the rows-only check;
-    their recall vs the exact operators is asserted in pytest."""
+    """DuckDB-runnable ANSI SQL per query. ``dedup_simhash``,
+    ``ann_lsh``, ``multimodal_features``, and ``events_approx_users``
+    are intentionally absent (hash-function bucketing / byte-level
+    decode / HLL internals not expressible in DuckDB SQL) → driver
+    records the rows-only check; their semantics vs the exact
+    operators are asserted in pytest."""
     return dict(_q.ORACLES)

@@ -99,6 +99,106 @@ def bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
     return out
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs:
+    (vec_id_a, vec_id_b, sim) for every pair with cosine >= threshold,
+    a < b. The correctness baseline — O(n²) compare; use
+    :func:`cosine_neardup_pairs_lsh` at scale.
+
+    Each side's L2 norm is computed once (not per pair); the pair
+    arithmetic ``dot/(na*nb)`` is term-for-term the same fold as
+    :func:`cosine_sim`, so 6dp rounding matches the oracle's
+    ``list_cosine_similarity`` bit-for-bit."""
+    sides = _with_norm(embeddings)
+    a, b = sides.alias("a"), sides.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._e"), F.col("b._e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(dot / (F.col("a._n") * F.col("b._n")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, _e: array<double>, _n: l2norm) — norm staged per row."""
+    e = _as_double_array(F.col("embedding"))
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        e.alias("_e"),
+        F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_n"),
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates = pairs sharing a
+    sign-LSH bucket in ANY of ``n_tables`` hyperplane tables (the same
+    bucket key a MapIndex stores — see operators.indexed), verified
+    with the exact dot product. Near-dup pairs are angularly tight, so
+    P(same bucket per table) = 1 - theta/pi per bit; at theta <= 18°
+    (cos 0.95) and 6 bits, 8 tables give ~99.9% recall.
+
+    Candidate volume scales with bucket co-occupancy, never O(n²)."""
+    dim = len(embeddings.select("embedding").head()[0])
+    sides = _with_norm(embeddings)
+    tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
+        tables.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                bucket_expr(F.col("_e"), planes).cast("string"),
+            )
+        )
+    buckets = sides.select(
+        "vec_id", "_e", "_n", F.explode(F.array(*tables)).alias("bkey")
+    )
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bkey")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_id_a"),
+            F.col("y.vec_id").alias("vec_id_b"),
+            F.col("x._e").alias("_ea"),
+            F.col("x._n").alias("_na"),
+            F.col("y._e").alias("_eb"),
+            F.col("y._n").alias("_nb"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("sim"),
+        ).where(F.col("sim") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probe: list[float],

@@ -32,6 +32,7 @@ from level_mapreduce_spark.engine.index import MapIndex
 from level_mapreduce_spark.engine.mapper import ExprMapper
 from level_mapreduce_spark.operators import dedup as dd
 from level_mapreduce_spark.operators import events as ev
+from level_mapreduce_spark.operators import multimodal as mm
 from level_mapreduce_spark.operators import similarity as sim
 from level_mapreduce_spark.operators import text as tx
 from level_mapreduce_spark.sources.tables import load_table
@@ -413,6 +414,23 @@ def q_events_approx_users(spark, sf_dir):
     return ev.approx_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def q_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (the 5th dedup family).
+    Threshold tuned to the synthetic corpus' similarity range (the
+    tables contain no planted clones); the LSH-bucketed scale variant
+    is covered by pytest recall tests on planted near-dups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.42)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> Arrow-batched feature
+    extraction (deterministic fake decoder; rows-only check — byte-level
+    decode is not expressible in DuckDB SQL)."""
+    media = mm.attach_fake_media(_docs(spark, sf_dir))
+    return mm.extract_features(media)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
@@ -451,6 +469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "doc_fingerprint": q_fingerprint,
+    "neardup_cosine": q_neardup_cosine,
+    "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "join_broadcast": q_join_broadcast,
@@ -632,6 +652,14 @@ ORACLES: dict[str, str] = {
                                 j -> list_min(g[j : j + 3])))) AS fp
         FROM grams
       )
+    """,
+    "neardup_cosine": """
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
     """,
     "ann_topk": """
       WITH p AS (

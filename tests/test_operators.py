@@ -65,6 +65,44 @@ def test_ann_lsh_recall(emb):
     assert overlap >= 5, (brute, approx)
 
 
+def test_cosine_neardup_lsh_recall_on_planted_dups(spark, emb):
+    """The LSH-bucketed embedding near-dup path must recover planted
+    near-duplicates (clone + tiny perturbation, cos > 0.99) with full
+    recall, and every emitted pair must also pass the exact operator
+    (precision 1.0 via the verify step)."""
+    from level_mapreduce_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    base = emb.limit(20)
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * 1.001 + 0.0001,
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = base.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    ).unionByName(clones)
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_neardup_pairs(corpus, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_neardup_pairs_lsh(corpus, threshold=0.99).collect()
+    }
+    planted = {(i, i + 100000) for i in range(20)}
+    assert planted <= exact
+    assert planted <= lsh  # full recall on the planted clones
+    assert lsh <= exact  # verify step: no false positives
+
+
 def test_simhash_properties(docs):
     fps = simhash(docs.limit(50))
     rows = fps.collect()
