@@ -1,0 +1,89 @@
+"""Join-family extensions the reference lacks entirely (SURVEY §2.2:
+"Joins: absent") and Spark lacks natively: as-of join.
+
+As-of join (time-series "most recent prior fact"): Spark has no ASOF
+JOIN operator, and the naive formulations are scale-traps — a range
+theta-join explodes to O(n*m) comparisons per key, and a
+groupBy+max+rejoin runs two shuffles of the big side plus a join. The
+implementation here is the sort-based union trick:
+
+1. tag left (probe) and right (reference) rows and union them;
+2. one window over ``partitionBy(key).orderBy(ts, side)`` carries the
+   last-seen right payload forward (``F.last(ignorenulls=True)``);
+3. keep the left rows, now annotated with their as-of match.
+
+Cost: ONE shuffle of each input (the union shuffles together on the
+key), then a per-partition sort — the same plan shape as a sort-merge
+join, which is what a native as-of would compile to. Skewed keys get
+AQE's skew handling like any other window; there is no per-pair work,
+so a hot key costs O(rows log rows), never O(rows²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_prefix: str = "r_",
+    allow_exact_matches: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row
+    with ``right.ts <= left.ts`` (strict ``<`` when
+    ``allow_exact_matches=False``) for the same ``on`` key; unmatched
+    left rows keep nulls (LEFT ASOF semantics).
+
+    Output: every left column, plus each right column (except the key)
+    renamed ``{right_prefix}{col}``.
+
+    ``tie_break``: optional right-side column ordering ties among
+    equal-``ts`` right rows (the later value wins); required for a
+    deterministic result when (key, ts) is not unique on the right.
+    """
+    rcols = [c for c in right.columns if c != on]
+    # side flag orders right rows before (exact-match) or after
+    # (strict) the left rows at the same timestamp
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(0 if allow_exact_matches else 2).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    order = [F.col("_t"), F.col("_side")]
+    if tie_break is not None:
+        # among right rows with equal ts, the highest tie_break wins
+        # (it sorts last, and last() picks it up)
+        order.append(F.col("_r")[tie_break].asc_nulls_first())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out_cols = [F.col("_l")[c].alias(c) for c in left.columns]
+    out_cols += [
+        F.col("_match")[c].alias(f"{right_prefix}{c}") for c in rcols
+    ]
+    return carried.select(*out_cols)

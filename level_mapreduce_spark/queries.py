@@ -398,6 +398,37 @@ def q_set_except(spark, sf_dir):
     return f_cust.subtract(o_cust)  # EXCEPT (distinct) semantics
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (absent from both the reference and native Spark):
+    each click joined to the user's most recent purchase at-or-before
+    it. One shuffle per side — the sort-based union plan, not a range
+    explosion."""
+    from level_mapreduce_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(clicks, purchases, on="user_id", ts="ts", right_prefix="p_")
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("p_event_id").cast("long").alias("p_event_id"),
+        F.col("p_value").alias("p_value"),
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP) — grouping-set aggregation over
+    (priority, status) with exact decimal revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
 def q_events_window(spark, sf_dir):
     return ev.windowed_counts(load_table(spark, sf_dir, "events"))
 
@@ -475,6 +506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "join_broadcast": q_join_broadcast,
     "join_large": q_join_large,
+    "asof_join": q_asof_join,
+    "rollup": q_rollup,
     "set_except": q_set_except,
     "events_window": q_events_window,
     "events_running": q_events_running,
@@ -683,6 +716,20 @@ ORACLES: dict[str, str] = {
              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
+    """,
+    "asof_join": """
+      SELECT CAST(c.event_id AS BIGINT) AS event_id,
+             CAST(c.user_id AS BIGINT) AS user_id,
+             CAST(p.event_id AS BIGINT) AS p_event_id,
+             p.value AS p_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "rollup": """
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     "set_except": """
       SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders

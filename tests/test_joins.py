@@ -1,0 +1,85 @@
+"""asof_join semantics: backward match, exact-match toggle, unmatched
+nulls, tie-break determinism — plus a plan check that the operator
+stays a single window (no range theta-join / cartesian anywhere).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from level_mapreduce_spark.operators.joins import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts(10)),
+            (2, 7, _ts(30)),
+            (3, 7, _ts(5)),   # before any right row -> null match
+            (4, 8, _ts(60)),  # user with no right rows at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 7, _ts(10), 1.0),   # exactly at left #1's ts
+            (102, 7, _ts(20), 2.0),
+            (103, 9, _ts(1), 9.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_backward_with_exact(spark):
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_asof_strict_excludes_exact(spark):
+    left, right = _frames(spark)
+    got = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(
+            left, right, on="user_id", allow_exact_matches=False
+        ).collect()
+    }
+    # left #1 at ts=10 no longer sees right #101 at ts=10
+    assert got == {1: None, 2: 102, 3: None, 4: None}
+
+
+def test_asof_tie_break(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(201, 7, _ts(5), 1.0), (202, 7, _ts(5), 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = asof_join(
+        left, right, on="user_id", tie_break="event_id"
+    ).collect()[0]
+    assert got["r_event_id"] == 202  # highest tie_break wins
+
+
+def test_asof_plan_is_single_window(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
