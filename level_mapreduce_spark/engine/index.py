@@ -227,15 +227,27 @@ class MapIndex:
     def _emits(self, live_docs: DataFrame) -> DataFrame:
         """(index_key, emit_pos, value, doc_key) — the UDTF explode.
 
-        ``posexplode`` is the multi-emit flatten (reference
-        index.js:233-240); docs mapping to zero pairs vanish here,
-        which is exactly the reference's "empty emit un-indexes the
-        doc" behavior (index.js:218-230).
+        ``posexplode_outer`` + null-key filter is the multi-emit
+        flatten (reference index.js:233-240); docs mapping to zero
+        pairs vanish (empty array -> one null row -> filtered), which
+        is exactly the reference's "empty emit un-indexes the doc"
+        behavior (index.js:218-230).
+
+        The OUTER variant is deliberate and load-bearing: for a plain
+        ``posexplode``, ``InferFiltersFromGenerate`` inserts a
+        ``size(pairs) > 0`` filter under the Generate, and predicate
+        pushdown then substitutes the FULL mapper expression into that
+        filter and pushes it below any staging projections and
+        repartition — re-evaluating an expensive map fn once more per
+        row, inlined (no staging), in the upstream stage's (possibly
+        single-task) parallelism. No filter is inferable for an outer
+        explode, so the mapper expression stays exactly where the
+        staged plan put it.
         """
         pairs = self.mapper.pairs(live_docs, doc_key=DOC_KEY)
         return (
             pairs.select(
-                DOC_KEY, F.posexplode("pairs").alias("emit_pos", "pair")
+                DOC_KEY, F.posexplode_outer("pairs").alias("emit_pos", "pair")
             )
             .select(
                 F.col("pair.index_key").alias("index_key"),

@@ -76,11 +76,26 @@ class ExprMapper(Mapper):
 
     Conditional / variable-arity emits: wrap in ``F.filter`` or
     ``F.flatten`` — it is just a Column.
+
+    ``stages`` — optional ordered ``{name: Column}`` of intermediate
+    columns projected (in order) before ``pairs_expr``; each may
+    reference the previous ones. Use this whenever ``pairs_expr``
+    references an expensive sub-expression more than once or inside a
+    higher-order-function lambda: Spark re-evaluates free
+    sub-expressions inside HOF lambdas per invocation, while a staged
+    column is a row-buffer read (and CollapseProject keeps multi-use
+    non-trivial stage columns materialized).
     """
 
-    def __init__(self, pairs_expr: Column, value_type: T.DataType | None = None):
+    def __init__(
+        self,
+        pairs_expr: Column,
+        value_type: T.DataType | None = None,
+        stages: dict[str, Column] | None = None,
+    ):
         self.pairs_expr = pairs_expr
         self.value_type = value_type or T.StringType()
+        self.stages = stages or {}
 
     @classmethod
     def of(
@@ -93,6 +108,8 @@ class ExprMapper(Mapper):
         )
 
     def pairs(self, docs: DataFrame, doc_key: str = DOC_KEY) -> DataFrame:
+        for name, col in self.stages.items():
+            docs = docs.withColumn(name, col)
         return docs.select(
             F.col(doc_key).cast("string").alias(DOC_KEY),
             self.pairs_expr.cast(pairs_type(self.value_type)).alias("pairs"),

@@ -1,0 +1,37 @@
+"""Staging pins — keep expensive staged columns materialized.
+
+Catalyst's ``CollapseProject`` inlines a projected column back into its
+consumer when the consumer references it at most once *textually*. A
+reference inside a higher-order-function lambda is textually one
+reference but evaluates once per lambda invocation — so inlining an
+expensive array expression into, say, a 16-hash minhash ``transform``
+re-runs the whole upstream chain 16× per row (and nested HOFs multiply:
+bands × hashes × shingles re-tokenizes the document hundreds of times).
+
+``pin_array_arg(col, expr)`` adds a second, semantically-inert textual
+reference (``size(col) >= 0`` — always true for a non-null array, and a
+null array maps to a null result exactly as the unguarded expression
+would). Two references make CollapseProject keep the producer Project,
+so the column is computed once per row into the row buffer and every
+lambda invocation reads the buffer.
+
+Use it inside any Column-returning function whose result iterates its
+array argument more than once (directly or via lambdas), so call sites
+stay oblivious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pin_array_arg(col: Column, expr: Column) -> Column:
+    """``expr`` guarded by a trivially-true predicate on ``col``.
+
+    Semantics: identical to ``expr`` for non-null ``col``; null when
+    ``col`` is null (matching any array HOF over a null input).
+    Purpose: the extra ``size(col)`` reference pins ``col``'s producer
+    Project against CollapseProject inlining (see module docstring).
+    """
+    return F.when(F.size(col) >= 0, expr)

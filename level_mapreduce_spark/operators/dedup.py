@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.operators.text import tokens_expr, word_shingles
+from level_mapreduce_spark.functions import pin_array_arg
+from level_mapreduce_spark.operators.text import (
+    shingles_from_tokens,
+    tokens_expr,
+)
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod P over
 # x = xxhash64(shingle) mod P. P = 2^31 - 1 keeps every product under
@@ -53,23 +57,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature(text: Column | str, k: int = 3) -> Column:
-    """Array of _NUM_HASHES minhash values over word k-shingles."""
-    sh = word_shingles(text, k=k)
+def minhash_from_hashes(shh: Column) -> Column:
+    """Array of _NUM_HASHES minhash values from a staged column of
+    64-bit shingle hashes. The 16 hash lambdas each iterate ``shh``,
+    so the argument is pinned (pin_array_arg) to keep its producer
+    Project materialized — inlined, the shingle chain would re-run
+    once per hash function per row."""
     a, b = _hash_params()
     a_lit = F.array(*[F.lit(x) for x in a])
     b_lit = F.array(*[F.lit(x) for x in b])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: (
-                    F.element_at(a_lit, i + 1) * F.pmod(F.xxhash64(s), F.lit(_P))
-                    + F.element_at(b_lit, i + 1)
+    return pin_array_arg(
+        shh,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    shh,
+                    lambda h: (
+                        F.element_at(a_lit, i + 1) * F.pmod(h, F.lit(_P))
+                        + F.element_at(b_lit, i + 1)
+                    )
+                    % F.lit(_P),
                 )
-                % F.lit(_P),
-            )
+            ),
         ),
     )
 
@@ -81,17 +91,22 @@ def band_keys(signature: Column, rows_per_band: int = 1) -> Column:
     effectively exhaustive above threshold; raise r at scale to shed
     low-similarity candidates."""
     n_bands = _NUM_HASHES // rows_per_band
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda i: F.concat_ws(
-            ":",
-            i.cast("string"),
-            F.array_join(
-                F.transform(
-                    F.slice(signature, i * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
+    # each band's lambda slices the signature: pin it so the (possibly
+    # expensive) signature expression is not inlined per band
+    return pin_array_arg(
+        signature,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda i: F.concat_ws(
+                ":",
+                i.cast("string"),
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, i * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    "_",
                 ),
-                "_",
             ),
         ),
     )
@@ -126,36 +141,28 @@ def minhash_lsh_pairs(
     # lighter), and the Jaccard verify intersects long arrays. Hash
     # collisions would need ~2^32 shingles per doc to matter. At 100 TB
     # this staging table is what you'd checkpoint.
-    a, b = _hash_params()
-    a_lit = F.array(*[F.lit(x) for x in a])
-    b_lit = F.array(*[F.lit(x) for x in b])
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("_shh"),
-                lambda h: (
-                    F.element_at(a_lit, i + 1) * F.pmod(h, F.lit(_P))
-                    + F.element_at(b_lit, i + 1)
-                )
-                % F.lit(_P),
-            )
-        ),
-    )
-    # repartition first: a small-file corpus (one parquet file = one
-    # input split) would otherwise tokenize+hash on a single core; the
-    # shuffle moves raw text once and buys full parallelism for the
-    # expression-heavy staging
+    # repartition with an EXPLICIT count: a plain repartition(col) is
+    # AQE-coalescible by byte size, and this stage is compute-bound on
+    # tiny bytes — AQE would serialize the tokenize+hash work onto one
+    # task. Tokens are staged as a column before shingling and shingle
+    # hashes before the signature (see shingles_from_tokens: inline
+    # sub-expressions re-evaluate inside HOF lambdas).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     staged = (
-        docs.repartition("doc_id")
+        docs.repartition(n_part, "doc_id")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
+            tokens_expr("text").alias("_toks"),
+        )
+        .select(
+            "doc_id",
             F.transform(
-                word_shingles("text", k=k), lambda s: F.xxhash64(s)
+                shingles_from_tokens(F.col("_toks"), k=k),
+                lambda s: F.xxhash64(s),
             ).alias("_shh"),
         )
         .where(F.size("_shh") > 0)
-        .withColumn("_sig", sig)
+        .withColumn("_sig", minhash_from_hashes(F.col("_shh")))
         .persist()
     )
     buckets = staged.select(
@@ -211,9 +218,17 @@ def jaccard_pairs_exact(
     """Exact n-gram Jaccard pairs via the inverted shingle index (the
     recall oracle for LSH, and itself a scalable dedup: the join is on
     shared shingles, not all pairs)."""
-    sh = docs.repartition("doc_id").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(word_shingles("text", k=k)).alias("s"),
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens_expr("text").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("_toks"), k=k)).alias("s"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -242,7 +257,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes
     the fingerprint bit. One explode + one groupBy with 64 codegen'd
     conditional sums."""
-    toks = docs.repartition("doc_id").select(
+    toks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))

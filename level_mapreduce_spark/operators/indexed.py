@@ -27,48 +27,46 @@ from pyspark.sql import types as T
 from level_mapreduce_spark.engine.index import MapIndex
 from level_mapreduce_spark.engine.mapper import ExprMapper
 from level_mapreduce_spark.operators.dedup import (
-    _NUM_HASHES,
-    _P,
-    _hash_params,
     band_keys,
+    minhash_from_hashes,
 )
 from level_mapreduce_spark.operators.similarity import (
     bucket_expr,
     cosine_sim,
     hyperplanes,
 )
-from level_mapreduce_spark.operators.text import word_shingles
+from level_mapreduce_spark.operators.text import (
+    shingles_from_tokens,
+    tokens_expr,
+)
 
 
 def minhash_band_mapper(k: int = 5, rows_per_band: int = 2) -> ExprMapper:
     """Map fn emitting one (band_key, doc_id) pair per LSH band — the
-    inverted bucket index as a stored map."""
-    a, b = _hash_params()
-    a_lit = F.array(*[F.lit(x) for x in a])
-    b_lit = F.array(*[F.lit(x) for x in b])
-    shh = F.transform(word_shingles("text", k=k), lambda s: F.xxhash64(s))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shh,
-                lambda h: (
-                    F.element_at(a_lit, i + 1) * F.pmod(h, F.lit(_P))
-                    + F.element_at(b_lit, i + 1)
-                )
-                % F.lit(_P),
-            )
-        ),
-    )
+    inverted bucket index as a stored map.
+
+    Tokens, shingle hashes, and the signature are ExprMapper ``stages``
+    (materialized columns): band_keys slices the signature once per
+    band and each minhash lambda iterates the shingle hashes — inlined,
+    the whole tokenize+hash chain would re-run ~(bands × hashes) times
+    per document."""
     return ExprMapper(
         F.transform(
-            band_keys(sig, rows_per_band),
+            band_keys(F.col("_sig"), rows_per_band),
             lambda bk: F.struct(
                 bk.alias("index_key"),
                 F.col("doc_id").cast("long").alias("value"),
             ),
         ),
         value_type=T.LongType(),
+        stages={
+            "_toks": tokens_expr("text"),
+            "_shh": F.transform(
+                shingles_from_tokens(F.col("_toks"), k=k),
+                lambda s: F.xxhash64(s),
+            ),
+            "_sig": minhash_from_hashes(F.col("_shh")),
+        },
     )
 
 
@@ -83,7 +81,10 @@ def build_band_index(
     idx = MapIndex(
         spark, name, minhash_band_mapper(k, rows_per_band), store, doc_key="doc_id"
     )
-    idx.build(docs.repartition("doc_id"), assume_unique=True)
+    # explicit partition count: the mapper is compute-bound on small
+    # bytes, so an AQE-coalescible repartition(col) could serialize it
+    n_part = spark.sparkContext.defaultParallelism
+    idx.build(docs.repartition(n_part, "doc_id"), assume_unique=True)
     return idx
 
 
@@ -124,9 +125,14 @@ def lsh_pairs_from_index(
         )
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.transform(word_shingles("text", k=k), lambda s: F.xxhash64(s)).alias(
-                "_shh"
-            ),
+            tokens_expr("text").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), k=k),
+                lambda s: F.xxhash64(s),
+            ).alias("_shh"),
         )
         .withColumn("_n", F.size("_shh"))
     )

@@ -44,19 +44,34 @@ def tokens_expr(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles (n-gram units for Jaccard dedup).
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from an ALREADY-MATERIALIZED tokens
+    column. ``['a','b','c','d'] -> ['a_b_c','b_c_d']`` via
+    ``sequence``/``slice``/``array_join`` (all codegen'd).
 
-    ``['a','b','c','d'] -> ['a_b_c','b_c_d']`` — built with
-    ``sequence``/``slice``/``array_join``, all codegen'd.
+    ``toks`` must be a column attribute, not an inline expression:
+    Spark re-evaluates free sub-expressions inside higher-order-function
+    lambdas on every invocation, so an inline ``split()`` here would
+    re-tokenize the document once per shingle index — O(tokens²) per
+    doc. An attribute reference is a row-buffer read, O(1).
     """
-    toks = tokens_expr(text)
     n = F.size(toks)
     grams = F.when(n >= k, F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.array_join(F.slice(toks, i, k), "_"),
     )).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles straight from a text column.
+
+    Convenience form for one-shot use. Hot paths that reference the
+    shingles more than once (or inside further lambdas) should stage
+    ``tokens_expr`` as a real column and call
+    :func:`shingles_from_tokens` — see its docstring for why.
+    """
+    return shingles_from_tokens(tokens_expr(text), k)
 
 
 def _count_in(tokens: Column, words: list[str]) -> Column:
@@ -75,7 +90,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
     - ``stop_ratio``/``alnum_ratio`` — quality ratios, rounded to 6dp
       so double formatting is oracle-stable.
     """
-    toks = tokens_expr("text")
+    # tokens staged once as a column: several output columns reference
+    # them, and an inline split() would re-tokenize per reference
+    docs = docs.withColumn("_toks", tokens_expr("text"))
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
     n_words = F.size(
         F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
@@ -101,8 +119,17 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language-ID heuristic: score each language by
     stopword hits; highest score wins, ties broken by LANG_ORDER, zero
     hits -> 'und'. The oracle restates the same CASE chain."""
-    toks = tokens_expr("text")
-    scores = {lang: _count_in(toks, STOPWORDS[lang]) for lang in LANG_ORDER}
+    docs = docs.withColumn("_toks", tokens_expr("text"))
+    # per-language scores staged as columns too: `best` references all
+    # five and the CASE chain references each score twice more
+    score_cols = {
+        lang: f"_s_{lang}" for lang in LANG_ORDER
+    }
+    for lang in LANG_ORDER:
+        docs = docs.withColumn(
+            score_cols[lang], _count_in(F.col("_toks"), STOPWORDS[lang])
+        )
+    scores = {lang: F.col(score_cols[lang]) for lang in LANG_ORDER}
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     pred = F.lit("und")
     # build the CASE back-to-front so earlier langs win ties
@@ -192,7 +219,9 @@ def doc_fingerprints(
     # transform per window (O(n) vs O(n*w) hashing per doc)
     staged = (
         docs.where(F.length("text") >= k + window - 1)
-        .repartition("doc_id")
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
         .select(
             F.col("doc_id").cast("long").alias("doc_id"), grams.alias("_grams")
         )
