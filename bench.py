@@ -152,6 +152,31 @@ def main() -> None:
     probe = probe_vector(emb, 0)
     timed("ann_topk", lambda: materialize(brute_topk(emb, probe, k=10)))
 
+    from level_mapreduce_spark.operators.indexed import build_band_index
+    from level_mapreduce_spark.operators.joins import asof_join
+    from level_mapreduce_spark.operators.similarity import cosine_neardup_pairs
+
+    timed(
+        "band_index_build",
+        lambda: build_band_index(spark, docs, store, name="bench_bands"),
+        repeat=1,
+    )
+    timed(
+        "neardup_cosine",
+        lambda: materialize(cosine_neardup_pairs(emb, threshold=0.42)),
+    )
+
+    events_tbl = load_table(spark, sf_dir, "events")
+
+    def asof():
+        clicks = events_tbl.where(F.col("event_type") == "click")
+        purchases = events_tbl.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        materialize(asof_join(clicks, purchases, on="user_id", ts="ts"))
+
+    timed("asof_join", asof)
+
     from level_mapreduce_spark.operators.events import sessionize, windowed_counts
 
     events = load_table(spark, sf_dir, "events")

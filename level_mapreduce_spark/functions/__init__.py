@@ -1,5 +1,5 @@
 """Column-expression helpers shared by the engine and operators."""
 
-from level_mapreduce_spark.functions.staging import pin_array_arg
+from level_mapreduce_spark.functions.staging import pin_array_arg, unpushable
 
-__all__ = ["pin_array_arg"]
+__all__ = ["pin_array_arg", "unpushable"]

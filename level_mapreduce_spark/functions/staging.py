@@ -26,6 +26,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def unpushable(pred: Column) -> Column:
+    """``pred`` wrapped so PushDownPredicates cannot move it below its
+    Project (or split it): the whole predicate is made non-deterministic
+    via a trivially-true ``monotonically_increasing_id() >= 0`` branch,
+    with semantics identical to ``pred``.
+
+    Use on a filter over an expensive computed column that sits above a
+    nested-loop join: pushed into the join condition, the column's full
+    definition would be re-evaluated per candidate pair on the join's
+    INTERPRETED path (joins don't codegen their conditions), instead of
+    once per row in the codegen'd Project. Note a plain conjunction with
+    a non-deterministic term does NOT work — the optimizer splits
+    conjuncts and pushes the deterministic half.
+    """
+    return F.when(
+        F.monotonically_increasing_id() >= 0, pred
+    ).otherwise(F.lit(True))
+
+
 def pin_array_arg(col: Column, expr: Column) -> Column:
     """``expr`` guarded by a trivially-true predicate on ``col``.
 

@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from level_mapreduce_spark.functions import unpushable
+
 
 def _as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
@@ -108,16 +110,22 @@ def cosine_neardup_pairs(
     :func:`cosine_neardup_pairs_lsh` at scale.
 
     Each side's L2 norm is computed once (not per pair); the pair
-    arithmetic ``dot/(na*nb)`` is term-for-term the same fold as
-    :func:`cosine_sim`, so 6dp rounding matches the oracle's
-    ``list_cosine_similarity`` bit-for-bit."""
+    arithmetic ``dot/(na*nb)`` is term-for-term the same left-assoc
+    sum as :func:`cosine_sim`, so 6dp rounding matches the oracle's
+    ``list_cosine_similarity`` bit-for-bit. The per-pair dot is
+    UNROLLED into scalar arithmetic (dim is known from the schema):
+    higher-order functions don't whole-stage-codegen and allocate an
+    intermediate array per evaluation — on an O(n²) pair join that is
+    the entire runtime (measured ~20x on 64-dim)."""
+    dim = len(embeddings.select("embedding").head()[0])
     sides = _with_norm(embeddings)
-    a, b = sides.alias("a"), sides.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a._e"), F.col("b._e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # the pair join is a broadcast nested-loop on vec_id<vec_id; its
+    # parallelism is the STREAM side's partitioning — a single-file
+    # corpus would run the whole O(n²) compare on one task
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = sides.repartition(n_part, "vec_id").alias("a")
+    b = sides.alias("b")
+    dot = _dot_unrolled(F.col("a._e"), F.col("b._e"), dim)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -125,8 +133,22 @@ def cosine_neardup_pairs(
             F.col("b.vec_id").alias("vec_id_b"),
             F.round(dot / (F.col("a._n") * F.col("b._n")), 6).alias("sim"),
         )
-        .where(F.col("sim") >= threshold)
+        # unpushable: pushed into the nested-loop join condition, the
+        # unrolled dot would re-evaluate interpreted per candidate pair
+        .where(unpushable(F.col("sim") >= threshold))
     )
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Left-associated ``a[0]*b[0] + a[1]*b[1] + ...`` as plain scalar
+    expressions — same fold order (and therefore same floating-point
+    result) as the ``aggregate``-based dot, but whole-stage-codegen'd
+    with zero per-pair allocations."""
+    out = None
+    for i in range(1, dim + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        out = term if out is None else out + term
+    return out
 
 
 def _with_norm(embeddings: DataFrame) -> DataFrame:
@@ -185,17 +207,13 @@ def cosine_neardup_pairs_lsh(
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
     return (
         cands.select(
             "vec_id_a",
             "vec_id_b",
             F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("sim"),
-        ).where(F.col("sim") >= threshold)
+        ).where(unpushable(F.col("sim") >= threshold))
     )
 
 
