@@ -47,6 +47,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def stream_table(
+    spark: SparkSession,
+    src_dir: str,
+    like_sf_dir: str,
+    name: str = "events",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming file-source read of a staged table directory with the
+    same type normalization as :func:`load_table` (events nanos ->
+    microsecond TimestampType). ``src_dir`` is a DIRECTORY of parquet
+    files (file stream sources watch directories); ``like_sf_dir``
+    supplies the schema from the batch table of the same name."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        posixpath.join(like_sf_dir, f"{name}.parquet")
+    ).schema
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

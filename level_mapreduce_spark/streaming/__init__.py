@@ -1,3 +1,4 @@
 from level_mapreduce_spark.streaming.sink import stream_into
+from level_mapreduce_spark.streaming.windows import windowed_counts_stream
 
-__all__ = ["stream_into"]
+__all__ = ["stream_into", "windowed_counts_stream"]

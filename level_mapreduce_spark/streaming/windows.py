@@ -1,0 +1,55 @@
+"""Event-time streaming aggregation with watermarks — the streaming
+window surface the reference lacks entirely (SURVEY §2.2 "streaming
+windows: absent"), provided as a Spark-native extension.
+
+These wrap the batch operators in :mod:`..operators.events` for
+streaming input: the same logical aggregation, plus watermark-driven
+state eviction so unbounded streams run in bounded state — the property
+that matters when the events table is a firehose, not a file.
+
+State sizing at scale: tumbling-window counts keep one state row per
+(window, event_type) until the watermark passes the window end; with
+1-hour windows and a 30-minute watermark that is ~2 windows of live
+state per key — independent of input rate. Late rows inside the
+watermark update their window; later ones are dropped (counted by the
+`numRowsDroppedByWatermark` metric, queryable off `lastProgress`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming tumbling event-time windows per event_type:
+    (ws, event_type, n, total) — the streaming form of
+    ``operators.events.windowed_counts`` (same output schema; ``ws``
+    is the window start).
+
+    In append output mode a window emits exactly once, when the
+    watermark passes its end — the exactly-once-per-window contract a
+    downstream MapIndex ``update()`` wants (each emitted row becomes
+    part of one micro-batch epoch).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("_w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .select(
+            F.col("_w.start").alias("ws"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

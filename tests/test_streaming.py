@@ -6,6 +6,7 @@ sleeps (SURVEY §7.3 hard part 4).
 
 import json
 import os
+import shutil
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -72,6 +73,43 @@ def test_stream_update_and_tombstone(spark, store, tmp_path):
     assert idx.get("a") == [10.0]
     assert idx.get("b") == []
     assert idx.count() == 1
+
+
+def test_stream_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
+    """Streaming event-time windows over the real events parquet must
+    converge to the batch operator's result; late rows beyond the
+    watermark are dropped (none here — the file source replays in
+    order), and complete mode emits every closed window."""
+    from level_mapreduce_spark.operators.events import windowed_counts
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.windows import windowed_counts_stream
+
+    events = load_table(spark, sf_dir, "events")
+    # file stream sources read directories; stage the table file in one
+    src = tmp_path / "events_src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = stream_table(spark, str(src), sf_dir, "events")
+    out = windowed_counts_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in windowed_counts(events).collect()
+    }
+    assert got == want and want
 
 
 def test_stream_chained_propagation(spark, store, tmp_path):
