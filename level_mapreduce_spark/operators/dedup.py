@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.functions import pin_array_arg
+from level_mapreduce_spark.functions import pin_array_arg, unpushable
 from level_mapreduce_spark.operators.text import (
     shingles_from_tokens,
     tokens_expr,
@@ -161,7 +161,10 @@ def minhash_lsh_pairs(
                 lambda s: F.xxhash64(s),
             ).alias("_shh"),
         )
-        .where(F.size("_shh") > 0)
+        # unpushable: a plain filter here is rewritten with _shh's FULL
+        # definition (tokens inlined -> quadratic) and pushed below the
+        # repartition, re-running the chain single-task at the scan
+        .where(unpushable(F.size("_shh") > 0))
         .withColumn("_sig", minhash_from_hashes(F.col("_shh")))
         .persist()
     )
@@ -219,6 +222,9 @@ def jaccard_pairs_exact(
     recall oracle for LSH, and itself a scalable dedup: the join is on
     shared shingles, not all pairs)."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # explode_outer + null filter: a plain explode gets an inferred
+    # size()>0 filter whose pushdown clones the shingle chain below
+    # the repartition (see MapIndex._emits for the full story)
     sh = (
         docs.repartition(n_part, "doc_id")
         .select(
@@ -227,8 +233,11 @@ def jaccard_pairs_exact(
         )
         .select(
             "doc_id",
-            F.explode(shingles_from_tokens(F.col("_toks"), k=k)).alias("s"),
+            F.explode_outer(
+                shingles_from_tokens(F.col("_toks"), k=k)
+            ).alias("s"),
         )
+        .where(F.col("s").isNotNull())
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -257,12 +266,19 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes
     the fingerprint bit. One explode + one groupBy with 64 codegen'd
     conditional sums."""
-    toks = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(tokens_expr(text_col))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    toks = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode_outer(F.array_distinct(tokens_expr(text_col))).alias(
+                "t"
+            ),
+        )
+        .where(F.col("t").isNotNull())
+        .withColumn("h", F.xxhash64("t"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

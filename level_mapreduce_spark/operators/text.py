@@ -231,6 +231,9 @@ def doc_fingerprints(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
     )
+    # explode_outer: a plain explode's inferred size()>0 filter is
+    # pushed below the staging Project with the md5 gram chain inlined,
+    # re-hashing every document single-task at the scan
     return staged.select(
-        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
-    )
+        "doc_id", F.explode_outer(F.array_distinct(mins)).alias("fp")
+    ).where(F.col("fp").isNotNull())
