@@ -44,9 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. ``dedup_simhash``,
-    ``ann_lsh``, ``multimodal_features``, and ``events_approx_users``
-    are intentionally absent (hash-function bucketing / byte-level
-    decode / HLL internals not expressible in DuckDB SQL) → driver
-    records the rows-only check; their semantics vs the exact
-    operators are asserted in pytest."""
+    ``ann_lsh``, ``ann_ivf``, ``multimodal_features``, and
+    ``events_approx_users`` are intentionally absent (hash-function /
+    k-means bucketing, byte-level decode, HLL internals not
+    expressible in DuckDB SQL) → driver records the rows-only check;
+    their semantics vs the exact operators are asserted in pytest."""
     return dict(_q.ORACLES)

@@ -77,6 +77,20 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95/p99) of event value per
+    event_type — Spark's ``percentile`` is the same linear-interpolation
+    definition as SQL ``quantile_cont``, so results are
+    oracle-comparable bit-for-bit (unlike approx_percentile sketches).
+    At 100 TB exact percentile is a sort-based aggregate per group; for
+    firehose use swap in approx_percentile (t-digest, mergeable)."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def approx_distinct_users(events: DataFrame) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event_type — the
     approximate/sketch operator family (rows-only check: HLL estimates

@@ -166,6 +166,92 @@ def lsh_pairs_from_index(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def ivf_mapper(centroids: list[list[float]]) -> ExprMapper:
+    """Map fn emitting one (list_id, vec_id) pair — the IVF inverted
+    list as a stored map (one emit per vector; compare the multi-table
+    LSH mapper's n_tables emits)."""
+    from level_mapreduce_spark.operators.ivf import assign_expr
+
+    return ExprMapper(
+        F.array(
+            F.struct(
+                F.col("_list").cast("string").alias("index_key"),
+                F.col("vec_id").cast("long").alias("value"),
+            )
+        ),
+        value_type=T.LongType(),
+        stages={
+            "_list": assign_expr(
+                F.col("embedding").cast("array<double>"), centroids
+            )
+        },
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    store: str,
+    name: str = "ivf_lists",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[MapIndex, list[list[float]]]:
+    """Train the codebook on a sample, store assignments as a MapIndex.
+    Incremental: new vectors assign against the frozen codebook via
+    ``update()`` — standard IVF practice (codebooks are retrained
+    rarely, off the write path)."""
+    from level_mapreduce_spark.operators.ivf import train_centroids
+
+    centroids = train_centroids(
+        embeddings, n_centroids=n_centroids, seed=seed
+    )
+    idx = MapIndex(
+        spark, name, ivf_mapper(centroids), store, doc_key="vec_id"
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
+    return idx, centroids
+
+
+def ivf_topk_from_index(
+    ivf_index: MapIndex,
+    centroids: list[list[float]],
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the stored inverted lists: candidates = a pushed-down key
+    lookup on the nprobe nearest list ids, then exact cosine rerank of
+    candidates only."""
+
+    def score(c):
+        dot = sum(p * v for p, v in zip(probe, c))
+        return dot - sum(v * v for v in c) / 2.0
+
+    ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
+    wanted = [str(j) for j in ranked[: max(1, nprobe)]]
+    cand_ids = (
+        ivf_index.read()
+        .where(F.col("index_key").isin(wanted))
+        .select(F.col("value").alias("vec_id"))
+    )
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        embeddings.join(
+            F.broadcast(cand_ids),
+            embeddings["vec_id"].cast("long") == cand_ids["vec_id"],
+            "left_semi",
+        )
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_bucket_mapper(
     dim: int, n_bits: int = 6, n_tables: int = 8, seed: int = 42
 ) -> ExprMapper:

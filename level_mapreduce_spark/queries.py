@@ -445,6 +445,20 @@ def q_events_approx_users(spark, sf_dir):
     return ev.approx_distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def q_events_quantiles(spark, sf_dir):
+    return ev.value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets over (status, priority) — all 4 subtotal
+    combinations, exact decimal revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
 def q_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact (the 5th dedup family).
     Threshold tuned to the synthetic corpus' similarity range (the
@@ -472,6 +486,17 @@ def q_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
     return sim.lsh_topk(emb, probe, k=10)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: k-means assignment is not
+    SQL-expressible; recall vs brute force asserted in pytest)."""
+    from level_mapreduce_spark.operators import ivf as iv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = sim.probe_vector(emb, 0)
+    cents = iv.train_centroids(emb)
+    return iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -504,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "join_broadcast": q_join_broadcast,
     "join_large": q_join_large,
     "asof_join": q_asof_join,
@@ -513,6 +539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running": q_events_running,
     "events_sessionize": q_events_sessionize,
     "events_approx_users": q_events_approx_users,
+    "events_quantiles": q_events_quantiles,
+    "cube": q_cube,
 }
 
 
@@ -730,6 +758,18 @@ ORACLES: dict[str, str] = {
       SELECT o_orderpriority, o_orderstatus, count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "cube": """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "events_quantiles": """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.95), 6) AS p95,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type
     """,
     "set_except": """
       SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders

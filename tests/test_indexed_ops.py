@@ -54,6 +54,32 @@ def test_band_index_incremental_new_neardup(spark, store, sf_dir):
     assert base_pairs <= new_pairs
 
 
+def test_ivf_recall_and_index_equivalence(spark, store, sf_dir):
+    """IVF top-k must recover most of the brute-force top-10, the
+    probe must find itself (its own list is always probed), and the
+    index-backed probe must equal the direct assignment path."""
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+    from level_mapreduce_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = probe_vector(emb, 0)
+    cents = train_centroids(emb)
+    direct = [r["vec_id"] for r in ivf_topk(emb, probe, cents).collect()]
+    assert direct[0] == 0
+    brute = [r["vec_id"] for r in brute_topk(emb, probe, k=10).collect()]
+    assert len(set(direct) & set(brute)) >= 5, (direct, brute)
+
+    idx, cents2 = build_ivf_index(spark, emb, store)
+    via_index = [
+        r["vec_id"]
+        for r in ivf_topk_from_index(idx, cents2, emb, probe).collect()
+    ]
+    assert via_index == direct
+
+
 def test_indexed_ann_matches_brute(spark, store, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe = probe_vector(emb, 0)
