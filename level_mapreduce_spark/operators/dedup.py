@@ -261,6 +261,84 @@ def jaccard_pairs_exact(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> the actual dedup
+    decision: (doc_id, cluster, keep) where ``cluster`` is the minimum
+    doc_id reachable through near-dup edges and ``keep`` marks the
+    cluster representative. Singletons are their own cluster.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (pairs share an
+    LSH bucket), so this is 2-4 rounds in practice, capped at
+    ``max_iter`` with a driver-side convergence check (an exact
+    fixpoint, not an approximation, whenever it stops early; the
+    classic large-star/small-star variant drops the round count to
+    O(log n) for pathological chains).
+
+    Each round is one join + one aggregation on the (small) edge set —
+    the corpus itself is touched only to seed singleton labels.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .persist()
+    )
+    labels = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cluster"),
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("cluster").alias("_nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["a"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster",
+        (F.col("cluster") == F.col("doc_id")).alias("keep"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over distinct tokens — per
     bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes

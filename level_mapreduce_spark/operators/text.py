@@ -144,6 +144,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 25,
+    min_stop_ratio: float = 0.02,
+) -> DataFrame:
+    """The quality-scoring DECISION operator: per-doc keep/drop from
+    length + stopword-density gates (the standard C4/Gopher-style
+    heuristic filters, reduced to the signals this corpus supports).
+    Returns (doc_id, n_tokens, stop_ratio, keep) — narrow transform,
+    no shuffle, trivially 100 TB-parallel."""
+    docs = docs.withColumn("_toks", tokens_expr("text"))
+    toks = F.col("_toks")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = F.round(
+        _count_in(toks, STOPWORDS["en"]) / F.size(toks), 6
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            (n_tokens >= min_tokens) & (stop_ratio >= min_stop_ratio)
+        ).alias("keep"),
+    )
+
+
 def inverted_index_mapper() -> ExprMapper:
     """Map fn for the term -> document inverted index — the most
     level-mapreduce-shaped text operator: one emit per token

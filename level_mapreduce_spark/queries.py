@@ -330,12 +330,22 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs -> canonical doc per
+    cluster (the end-to-end dedup decision)."""
+    return dd.neardup_clusters(_docs(spark, sf_dir), threshold=0.7)
+
+
 def q_text_stats(spark, sf_dir):
     return tx.text_stats(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
     return tx.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark, sf_dir):
+    return tx.quality_filter(_docs(spark, sf_dir))
 
 
 def q_inverted_index(spark, sf_dir):
@@ -520,8 +530,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "quality_filter": q_quality_filter,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "doc_fingerprint": q_fingerprint,
@@ -671,6 +683,22 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_minhash": _JACCARD_PAIRS,
     "dedup_ngram": _JACCARD_PAIRS,
+    "dedup_clusters": f"""
+      WITH RECURSIVE pr AS ({_JACCARD_PAIRS}),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION ALL
+        SELECT doc_b, doc_a FROM pr
+      ),
+      reach(node, label) AS (
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+      )
+      SELECT node AS doc_id, min(label) AS cluster,
+             (min(label) = node) AS keep
+      FROM reach GROUP BY node
+    """,
     "text_stats": f"""
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -683,6 +711,14 @@ ORACLES: dict[str, str] = {
       FROM documents
     """,
     "lang_id": _lang_id_sql(),
+    "quality_filter": f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) AS stop_ratio,
+             (len({_TOKS}) >= 25 AND
+              round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) >= 0.02) AS keep
+      FROM documents
+    """,
     "inverted_index": f"""
       SELECT t AS index_key, count(*) AS n
       FROM (SELECT unnest({_TOKS}) AS t FROM documents)

@@ -65,6 +65,25 @@ def test_ann_lsh_recall(emb):
     assert overlap >= 5, (brute, approx)
 
 
+def test_neardup_clusters_chain_topology(spark):
+    """A chain 1-2-3-4 (each adjacent pair a near-dup edge) must
+    collapse to one cluster labeled by the min id — requires multiple
+    propagation rounds; 5 and 6 pair together; 7 is a singleton."""
+    from level_mapreduce_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = neardup_clusters(docs, pairs=pairs).collect()
+    cluster = {r["doc_id"]: r["cluster"] for r in rows}
+    keep = {r["doc_id"] for r in rows if r["keep"]}
+    assert cluster == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    assert keep == {1, 5, 7}
+
+
 def test_cosine_neardup_lsh_recall_on_planted_dups(spark, emb):
     """The LSH-bucketed embedding near-dup path must recover planted
     near-duplicates (clone + tiny perturbation, cos > 0.99) with full
