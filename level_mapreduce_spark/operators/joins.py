@@ -25,6 +25,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval range join as a bucketed equi-join.
+
+    The naive formulation ``points JOIN intervals ON p BETWEEN lo AND
+    hi`` is a theta-join — Spark plans it as a broadcast nested loop,
+    O(|points| × |intervals|) comparisons. At scale the standard
+    rewrite maps both sides onto integer buckets of ``bucket_width``
+    (each interval explodes to the buckets it overlaps) and equi-joins
+    on the bucket key, shuffling/broadcasting on a hashable key; the
+    exact BETWEEN predicate then filters within matched buckets only.
+    Comparisons drop to O(matches + bucket collisions).
+
+    Intervals are inclusive on both ends. Pick ``bucket_width`` near
+    the typical interval length: each interval then lands in ~2
+    buckets and each point probes exactly one.
+    """
+    p_b = points.withColumn(
+        "_bkt", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    i_b = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        p_b.join(i_b, "_bkt")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bkt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -429,6 +429,38 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (bucketed equi-join rewrite):
+    lineitem quantity binned into price-band intervals, revenue per
+    band. The interval dim is tiny and broadcast; the rewrite matters
+    when both sides are large."""
+    from level_mapreduce_spark.operators.joins import range_join_buckets
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # JVM-side dim (spark.range, not createDataFrame — local python
+    # data would serialize through one python worker per partition)
+    bands = spark.range(5).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10 + 1).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10).cast("double").alias("hi"),
+    )
+    j = range_join_buckets(
+        lineitem.select(
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice"),
+        ),
+        bands,
+        point_col="qty",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=10.0,
+    )
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+
+
 def q_rollup(spark, sf_dir):
     """Hierarchical subtotals (ROLLUP) — grouping-set aggregation over
     (priority, status) with exact decimal revenue."""
@@ -545,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_broadcast": q_join_broadcast,
     "join_large": q_join_large,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "rollup": q_rollup,
     "set_except": q_set_except,
     "events_window": q_events_window,
@@ -789,6 +822,19 @@ ORACLES: dict[str, str] = {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "range_join": """
+      WITH bands AS (
+        SELECT i AS band_id,
+               CAST(i * 10 + 1 AS DOUBLE) AS lo,
+               CAST((i + 1) * 10 AS DOUBLE) AS hi
+        FROM (SELECT unnest(range(0, 5)) AS i)
+      )
+      SELECT CAST(band_id AS INT) AS band_id, count(*) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+      FROM lineitem JOIN bands
+        ON CAST(l_quantity AS DOUBLE) BETWEEN lo AND hi
+      GROUP BY band_id
     """,
     "rollup": """
       SELECT o_orderpriority, o_orderstatus, count(*) AS n,

@@ -72,6 +72,34 @@ def test_asof_tie_break(spark):
     assert got["r_event_id"] == 202  # highest tie_break wins
 
 
+def test_range_join_bucket_rewrite(spark):
+    """Bucketed range join must equal the BETWEEN theta join, including
+    both boundary inclusivities and intervals spanning bucket edges."""
+    from level_mapreduce_spark.operators.joins import range_join_buckets
+
+    points = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("p")
+    )
+    ivs = spark.range(4).select(
+        F.col("id").alias("iv"),
+        (F.col("id") * 25 + 3).cast("double").alias("lo"),
+        (F.col("id") * 25 + 37).cast("double").alias("hi"),  # spans buckets
+    )
+    got = {
+        (r["p"], r["iv"])
+        for r in range_join_buckets(
+            points, ivs, "p", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    want = {
+        (r["p"], r["iv"])
+        for r in points.join(
+            ivs, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == want and want
+
+
 def test_asof_plan_is_single_window(spark):
     left, right = _frames(spark)
     plan = (
