@@ -491,6 +491,10 @@ def q_events_quantiles(spark, sf_dir):
     return ev.value_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_events_distinct_users(spark, sf_dir):
+    return ev.distinct_users(load_table(spark, sf_dir, "events"))
+
+
 def q_cube(spark, sf_dir):
     """CUBE grouping sets over (status, priority) — all 4 subtotal
     combinations, exact decimal revenue."""
@@ -585,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_approx_users": q_events_approx_users,
     "events_quantiles": q_events_quantiles,
+    "events_distinct_users": q_events_distinct_users,
     "cube": q_cube,
 }
 
@@ -851,6 +856,10 @@ ORACLES: dict[str, str] = {
              round(quantile_cont(value, 0.5), 6) AS p50,
              round(quantile_cont(value, 0.95), 6) AS p95,
              round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type
+    """,
+    "events_distinct_users": """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type
     """,
     "set_except": """

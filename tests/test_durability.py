@@ -106,6 +106,20 @@ def test_incremental_equals_rebuild_property(spark, tmp_path_factory, data):
     )
     state = {}
     idx = kv_index(spark, store, "hyp")
+    # a piped downstream re-keying every emit — the chained feed must
+    # converge under the same arbitrary churn (reference pipe semantics)
+    down_mapper = ExprMapper(
+        F.transform(
+            F.col("value"),
+            lambda p: F.struct(
+                F.concat(F.lit("by_"), p["index_key"]).alias("index_key"),
+                p["value"].alias("value"),
+            ),
+        ),
+        value_type=T.DoubleType(),
+    )
+    down = MapIndex(spark, "hyp_down", down_mapper, store)
+    idx.pipe(down)
     idx.build(spark.createDataFrame([], "doc_key string, k string, v double, deleted boolean, seq long"))
     # apply in chunks of up to 3 ops per epoch
     for i in range(0, len(ops), 3):
@@ -128,6 +142,10 @@ def test_incremental_equals_rebuild_property(spark, tmp_path_factory, data):
         )
     )
     assert live_rows(idx) == live_rows(rebuilt)
+    # downstream state: one ("by_x", v) emit per live doc
+    assert live_rows(down) == sorted(
+        (dk, "by_x", v) for dk, v in state.items()
+    )
 
 
 def test_update_crash_before_tombstones_recovers_on_retry(spark, store):

@@ -159,6 +159,26 @@ def test_multimodal_real_decode_is_stubbed(docs):
         extract_features(media, decode_fn="real")
 
 
+def test_hll_sketch_error_bound(spark, sf_dir):
+    """approx_count_distinct's HLL++ estimate must land within 5% of
+    the exact distinct count per event_type (default rsd is 0.05)."""
+    from level_mapreduce_spark.operators.events import (
+        approx_distinct_users,
+        distinct_users,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(events).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"] for r in distinct_users(events).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
+
+
 def test_sessionize_gap_semantics(spark):
     import datetime as dt
 
