@@ -259,14 +259,24 @@ class MapIndex:
         )
 
     def _write_segment(self, emits: DataFrame, epoch: int, mode: str) -> None:
-        (
-            emits.withColumn("epoch", F.lit(epoch).cast("int"))
-            .repartitionByRange("index_key", DOC_KEY)
-            .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
-            .write.mode(mode)
-            .partitionBy("epoch")
-            .parquet(self.segments_path)
-        )
+        # repartitionByRange runs a RangePartitioner SAMPLING job that
+        # evaluates the full upstream (the user map fn) once, and the
+        # write evaluates it again — persist the emits so the mapper
+        # runs once per build/update, not twice. MEMORY_AND_DISK: at
+        # scale a spill-read is still cheaper than re-running an
+        # expression-heavy map fn over the corpus.
+        emits = emits.persist()
+        try:
+            (
+                emits.withColumn("epoch", F.lit(epoch).cast("int"))
+                .repartitionByRange("index_key", DOC_KEY)
+                .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
+                .write.mode(mode)
+                .partitionBy("epoch")
+                .parquet(self.segments_path)
+            )
+        finally:
+            emits.unpersist()
 
     # --------------------------------------------------------------- build
 
