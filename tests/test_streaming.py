@@ -112,6 +112,64 @@ def test_stream_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
     assert got == want and want
 
 
+def test_stateful_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization over the replayed events
+    table must equal the batch window-function sessionize — per-user
+    state (last ts, session counter) carries across micro-batches."""
+    from level_mapreduce_spark.operators.events import sessionize
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.stateful import sessionize_stream
+
+    import glob
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events")
+    # three time-range files with increasing mtimes -> three in-order
+    # micro-batches, so per-user state must carry across batches
+    src = tmp_path / "ev_state_src"
+    os.makedirs(src)
+    b1, b2 = (
+        events.select(F.unix_micros("ts").alias("us"))
+        .approxQuantile("us", [0.33, 0.66], 0.0)
+    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanos-long ts
+    us = F.expr("ts div 1000")
+    splits = [
+        raw.where(us <= b1),
+        raw.where((us > b1) & (us <= b2)),
+        raw.where(us > b2),
+    ]
+    now = _time.time()
+    for i, part in enumerate(splits):
+        d = str(tmp_path / f"_split{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(pf, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = stream_table(spark, str(src), sf_dir, "events")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(events).collect()
+    }
+    assert got == want and want
+
+
 def test_stream_chained_propagation(spark, store, tmp_path):
     src = str(tmp_path / "src2")
     ckpt = str(tmp_path / "ckpt2")
