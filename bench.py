@@ -165,6 +165,14 @@ def main() -> None:
         "neardup_cosine",
         lambda: materialize(cosine_neardup_pairs(emb, threshold=0.42)),
     )
+    from level_mapreduce_spark.operators.similarity import (
+        cosine_neardup_pairs_blocked,
+    )
+
+    timed(
+        "neardup_blocked",
+        lambda: materialize(cosine_neardup_pairs_blocked(emb, threshold=0.42)),
+    )
 
     events_tbl = load_table(spark, sf_dir, "events")
 

@@ -23,6 +23,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from level_mapreduce_spark.functions import unpushable
 
@@ -160,6 +161,72 @@ def _with_norm(embeddings: DataFrame) -> DataFrame:
         F.sqrt(
             F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("_n"),
+    )
+
+
+def cosine_neardup_pairs_blocked(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact near-dup pairs via blocked matrix multiply — the
+    vectorized Arrow path for the same result as
+    :func:`cosine_neardup_pairs`.
+
+    Dense numeric kernels are the one place a Pandas UDF beats Column
+    expressions: the nested-loop pair join materializes ~1 KB of row
+    copies per pair and evaluates the dot scalar-by-scalar, while
+    ``X @ M.T`` is one BLAS call per block. Each task multiplies its
+    Arrow block of normalized rows against a broadcast of the full
+    normalized matrix and emits only above-threshold pairs.
+
+    The broadcast bounds applicability at roughly 10M×64d (~5 GB) —
+    beyond that use :func:`cosine_neardup_pairs_lsh`, which never
+    materializes all-pairs at all. Results match the expression
+    operator's pair set exactly; the 6dp ``sim`` may differ in the
+    last digit (BLAS pairwise summation vs sequential fold), so the
+    DuckDB-oracle query keeps the expression form.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    sides = _with_norm(embeddings)
+    rows = sides.select("vec_id", "_e", "_n").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["_e"] for r in rows], dtype=np.float64)
+    m /= np.array([r["_n"] for r in rows], dtype=np.float64)[:, None]
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    n_part = spark.sparkContext.defaultParallelism
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id_a", T.LongType()),
+            T.StructField("vec_id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def block(pdfs):
+        import pandas as pd
+
+        all_ids, all_m = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_e"].to_numpy()) / pdf["_n"].to_numpy()[:, None]
+            xid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            s = x @ all_m.T
+            ii, jj = np.nonzero(s >= threshold)
+            keep = xid[ii] < all_ids[jj]
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": xid[ii][keep],
+                    "vec_id_b": all_ids[jj][keep],
+                    "sim": np.round(s[ii, jj][keep], 6),
+                }
+            )
+
+    return (
+        sides.repartition(n_part, "vec_id")
+        .mapInPandas(block, schema=out_schema)
     )
 
 

@@ -514,6 +514,15 @@ def q_neardup_cosine(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, threshold=0.42)
 
 
+def q_neardup_cosine_blocked(spark, sf_dir):
+    """BLAS-blocked Arrow variant of neardup_cosine (rows-only: float
+    summation order shifts the 6dp rounding vs the sequential-fold
+    oracle; pair-set equality vs the expression operator is asserted
+    in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs_blocked(emb, threshold=0.42)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature
     extraction (deterministic fake decoder; rows-only check — byte-level
@@ -574,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "doc_fingerprint": q_fingerprint,
     "neardup_cosine": q_neardup_cosine,
+    "neardup_cosine_blocked": q_neardup_cosine_blocked,
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,

@@ -159,6 +159,28 @@ def test_multimodal_real_decode_is_stubbed(docs):
         extract_features(media, decode_fn="real")
 
 
+def test_blocked_neardup_matches_expression(spark, emb):
+    """The BLAS-blocked Arrow path must produce the same pair set as
+    the Column-expression operator (sims equal to within float
+    summation-order noise)."""
+    from level_mapreduce_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blocked,
+    )
+
+    expr = {
+        (r["vec_id_a"], r["vec_id_b"]): r["sim"]
+        for r in cosine_neardup_pairs(emb, threshold=0.42).collect()
+    }
+    blocked = {
+        (r["vec_id_a"], r["vec_id_b"]): r["sim"]
+        for r in cosine_neardup_pairs_blocked(emb, threshold=0.42).collect()
+    }
+    assert set(expr) == set(blocked) and expr
+    for k in expr:
+        assert abs(expr[k] - blocked[k]) <= 1e-5, (k, expr[k], blocked[k])
+
+
 def test_hll_sketch_error_bound(spark, sf_dir):
     """approx_count_distinct's HLL++ estimate must land within 5% of
     the exact distinct count per event_type (default rsd is 0.05)."""
