@@ -440,6 +440,7 @@ class MapIndex:
         key: str | None = None,
         sort: bool = False,
         limit: int | None = None,
+        reverse: bool = False,
     ) -> DataFrame:
         """Range / prefix / full scan (reference createReadStream,
         index.js:124-138) with the *intended* end-bound semantics
@@ -451,11 +452,12 @@ class MapIndex:
         row-group skipping over the range-partitioned layout) — the
         LevelDB iterator-seek equivalent.
 
-        ``limit`` is levelup's read-stream ``limit`` passthrough
-        (reference index.js:124-137 forwards opts verbatim): first N
-        rows in key order. With ``sort`` (implied by limit) Spark plans
-        it as distributed top-k (TakeOrderedAndProject), never a global
-        sort.
+        ``limit`` and ``reverse`` are levelup read-stream opts
+        passthroughs (reference index.js:124-137 forwards opts
+        verbatim): first/last N rows in key order. With ``sort``
+        (implied by limit) Spark plans it as distributed top-k
+        (TakeOrderedAndProject), never a global sort — for either
+        direction.
         """
         df = self.read()
         if key is not None:
@@ -466,7 +468,10 @@ class MapIndex:
             if end is not None:
                 df = df.where(F.col("index_key") < end)
         if sort or limit is not None:
-            df = df.orderBy("index_key", DOC_KEY, "emit_pos")
+            order = [F.col("index_key"), F.col(DOC_KEY), F.col("emit_pos")]
+            if reverse:
+                order = [c.desc() for c in order]
+            df = df.orderBy(*order)
         if limit is not None:
             df = df.limit(limit)
         return df

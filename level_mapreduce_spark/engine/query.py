@@ -105,11 +105,18 @@ class Query:
         self,
         fn: Callable[[str, object], object],
         value_type: T.DataType | None = None,
+        skip_on_error: bool = False,
     ) -> "Query":
         """Arbitrary Python record transform ``fn(key, value) -> value'``
         (reference Query.map closure, index.js:47-52), Arrow-batched.
         With no ``value_type`` the result is JSON-encoded to string
-        (schema-less reference values, index.js:113)."""
+        (schema-less reference values, index.js:113).
+
+        ``skip_on_error=True`` reproduces the reference pipeline's
+        drop-on-error semantics: a record whose mutation throws is
+        silently dropped rather than failing the query (index.js:34 —
+        a mutation erroring with 'skip' or anything else skips the
+        record)."""
         jsonify = value_type is None
         out_type = value_type or T.StringType()
         vcol, conv = self._vcol, self._value_converter()
@@ -125,6 +132,23 @@ class Query:
                 out = [json.dumps(v, sort_keys=True) for v in out]
             return pd.Series(out, dtype=object)
 
+        @F.pandas_udf(out_type)
+        def apply_skip(key: pd.Series, value: pd.Series) -> pd.Series:
+            out = []
+            for k, v in zip(key, conv(value)):
+                try:
+                    r = fn(k, v)
+                except Exception:
+                    out.append(None)
+                    continue
+                out.append(json.dumps(r, sort_keys=True) if jsonify else r)
+            return pd.Series(out, dtype=object)
+
+        if skip_on_error:
+            # null marks a skipped record (caveat: an fn legitimately
+            # returning None is indistinguishable and also dropped)
+            df = self._df.withColumn(vcol, apply_skip("key", vcol))
+            return self._with(df.where(F.col(vcol).isNotNull()))
         return self._with(self._df.withColumn(vcol, apply("key", vcol)))
 
     def async_map(

@@ -225,6 +225,13 @@ def q_scan_limit(spark, sf_dir):
     )
 
 
+def q_scan_reverse(spark, sf_dir):
+    """levelup reverse-iteration passthrough: last 5 in key order."""
+    return _orders_index(spark, sf_dir).scan(limit=5, reverse=True).select(
+        "index_key", "value", "doc_key"
+    )
+
+
 def q_multi_emit(spark, sf_dir):
     """Operator #3: multi-emit flatten."""
     return _multi_emit_index(spark, sf_dir).read().select("index_key", "value")
@@ -558,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_get": q_build_get,
     "range_scan": q_range_scan,
     "scan_limit": q_scan_limit,
+    "scan_reverse": q_scan_reverse,
     "multi_emit": q_multi_emit,
     "count_by_key": q_count_by_key,
     "index_count": q_index_count,
@@ -672,6 +680,13 @@ ORACLES: dict[str, str] = {
              CAST(o_orderkey AS VARCHAR) AS doc_key
       FROM orders
       ORDER BY o_orderpriority, CAST(o_orderkey AS VARCHAR)
+      LIMIT 5
+    """,
+    "scan_reverse": """
+      SELECT o_orderpriority AS index_key, o_totalprice AS value,
+             CAST(o_orderkey AS VARCHAR) AS doc_key
+      FROM orders
+      ORDER BY o_orderpriority DESC, CAST(o_orderkey AS VARCHAR) DESC
       LIMIT 5
     """,
     "multi_emit": """

@@ -57,6 +57,39 @@ def test_filter_column(spark, store):
     assert got == [("b", 3.0), ("c", 4.0)]
 
 
+def test_map_fn_skip_on_error(spark, store):
+    """Reference pipeline drop-on-error (index.js:34): a record whose
+    mutation throws is dropped, the rest flow through."""
+
+    def boom_on_b(k, v):
+        if k == "b":
+            raise ValueError("skip me")
+        return v * 10
+
+    q = (
+        scalar_index(spark, store)
+        .query()
+        .map_fn(boom_on_b, value_type=T.DoubleType(), skip_on_error=True)
+    )
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("a", 10.0), ("a", 20.0), ("c", 40.0)]
+
+
+def test_scan_reverse(spark, store):
+    """levelup reverse passthrough: last N rows in key order, planned
+    as top-k."""
+    idx = scalar_index(spark, store)
+    rows = idx.scan(sort=True, reverse=True, limit=2).collect()
+    assert [r["index_key"] for r in rows] == ["c", "b"]
+    plan = (
+        idx.scan(limit=2, reverse=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 # ------------------------------------------------------ Python record path
 
 
