@@ -363,7 +363,7 @@ class MapIndex:
         return feed
 
     def changes_feed(
-        self, keys: DataFrame, broadcast_keys: bool = True
+        self, keys: DataFrame, broadcast_keys: bool | None = None
     ) -> DataFrame:
         """(doc_key, value, deleted) for the given doc keys, from the
         stored index. Docs with no live emits surface as
@@ -373,8 +373,12 @@ class MapIndex:
         the empty array and decides; it is not a tombstone for the
         downstream index.
 
-        ``broadcast_keys=False`` for full-table feeds (build-time chain
-        propagation) where the key set is the whole corpus.
+        ``broadcast_keys``: ``None`` (default) lets AQE pick the join
+        strategy from the key set's RUNTIME size — small change
+        batches broadcast, a 10⁸-doc batch falls back to a shuffled
+        join instead of OOMing the driver (a forced hint has no such
+        guard). ``True`` forces the broadcast hint, ``False`` forbids
+        it (full-corpus feeds).
         """
         docs = self.as_documents(keys=keys, broadcast_keys=broadcast_keys)
         return keys.join(docs, DOC_KEY, "left").select(
@@ -534,11 +538,14 @@ class MapIndex:
         return downstream
 
     def as_documents(
-        self, keys: DataFrame | None = None, broadcast_keys: bool = True
+        self, keys: DataFrame | None = None, broadcast_keys: bool | None = None
     ) -> DataFrame:
         """This index's output as a documents table
         ``(doc_key, value: array<struct<index_key, value>>)`` — the
         shape piped downstream by the reference (index.js:244).
+
+        ``broadcast_keys`` as in :meth:`changes_feed` (None = AQE
+        decides from runtime size).
         """
         idx = self.read()
         if keys is not None:
