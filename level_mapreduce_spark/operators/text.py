@@ -170,6 +170,44 @@ def quality_filter(
     )
 
 
+def pack_documents(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 32
+) -> DataFrame:
+    """Token-budget sequence packing — assign each document to a pack
+    of ~``budget`` tokens (the standard LLM-training batching pre-step:
+    concatenate docs until the context budget fills).
+
+    Scalable shape: documents hash into ``n_shards`` independent
+    shards (no global order), and within a shard a running token total
+    quantizes into packs — one window per shard, so the only shuffle
+    partitions by shard and parallelism is ``n_shards`` regardless of
+    corpus size. Packs are budget-quantized (a doc may straddle two
+    quantum boundaries and starts the next pack); exact bin-packing is
+    deliberately NOT attempted — greedy quantization is deterministic,
+    single-pass, and what production packers do.
+
+    Returns (doc_id, shard, n_tokens, pack_id).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
+    )
+
+
 def inverted_index_mapper() -> ExprMapper:
     """Map fn for the term -> document inverted index — the most
     level-mapreduce-shaped text operator: one emit per token

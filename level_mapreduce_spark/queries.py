@@ -355,6 +355,10 @@ def q_quality_filter(spark, sf_dir):
     return tx.quality_filter(_docs(spark, sf_dir))
 
 
+def q_pack_documents(spark, sf_dir):
+    return tx.pack_documents(_docs(spark, sf_dir), budget=2048, n_shards=32)
+
+
 def q_inverted_index(spark, sf_dir):
     return _inverted_index(spark, sf_dir).count_by_key()
 
@@ -587,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_filter": q_quality_filter,
+    "pack_documents": q_pack_documents,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "doc_fingerprint": q_fingerprint,
@@ -780,6 +785,16 @@ ORACLES: dict[str, str] = {
              round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) AS stop_ratio,
              (len({_TOKS}) >= 25 AND
               round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) >= 0.02) AS keep
+      FROM documents
+    """,
+    "pack_documents": f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(doc_id % 32 AS INT) AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(floor((sum(len({_TOKS})) OVER (
+                PARTITION BY doc_id % 32 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - len({_TOKS})) / 2048) AS BIGINT) AS pack_id
       FROM documents
     """,
     "inverted_index": f"""
