@@ -225,6 +225,36 @@ def inverted_index_mapper() -> ExprMapper:
     )
 
 
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
+    """Corpus-wide word n-gram counts (term, n_docs, total) — the
+    n-gram extraction primitive (phrase mining / contamination checks).
+    One explode + one aggregation, shuffled on the n-gram key."""
+    staged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_expr("text").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    # every occurrence (no per-doc distinct — unlike the dedup shingles)
+    all_grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), "_"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = staged.select(
+        "doc_id", F.explode_outer(all_grams).alias("gram")
+    ).where(F.col("gram").isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total"),
+        )
+        .where(F.col("total") >= min_count)
+    )
+
+
 def term_frequencies(docs: DataFrame) -> DataFrame:
     """(term, doc_id, tf) — one shuffle on the (term, doc) key."""
     return (

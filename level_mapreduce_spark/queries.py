@@ -359,6 +359,10 @@ def q_pack_documents(spark, sf_dir):
     return tx.pack_documents(_docs(spark, sf_dir), budget=2048, n_shards=32)
 
 
+def q_ngram_counts(spark, sf_dir):
+    return tx.ngram_counts(_docs(spark, sf_dir), n=2, min_count=2)
+
+
 def q_inverted_index(spark, sf_dir):
     return _inverted_index(spark, sf_dir).count_by_key()
 
@@ -592,6 +596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_filter": q_quality_filter,
     "pack_documents": q_pack_documents,
+    "ngram_counts": q_ngram_counts,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
     "doc_fingerprint": q_fingerprint,
@@ -786,6 +791,17 @@ ORACLES: dict[str, str] = {
              (len({_TOKS}) >= 25 AND
               round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) >= 0.02) AS keep
       FROM documents
+    """,
+    "ngram_counts": f"""
+      WITH g AS (
+        SELECT doc_id, array_to_string(t[x.i : x.i + 1], '_') AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        CROSS JOIN LATERAL (
+          SELECT unnest(range(1, greatest(len(t), 1))) AS i
+        ) x
+      )
+      SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS total
+      FROM g GROUP BY gram HAVING count(*) >= 2
     """,
     "pack_documents": f"""
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
