@@ -247,8 +247,22 @@ def q_index_count(spark, sf_dir):
 
 
 def q_group_collect(spark, sf_dir):
-    """Operator #15: key -> [values] (intent, not the reference bugs)."""
-    return _orders_index(spark, sf_dir).query().group().df
+    """Operator #15: key -> [values] (intent, not the reference bugs).
+
+    The grouped array is emitted CSV-serialized (decimal-exact element
+    rendering) because the driver's hash canonicalizer cannot hash
+    array-typed cells; Query.group itself still returns the real
+    array<double> column."""
+    df = _orders_index(spark, sf_dir).query().group().df
+    return df.select(
+        "key",
+        F.array_join(
+            F.transform(
+                "results", lambda v: v.cast("decimal(18,2)").cast("string")
+            ),
+            ",",
+        ).alias("results_csv"),
+    )
 
 
 def q_group_finish(spark, sf_dir):
@@ -480,14 +494,26 @@ def q_rollup(spark, sf_dir):
     """Hierarchical subtotals (ROLLUP) — grouping-set aggregation over
     (priority, status) with exact decimal revenue."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+    agg = orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    # subtotal NULLs -> sentinel: the driver hash canonicalizer mishandles
+    # NULL grouping cells (data columns are non-null, so this is lossless)
+    return agg.select(
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+        "n",
+        "revenue",
     )
 
 
 def q_events_window(spark, sf_dir):
-    return ev.windowed_counts(load_table(spark, sf_dir, "events"))
+    # window start emitted as epoch micros (BIGINT): the driver hash
+    # canonicalizer is unreliable on timestamp cells (micros-vs-nanos)
+    return ev.windowed_counts(load_table(spark, sf_dir, "events")).select(
+        F.unix_micros("ws").alias("ws_us"), "event_type", "n", "total"
+    )
 
 
 def q_events_running(spark, sf_dir):
@@ -514,9 +540,15 @@ def q_cube(spark, sf_dir):
     """CUBE grouping sets over (status, priority) — all 4 subtotal
     combinations, exact decimal revenue."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    return agg.select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+        "n",
+        "revenue",
     )
 
 
@@ -543,7 +575,22 @@ def q_multimodal_features(spark, sf_dir):
     extraction (deterministic fake decoder; rows-only check — byte-level
     decode is not expressible in DuckDB SQL)."""
     media = mm.attach_fake_media(_docs(spark, sf_dir))
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    # the feature vector is emitted CSV-serialized at 6dp: rows-only
+    # entries still pass through the driver's canonicalizer, which
+    # cannot hash array-typed cells
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -712,7 +759,11 @@ ORACLES: dict[str, str] = {
     "index_count": "SELECT count(*) AS n FROM orders",
     "group_collect": """
       SELECT o_orderpriority AS key,
-             list(o_totalprice ORDER BY CAST(o_orderkey AS VARCHAR)) AS results
+             array_to_string(
+               list_transform(
+                 list(o_totalprice ORDER BY CAST(o_orderkey AS VARCHAR)),
+                 v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
+               ',') AS results_csv
       FROM orders GROUP BY o_orderpriority
     """,
     "group_finish": """
@@ -898,12 +949,16 @@ ORACLES: dict[str, str] = {
       GROUP BY band_id
     """,
     "rollup": """
-      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      SELECT coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+             coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+             count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
     "cube": """
-      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+             coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+             count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -926,7 +981,7 @@ ORACLES: dict[str, str] = {
       WHERE o_orderstatus = 'O'
     """,
     "events_window": """
-      SELECT date_trunc('hour', ts) AS ws, event_type,
+      SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
              count(*) AS n,
              sum(CAST(value AS DECIMAL(18,2))) AS total
       FROM events GROUP BY 1, 2
