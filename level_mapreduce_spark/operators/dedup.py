@@ -168,11 +168,11 @@ def minhash_lsh_pairs(
         .withColumn("_sig", minhash_from_hashes(F.col("_shh")))
         .persist()
     )
-    buckets = staged.select(
+    bucket_index = staged.select(
         "doc_id", F.explode(band_keys(F.col("_sig"), rows_per_band)).alias("bkey")
     ).persist()
-    sizes = buckets.groupBy("bkey").agg(F.count("*").alias("_n"))
-    buckets = buckets.join(
+    sizes = bucket_index.groupBy("bkey").agg(F.count("*").alias("_n"))
+    buckets = bucket_index.join(
         sizes.where(F.col("_n") <= max_bucket), "bkey", "inner"
     )
     cands = (
@@ -212,7 +212,16 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    # Materialize the (duplicate-density-bounded) pair set eagerly,
+    # then release the two corpus-sized staging caches — otherwise
+    # repeated operator calls in one session accumulate cached blocks
+    # until executor storage evicts them. The small persisted result
+    # keeps downstream consumers (clustering iterations) cheap.
+    out = verified.select("doc_a", "doc_b", "jaccard").persist()
+    out.count()
+    staged.unpersist()
+    bucket_index.unpersist()
+    return out
 
 
 def jaccard_pairs_exact(
@@ -331,12 +340,18 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    # localCheckpoint (eager) pins the narrow final labeling as RDD
+    # blocks — cleaned by ContextCleaner when the DataFrame is GC'd,
+    # unlike a .persist() entry which leaks in the CacheManager — and
+    # lets the loop's cache be released immediately.
+    result = labels.select(
         "doc_id",
         "cluster",
         (F.col("cluster") == F.col("doc_id")).alias("keep"),
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -340,7 +340,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    """rows_per_band=1 (16 bands): P(miss | jaccard>=0.7) <= 0.3^16
+    ~ 4e-9, so the LSH candidate set is effectively exhaustive above
+    threshold and safely hash-checkable against the exact-Jaccard
+    oracle on any corpus. The scale default (rows_per_band=2) trades
+    ~0.5% recall at j=0.7 for far fewer candidates — recall-tested in
+    pytest, not oracle-gated."""
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.7, rows_per_band=1
+    )
 
 
 def q_dedup_ngram(spark, sf_dir):
@@ -353,8 +361,12 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs -> canonical doc per
-    cluster (the end-to-end dedup decision)."""
-    return dd.neardup_clusters(_docs(spark, sf_dir), threshold=0.7)
+    cluster (the end-to-end dedup decision). Edges come from the
+    rows_per_band=1 LSH (see q_dedup_minhash) so the pair set matches
+    the exact-Jaccard recursive-CTE oracle deterministically."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.7, rows_per_band=1)
+    return dd.neardup_clusters(docs, pairs=pairs)
 
 
 def q_text_stats(spark, sf_dir):
