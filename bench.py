@@ -154,7 +154,6 @@ def main() -> None:
 
     from level_mapreduce_spark.operators.indexed import build_band_index
     from level_mapreduce_spark.operators.joins import asof_join
-    from level_mapreduce_spark.operators.similarity import cosine_neardup_pairs
 
     band_idx = {}
 
@@ -173,14 +172,26 @@ def main() -> None:
         band_idx["idx"].update(churn_docs, assume_unique=True)
 
     timed("band_index_update_1pct", band_update, repeat=1)
-    timed(
-        "neardup_cosine",
-        lambda: materialize(cosine_neardup_pairs(emb, threshold=0.42)),
-    )
+    # embedding near-dup headlines are the two SCALE paths (LSH-bucketed
+    # and blocked-BLAS); the exact O(n²) pair join stays out of the bench
+    # — it is the sf0.01 correctness oracle twin, not a 100 TB plan
     from level_mapreduce_spark.operators.similarity import (
         cosine_neardup_pairs_blocked,
+        cosine_neardup_pairs_lsh,
     )
 
+    # LSH runs in its design regime: 10% planted exact duplicates,
+    # detected at threshold 0.95 (sign-LSH recall collapses at the
+    # low thresholds the exact twin demos; near-dup proper is >=0.9)
+    emb_aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+    )
+    timed(
+        "neardup_lsh",
+        lambda: materialize(cosine_neardup_pairs_lsh(emb_aug, threshold=0.95)),
+    )
     timed(
         "neardup_blocked",
         lambda: materialize(cosine_neardup_pairs_blocked(emb, threshold=0.42)),

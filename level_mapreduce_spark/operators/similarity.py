@@ -164,8 +164,44 @@ def _with_norm(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: process-global cache of reference matrices loaded executor-side,
+#: keyed by parquet path (each operator call writes a fresh unique dir,
+#: so a path never maps to two different corpora)
+_MATRIX_CACHE: dict[str, tuple] = {}
+
+
+def _load_matrix(path: str):
+    got = _MATRIX_CACHE.get(path)
+    if got is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "_u"])
+        ids = t.column("vec_id").to_numpy()
+        col = t.column("_u").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        got = (
+            np.asarray(ids, dtype=np.int64),
+            np.asarray(flat, dtype=np.float64).reshape(len(col), -1),
+        )
+        _MATRIX_CACHE[path] = got
+    return got
+
+
+def _round_half_up(v, decimals: int = 6):
+    """HALF_UP rounding matching Spark's ``F.round`` (np.round is
+    banker's half-even and disagrees at exact .5 ties)."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+
+
 def cosine_neardup_pairs_blocked(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    max_rows: int = 2_000_000,
+    matrix_dir: str | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiply — the
     vectorized Arrow path for the same result as
@@ -174,26 +210,39 @@ def cosine_neardup_pairs_blocked(
     Dense numeric kernels are the one place a Pandas UDF beats Column
     expressions: the nested-loop pair join materializes ~1 KB of row
     copies per pair and evaluates the dot scalar-by-scalar, while
-    ``X @ M.T`` is one BLAS call per block. Each task multiplies its
-    Arrow block of normalized rows against a broadcast of the full
-    normalized matrix and emits only above-threshold pairs.
+    ``X @ M.T`` is one BLAS call per block.
 
-    The broadcast bounds applicability at roughly 10M×64d (~5 GB) —
-    beyond that use :func:`cosine_neardup_pairs_lsh`, which never
-    materializes all-pairs at all. Results match the expression
-    operator's pair set exactly; the 6dp ``sim`` may differ in the
-    last digit (BLAS pairwise summation vs sequential fold), so the
-    DuckDB-oracle query keeps the expression form.
+    The reference matrix is staged WITHOUT driver materialization:
+    the L2-normalized corpus is written distributed to parquet
+    (``matrix_dir`` — pass a shared-filesystem path on a real
+    cluster; defaults to a local temp dir) and each Python worker
+    reads it once, cached process-globally. Executor memory for the
+    dense matrix — not driver memory — is the real bound, enforced by
+    ``max_rows`` (default 2M×64d ≈ 1 GB); beyond it this raises toward
+    :func:`cosine_neardup_pairs_lsh`, which never goes dense at all.
+
+    Pair set matches the expression operator exactly; the 6dp ``sim``
+    may differ in the last digit (BLAS pairwise summation vs
+    sequential fold), so the DuckDB-oracle query keeps the expression
+    form.
     """
-    import numpy as np
+    import tempfile
 
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"corpus has {n} rows > max_rows={max_rows}: the dense "
+            "reference matrix would not fit executor memory — use "
+            "cosine_neardup_pairs_lsh (bucketed, never dense) instead"
+        )
     sides = _with_norm(embeddings)
-    rows = sides.select("vec_id", "_e", "_n").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["_e"] for r in rows], dtype=np.float64)
-    m /= np.array([r["_n"] for r in rows], dtype=np.float64)[:, None]
-    bc = spark.sparkContext.broadcast((ids, m))
+    normalized = sides.select(
+        "vec_id",
+        F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+    )
+    path = tempfile.mkdtemp(prefix="lmr_blocked_", dir=matrix_dir)
+    normalized.write.mode("overwrite").parquet(path)
 
     n_part = spark.sparkContext.defaultParallelism
     out_schema = T.StructType(
@@ -205,13 +254,14 @@ def cosine_neardup_pairs_blocked(
     )
 
     def block(pdfs):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_m = bc.value
+        all_ids, all_m = _load_matrix(path)
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["_e"].to_numpy()) / pdf["_n"].to_numpy()[:, None]
+            x = np.stack(pdf["_u"].to_numpy())
             xid = pdf["vec_id"].to_numpy(dtype=np.int64)
             s = x @ all_m.T
             ii, jj = np.nonzero(s >= threshold)
@@ -220,13 +270,13 @@ def cosine_neardup_pairs_blocked(
                 {
                     "vec_id_a": xid[ii][keep],
                     "vec_id_b": all_ids[jj][keep],
-                    "sim": np.round(s[ii, jj][keep], 6),
+                    "sim": _round_half_up(s[ii, jj][keep]),
                 }
             )
 
-    return (
-        sides.repartition(n_part, "vec_id")
-        .mapInPandas(block, schema=out_schema)
+    stream = spark.read.parquet(path)
+    return stream.repartition(n_part, "vec_id").mapInPandas(
+        block, schema=out_schema
     )
 
 

@@ -182,6 +182,40 @@ def _chained_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     return _cached(spark, sf_dir, "chain_b", build)
 
 
+def _kv_export_index(spark: SparkSession, sf_dir: str) -> MapIndex:
+    """North-star ingestion bridge: orders -> JSONL KV dump
+    ({key, value, deleted, seq}, the reference input contract as a
+    bulk export, index.js:173-180) -> change feed -> build()."""
+
+    def build():
+        import tempfile as _tf
+
+        from level_mapreduce_spark.sources.kv_export import (
+            read_kv_export,
+            write_kv_export,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        dump = _tf.mkdtemp(prefix="lmr_kvdump_")
+        write_kv_export(
+            orders, dump, key_col="o_orderkey", seq_col="o_orderkey"
+        )
+        schema = T.StructType(
+            [f for f in orders.schema.fields if f.name != "o_orderkey"]
+        )
+        feed = read_kv_export(spark, dump, value_schema=schema)
+        idx = MapIndex(
+            spark,
+            f"orders_kv_{abs(hash(sf_dir)) % 10**8}",
+            _orders_mapper(),
+            _store(),
+        )
+        idx.build(feed, assume_unique=True)
+        return idx
+
+    return _cached(spark, sf_dir, "orders_kv", build)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -315,6 +349,12 @@ def q_query_filter_fn(spark, sf_dir):
     """Operator #14, arbitrary-Python predicate."""
     q = _orders_index(spark, sf_dir).query().filter_fn(lambda k, v: v < 50000.0)
     return q.df.select("key", "value")
+
+
+def q_kv_export_build(spark, sf_dir):
+    """Bulk-export ingestion: the same point lookup as build_get, but
+    the index was built from a JSONL KV dump round-trip."""
+    return _kv_export_index(spark, sf_dir).get_df("1-URGENT")
 
 
 def q_tombstone(spark, sf_dir):
@@ -582,6 +622,23 @@ def q_neardup_cosine_blocked(spark, sf_dir):
     return sim.cosine_neardup_pairs_blocked(emb, threshold=0.42)
 
 
+def q_neardup_cosine_lsh(spark, sf_dir):
+    """Sign-LSH bucketed embedding near-dup — the 100 TB path — run in
+    its design regime: every 10th vector is planted as an exact
+    duplicate (vec_id + 10M) and the operator detects them at
+    threshold 0.95. Identical vectors share every LSH bucket, so
+    recall is deterministically 1.0 and the result hash-checks against
+    the exact all-pairs oracle (the corpus' max natural sim is ~0.6,
+    well under threshold — no probabilistic pairs in range)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    return sim.cosine_neardup_pairs_lsh(
+        emb.unionByName(copies), threshold=0.95
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature
     extraction (deterministic fake decoder; rows-only check — byte-level
@@ -643,6 +700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_map_fn": q_query_map_fn,
     "query_async_map": q_query_async_map,
     "query_filter_fn": q_query_filter_fn,
+    "kv_export_build": q_kv_export_build,
     "tombstone": q_tombstone,
     "overwrite": q_overwrite,
     "chained_index": q_chained,
@@ -661,6 +719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "neardup_cosine": q_neardup_cosine,
     "neardup_cosine_blocked": q_neardup_cosine_blocked,
+    "neardup_cosine_lsh": q_neardup_cosine_lsh,
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -736,6 +795,10 @@ def _lang_id_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "build_get": """
+      SELECT o_totalprice AS value FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    """,
+    "kv_export_build": """
       SELECT o_totalprice AS value FROM orders
       WHERE o_orderpriority = '1-URGENT'
     """,
@@ -906,6 +969,20 @@ ORACLES: dict[str, str] = {
                                 j -> list_min(g[j : j + 3])))) AS fp
         FROM grams
       )
+    """,
+    "neardup_cosine_lsh": """
+      WITH aug AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + 10000000 AS BIGINT), embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+      )
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
     """,
     "neardup_cosine": """
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
