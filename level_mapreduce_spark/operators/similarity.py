@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.functions import unpushable
+from level_mapreduce_spark.functions import pin_array_arg, unpushable
 
 
 def _as_double_array(col: Column) -> Column:
@@ -280,35 +280,157 @@ def cosine_neardup_pairs_blocked(
     )
 
 
+def bucket_ids_expr(
+    vec: Column, dim: int, n_bits: int, n_tables: int, seed: int
+) -> Column:
+    """Array of ``n_tables`` sign-LSH bucket ids for one vector.
+
+    The hyperplanes are ±1 vectors whose signs derive IN-EXPRESSION
+    from ``xxhash64(plane_idx, dim_idx, seed)`` — no literal plane
+    matrix at all. Shipping planes as literals costs seconds per
+    query (48 planes × 64 dims ≈ 3000 py4j Column calls building the
+    tree, then Catalyst parse/codegen over the giant literal array —
+    the round-3 "giant literal tree" trap); the hash form is a
+    ~30-node tree that plans instantly and evaluates JVM-side. Signs
+    are deterministic in (plane, dim, seed), so every row — and the
+    driver's probe twin, computed through this same expression on a
+    one-row DataFrame — sees identical planes.
+
+    Bucket id folds bits MSB-first: ``id = sum bit_j << (n_bits-1-j)``.
+    """
+    return _fold_bucket_ids(
+        _plane_dots_expr(vec, dim, n_tables * n_bits, seed), n_bits, n_tables
+    )
+
+
+def _plane_dots_expr(
+    vec: Column, dim: int, n_planes: int, seed: int
+) -> Column:
+    """array<double> of the vector's dot products against all
+    ``n_planes`` hash-derived ±1 hyperplanes."""
+    vec = _as_double_array(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: F.when(
+                    F.pmod(F.xxhash64(p, d, F.lit(seed)), F.lit(2)) == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _fold_bucket_ids(dots: Column, n_bits: int, n_tables: int) -> Column:
+    """array<long> of per-table bucket ids from the flat dot array.
+    NB: ``dots`` re-evaluates once per table here — pass a staged
+    COLUMN (see :func:`with_bucket_keys`) on corpus-sized inputs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.slice(dots, t * n_bits + 1, F.lit(n_bits)),
+            F.lit(0).cast("long"),
+            lambda acc, dp: acc * 2
+            + F.when(dp > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+
+
+def with_bucket_keys(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+    out_col: str = "_bkeys",
+) -> DataFrame:
+    """Adds ``out_col``: array of ``'t:bucket'`` sign-LSH keys. The
+    expensive plane-dot array is staged as a real column (pinned
+    against CollapseProject) so the per-table id fold reads the row
+    buffer instead of re-running every dot once per table."""
+    dots = _plane_dots_expr(F.col(vec_col), dim, n_tables * n_bits, seed)
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.concat_ws(
+            ":",
+            t.cast("string"),
+            F.element_at(F.col("_lsh_ids"), t + 1).cast("string"),
+        ),
+    )
+    return (
+        df.withColumn(
+            "_lsh_dots", pin_array_arg(_as_double_array(F.col(vec_col)), dots)
+        )
+        .withColumn(
+            "_lsh_ids",
+            pin_array_arg(
+                F.col("_lsh_dots"),
+                _fold_bucket_ids(F.col("_lsh_dots"), n_bits, n_tables),
+            ),
+        )
+        .withColumn(out_col, pin_array_arg(F.col("_lsh_ids"), keys))
+        .drop("_lsh_dots", "_lsh_ids")
+    )
+
+
+def probe_bucket_ids(
+    spark, probe: list[float], n_bits: int, n_tables: int, seed: int
+) -> list[int]:
+    """The probe's per-table bucket ids, computed through the SAME
+    expression as the corpus (one-row Spark job) — consistent by
+    construction, no Python reimplementation of xxhash64."""
+    row = spark.range(1).select(
+        bucket_ids_expr(
+            F.array(*[F.lit(float(x)) for x in probe]),
+            len(probe),
+            n_bits,
+            n_tables,
+            seed,
+        ).alias("ids")
+    ).head()
+    return [int(b) for b in row["ids"]]
+
+
 def cosine_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 6,
+    n_bits: int = 16,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates = pairs sharing a
     sign-LSH bucket in ANY of ``n_tables`` hyperplane tables (the same
     bucket key a MapIndex stores — see operators.indexed), verified
-    with the exact dot product. Near-dup pairs are angularly tight, so
-    P(same bucket per table) = 1 - theta/pi per bit; at theta <= 18°
-    (cos 0.95) and 6 bits, 8 tables give ~99.9% recall.
+    with the exact dot product.
 
-    Candidate volume scales with bucket co-occupancy, never O(n²)."""
+    Knobs: P(same bucket per table) = (1 - theta/pi)^n_bits, overall
+    recall = 1-(1-p1)^n_tables. 16 bits / 8 tables → recall 1.0 for
+    exact dups (theta=0, always same bucket), ~99.5% at cos 0.99,
+    ~80% at cos 0.95 (raise n_tables to ~24 for 99% there). More bits
+    = fewer random bucket collisions: 2^16 buckets keep candidate
+    volume ~n²/2^16 per table + true-dup density, vs n²/64 at 6 bits
+    — bits should grow with log2(corpus) so occupancy stays constant.
+
+    The candidate dedup shuffles (vec_id_a, vec_id_b) ONLY — vectors
+    are fetched back by a join after the distinct, so the wide rows
+    (128 doubles/pair) never ride the dedup shuffle."""
     dim = len(embeddings.select("embedding").head()[0])
-    sides = _with_norm(embeddings)
-    tables = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
-        tables.append(
-            F.concat_ws(
-                ":",
-                F.lit(str(t)),
-                bucket_expr(F.col("_e"), planes).cast("string"),
-            )
-        )
-    buckets = sides.select(
-        "vec_id", "_e", "_n", F.explode(F.array(*tables)).alias("bkey")
+    # explicit count: a single parquet file scans as ONE partition and
+    # the plane-dot stage is compute-bound on tiny bytes (AQE would
+    # coalesce a plain repartition back down by byte size)
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    sides = _with_norm(embeddings.repartition(n_part, "vec_id"))
+    buckets = (
+        with_bucket_keys(sides, "_e", dim, n_bits, n_tables, seed)
+        .select("vec_id", F.explode_outer("_bkeys").alias("bkey"))
+        .where(F.col("bkey").isNotNull())
     )
     cands = (
         buckets.alias("x")
@@ -317,20 +439,33 @@ def cosine_neardup_pairs_lsh(
         .select(
             F.col("x.vec_id").alias("vec_id_a"),
             F.col("y.vec_id").alias("vec_id_b"),
-            F.col("x._e").alias("_ea"),
-            F.col("x._n").alias("_na"),
-            F.col("y._e").alias("_eb"),
-            F.col("y._n").alias("_nb"),
         )
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .distinct()
     )
     dot = _dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
     return (
-        cands.select(
+        cands.join(
+            sides.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("_e").alias("_ea"),
+                F.col("_n").alias("_na"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            sides.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("_e").alias("_eb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "vec_id_b",
+        )
+        .select(
             "vec_id_a",
             "vec_id_b",
             F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("sim"),
-        ).where(unpushable(F.col("sim") >= threshold))
+        )
+        .where(unpushable(F.col("sim") >= threshold))
     )
 
 
@@ -354,18 +489,26 @@ def lsh_topk(
     """
     dim = len(probe)
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
-    hit = F.lit(False)
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_bits=n_bits, seed=seed + 1000 * t)
-        # probe bucket computed driver-side (tiny, pure python)
-        pb = 0
-        for j, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(probe, plane)) > 0:
-                pb |= 1 << j
-        wanted = [pb] + [pb ^ (1 << j) for j in range(n_bits)]
-        hit = hit | bucket_expr(F.col("embedding"), planes).isin(wanted)
+    # probe buckets via a one-row job through the corpus expression;
+    # one wanted-key list covers all tables + hamming-1 multiprobe,
+    # matched with arrays_overlap
+    ids = probe_bucket_ids(
+        embeddings.sparkSession, probe, n_bits, n_tables, seed
+    )
+    wanted = []
+    for t, pb in enumerate(ids):
+        for w in [pb] + [pb ^ (1 << j) for j in range(n_bits)]:
+            wanted.append(f"{t}:{w}")
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    keyed = with_bucket_keys(
+        embeddings.repartition(n_part, "vec_id"),
+        "embedding", dim, n_bits, n_tables, seed,
+    )
     return (
-        embeddings.where(hit)
+        # unpushable: pushed below the Projects, this filter would be
+        # rewritten with _bkeys' FULL definition — dots re-run per
+        # table, unstaged, at the scan — and evaluated there
+        keyed.where(unpushable(F.arrays_overlap(F.col("_bkeys"), F.lit(wanted))))
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
