@@ -155,9 +155,14 @@ class Query:
         self,
         fn: Callable[[str, object], Awaitable[object]],
         value_type: T.DataType | None = None,
+        skip_on_error: bool = False,
     ) -> "Query":
         """Async record transform (reference Query.asyncMap,
-        index.js:53-56) — whole Arrow batches awaited concurrently."""
+        index.js:53-56) — whole Arrow batches awaited concurrently.
+
+        ``skip_on_error=True``: a record whose coroutine raises is
+        dropped instead of failing the query (reference drop-on-error,
+        index.js:34; same None-ambiguity caveat as ``map_fn``)."""
         jsonify = value_type is None
         out_type = value_type or T.StringType()
         vcol, conv = self._vcol, self._value_converter()
@@ -168,15 +173,26 @@ class Query:
 
             async def run_all():
                 return await asyncio.gather(
-                    *[fn(k, v) for k, v in zip(key, conv(value))]
+                    *[fn(k, v) for k, v in zip(key, conv(value))],
+                    return_exceptions=skip_on_error,
                 )
 
             out = asyncio.run(run_all())
-            if jsonify:
+            if skip_on_error:
+                out = [
+                    None
+                    if isinstance(v, BaseException) or v is None
+                    else (json.dumps(v, sort_keys=True) if jsonify else v)
+                    for v in out
+                ]
+            elif jsonify:
                 out = [json.dumps(v, sort_keys=True) for v in out]
             return pd.Series(out, dtype=object)
 
-        return self._with(self._df.withColumn(vcol, apply("key", vcol)))
+        df = self._df.withColumn(vcol, apply("key", vcol))
+        if skip_on_error:
+            df = df.where(F.col(vcol).isNotNull())
+        return self._with(df)
 
     # -------------------------------------------------------------- filter
 
@@ -185,12 +201,29 @@ class Query:
         Query.filter drop-on-'skip', index.js:57-63)."""
         return self._with(self._df.where(predicate))
 
-    def filter_fn(self, fn: Callable[[str, object], bool]) -> "Query":
+    def filter_fn(
+        self,
+        fn: Callable[[str, object], bool],
+        skip_on_error: bool = False,
+    ) -> "Query":
+        """``skip_on_error=True``: a record whose predicate raises is
+        dropped — an erroring mutation skips the record (index.js:34) —
+        instead of failing the query."""
         vcol, conv = self._vcol, self._value_converter()
+
+        def _keep_one(k, v):
+            if skip_on_error:
+                try:
+                    return bool(fn(k, v))
+                except Exception:
+                    return False
+            return bool(fn(k, v))
 
         @F.pandas_udf(T.BooleanType())
         def keep(key: pd.Series, value: pd.Series) -> pd.Series:
-            return pd.Series([bool(fn(k, v)) for k, v in zip(key, conv(value))])
+            return pd.Series(
+                [_keep_one(k, v) for k, v in zip(key, conv(value))]
+            )
 
         return self._with(self._df.where(keep("key", vcol)))
 

@@ -75,6 +75,42 @@ def test_map_fn_skip_on_error(spark, store):
     assert got == [("a", 10.0), ("a", 20.0), ("c", 40.0)]
 
 
+def test_filter_fn_skip_on_error(spark, store):
+    """A throwing predicate drops the record (an erroring mutation
+    skips, index.js:34) instead of failing the query."""
+
+    def pred(k, v):
+        if k == "b":
+            raise ValueError("skip me")
+        return v < 3.5
+
+    q = (
+        scalar_index(spark, store)
+        .query()
+        .filter_fn(pred, skip_on_error=True)
+    )
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("a", 1.0), ("a", 2.0)]
+
+
+def test_async_map_skip_on_error(spark, store):
+    """A coroutine that raises drops its record (index.js:34); the
+    rest of the Arrow batch still completes."""
+
+    async def boom_on_b(k, v):
+        if k == "b":
+            raise ValueError("skip me")
+        return v * 10
+
+    q = (
+        scalar_index(spark, store)
+        .query()
+        .async_map(boom_on_b, value_type=T.DoubleType(), skip_on_error=True)
+    )
+    got = sorted((r["key"], r["value"]) for r in q.end())
+    assert got == [("a", 10.0), ("a", 20.0), ("c", 40.0)]
+
+
 def test_scan_reverse(spark, store):
     """levelup reverse passthrough: last N rows in key order, planned
     as top-k."""
