@@ -13,10 +13,10 @@ Index materialization notes:
 - Indexes build in a per-process temp store and are cached per
   ``(sf_dir, name)`` so a driver session running all queries builds
   each index once.
-- Every index build here uses :class:`ExprMapper` — fully JVM-side
-  Column expressions, no Python in the write hot path (the 100 TB
-  rule; PythonMapper/AsyncPythonMapper stay covered by the Query
-  record-path operators and pytest).
+- Index builds use :class:`ExprMapper` — fully JVM-side Column
+  expressions, no Python in the write hot path (the 100 TB rule) —
+  except the two ``build_*_mapper`` entries that deliberately pin the
+  Arrow PythonMapper/AsyncPythonMapper write paths in the hard gate.
 """
 
 from __future__ import annotations
@@ -355,6 +355,57 @@ def q_kv_export_build(spark, sf_dir):
     """Bulk-export ingestion: the same point lookup as build_get, but
     the index was built from a JSONL KV dump round-trip."""
     return _kv_export_index(spark, sf_dir).get_df("1-URGENT")
+
+
+def _prio_map_fn(doc: dict):
+    """Module-level so Spark Python workers import it by name."""
+    return [(doc["o_orderpriority"], doc["o_totalprice"])]
+
+
+async def _status_map_fn(doc: dict):
+    return [(doc["o_orderstatus"], doc["o_totalprice"])]
+
+
+def q_build_python_mapper(spark, sf_dir):
+    """Operator #1-2 through the arbitrary-Python write path: the
+    orders index materialized via :class:`PythonMapper` (Arrow-batched
+    ``mapInPandas``, reference sync map contract index.js:214). Pins
+    the pandas-UDF build path in the hard gate — it regressed silently
+    in round 2 when only pytest covered it."""
+    from level_mapreduce_spark.engine.mapper import PythonMapper
+
+    def build():
+        idx = MapIndex(
+            spark,
+            f"orders_pymap_{abs(hash(sf_dir)) % 10**8}",
+            PythonMapper(_prio_map_fn, value_type=T.DoubleType()),
+            _store(),
+            doc_key="o_orderkey",
+        )
+        idx.build(load_table(spark, sf_dir, "orders"), assume_unique=True)
+        return idx
+
+    return _cached(spark, sf_dir, "orders_pymap", build).get_df("1-URGENT")
+
+
+def q_build_async_mapper(spark, sf_dir):
+    """Same via :class:`AsyncPythonMapper` (reference AsyncIndex,
+    index.js:268-276): one event loop per Arrow batch, keyed by
+    o_orderstatus to distinguish its output from the sync twin."""
+    from level_mapreduce_spark.engine.mapper import AsyncPythonMapper
+
+    def build():
+        idx = MapIndex(
+            spark,
+            f"orders_apymap_{abs(hash(sf_dir)) % 10**8}",
+            AsyncPythonMapper(_status_map_fn, value_type=T.DoubleType()),
+            _store(),
+            doc_key="o_orderkey",
+        )
+        idx.build(load_table(spark, sf_dir, "orders"), assume_unique=True)
+        return idx
+
+    return _cached(spark, sf_dir, "orders_apymap", build).get_df("F")
 
 
 def q_tombstone(spark, sf_dir):
@@ -701,6 +752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_async_map": q_query_async_map,
     "query_filter_fn": q_query_filter_fn,
     "kv_export_build": q_kv_export_build,
+    "build_python_mapper": q_build_python_mapper,
+    "build_async_mapper": q_build_async_mapper,
     "tombstone": q_tombstone,
     "overwrite": q_overwrite,
     "chained_index": q_chained,
@@ -801,6 +854,14 @@ ORACLES: dict[str, str] = {
     "kv_export_build": """
       SELECT o_totalprice AS value FROM orders
       WHERE o_orderpriority = '1-URGENT'
+    """,
+    "build_python_mapper": """
+      SELECT o_totalprice AS value FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    """,
+    "build_async_mapper": """
+      SELECT o_totalprice AS value FROM orders
+      WHERE o_orderstatus = 'F'
     """,
     "range_scan": """
       SELECT o_orderpriority AS index_key, o_totalprice AS value
