@@ -508,13 +508,19 @@ class MapIndex:
         index, so the meta index is a filtered projection (SURVEY §1.1).
         Emit order = ``emit_pos``, matching the meta array order."""
         rows = (
-            self.read()
-            .where(F.col(DOC_KEY) == doc_key)
-            .orderBy("emit_pos")
-            .select("index_key")
-            .collect()
+            self.get_meta_df(doc_key).orderBy("emit_pos").collect()
         )
         return [r["index_key"] for r in rows]
+
+    def get_meta_df(self, doc_key: str) -> DataFrame:
+        """DataFrame form of :meth:`get_meta`: ``(emit_pos,
+        index_key)`` for one document — a pushed-down point lookup on
+        the ``doc_key`` column, no collect."""
+        return (
+            self.read()
+            .where(F.col(DOC_KEY) == doc_key)
+            .select("emit_pos", "index_key")
+        )
 
     def count_by_key(self) -> DataFrame:
         return self.read().groupBy("index_key").agg(

@@ -408,6 +408,13 @@ def q_build_async_mapper(spark, sf_dir):
     return _cached(spark, sf_dir, "orders_apymap", build).get_df("F")
 
 
+def q_get_meta(spark, sf_dir):
+    """getMeta reverse lookup (index.js:255-263): the keys one
+    document currently emits, over the multi-emit index so the meta
+    array has two entries."""
+    return _multi_emit_index(spark, sf_dir).get_meta_df("1")
+
+
 def q_tombstone(spark, sf_dir):
     """Operator #4: tombstone delete."""
     return _tombstone_index(spark, sf_dir).read().select("index_key", "value")
@@ -754,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_export_build": q_kv_export_build,
     "build_python_mapper": q_build_python_mapper,
     "build_async_mapper": q_build_async_mapper,
+    "get_meta": q_get_meta,
     "tombstone": q_tombstone,
     "overwrite": q_overwrite,
     "chained_index": q_chained,
@@ -862,6 +870,13 @@ ORACLES: dict[str, str] = {
     "build_async_mapper": """
       SELECT o_totalprice AS value FROM orders
       WHERE o_orderstatus = 'F'
+    """,
+    "get_meta": """
+      SELECT 0 AS emit_pos, o_orderpriority || '|P' AS index_key
+      FROM orders WHERE o_orderkey = 1
+      UNION ALL
+      SELECT 1 AS emit_pos, 'S|' || o_orderstatus AS index_key
+      FROM orders WHERE o_orderkey = 1
     """,
     "range_scan": """
       SELECT o_orderpriority AS index_key, o_totalprice AS value
