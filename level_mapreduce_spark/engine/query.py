@@ -229,6 +229,37 @@ class Query:
 
     # --------------------------------------------------------------- group
 
+    # Array finishers that are order-insensitive aggregates in
+    # disguise: planned as direct (map-side partial) aggregation, so
+    # the per-key value array is never materialized. size() yields int
+    # while count() yields bigint — cast keeps the schema identical to
+    # the collect_list plan it replaces.
+    _AGG_FINISHERS = {
+        "array_min": F.min,
+        "array_max": F.max,
+        "size": lambda c: F.count(c).cast("int"),
+        "cardinality": lambda c: F.count(c).cast("int"),
+    }
+
+    @classmethod
+    def _finish_as_agg(cls, finish, vcol: str) -> Column | None:
+        """If ``finish`` is exactly one known order-insensitive array
+        aggregate applied to the results array, return the equivalent
+        direct aggregate over the value column; else None."""
+        import re
+
+        probe = "__lmr_group_probe__"
+        try:
+            rendered = str(finish(F.col(probe)))
+        except Exception:
+            return None
+        m = re.fullmatch(
+            r"Column<'(\w+)\(%s\)'>" % re.escape(probe), rendered
+        )
+        if m and m.group(1) in cls._AGG_FINISHERS:
+            return cls._AGG_FINISHERS[m.group(1)](F.col(vcol))
+        return None
+
     def group(self, finish: Callable[[Column], Column] | None = None) -> "Query":
         """key -> sorted list of values (reference group, index.js:64-89,
         intent not bugs). ``finish`` — the reference's declared-but-
@@ -239,9 +270,23 @@ class Query:
         Hash aggregation (map-side partial + final) replaces the
         reference's sort-based adjacent-key grouping with identical
         logical results and no required global sort.
+
+        Scale note: when ``finish`` is a recognized order-insensitive
+        aggregate (``array_min``/``array_max``/``size``), the plan is a
+        direct ``agg`` — no unbounded per-key ``collect_list`` array
+        ever exists, and the aggregation combines map-side. The raw
+        collect form is inherent to the reference's group-to-array
+        semantics; cap hot keys upstream if a key's value list cannot
+        fit one executor.
         """
         df = self._df
         vcol = self._vcol
+        if finish is not None:
+            agg = self._finish_as_agg(finish, vcol)
+            if agg is not None:
+                return self._with(
+                    df.groupBy("key").agg(agg.alias("result"))
+                )
         order_cols = [c for c in ("doc_key", "emit_pos") if c in df.columns]
         if order_cols:
             collected = F.array_sort(
