@@ -408,6 +408,34 @@ def q_build_async_mapper(spark, sf_dir):
     return _cached(spark, sf_dir, "orders_apymap", build).get_df("F")
 
 
+def q_numeric_key_scan(spark, sf_dir):
+    """byteslice-style numeric collation (index.js:118): orders keyed
+    by the order-preserving sortable_int encoding of o_orderkey; a
+    range scan with Python-encoded bounds returns exactly the numeric
+    range — '10' < '2' lexicographic breakage would fail the hash."""
+    from level_mapreduce_spark.functions import sortable_int, sortable_int_key
+
+    def build():
+        mapper = ExprMapper.of(
+            (sortable_int(F.col("o_orderkey")), F.col("o_totalprice")),
+            value_type=T.DoubleType(),
+        )
+        idx = MapIndex(
+            spark,
+            f"orders_numkey_{abs(hash(sf_dir)) % 10**8}",
+            mapper,
+            _store(),
+            doc_key="o_orderkey",
+        )
+        idx.build(load_table(spark, sf_dir, "orders"), assume_unique=True)
+        return idx
+
+    idx = _cached(spark, sf_dir, "orders_numkey", build)
+    return idx.scan(
+        start=sortable_int_key(100), end=sortable_int_key(2000)
+    ).select("value")
+
+
 def q_get_meta(spark, sf_dir):
     """getMeta reverse lookup (index.js:255-263): the keys one
     document currently emits, over the multi-emit index so the meta
@@ -762,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_python_mapper": q_build_python_mapper,
     "build_async_mapper": q_build_async_mapper,
     "get_meta": q_get_meta,
+    "numeric_key_scan": q_numeric_key_scan,
     "tombstone": q_tombstone,
     "overwrite": q_overwrite,
     "chained_index": q_chained,
@@ -877,6 +906,10 @@ ORACLES: dict[str, str] = {
       UNION ALL
       SELECT 1 AS emit_pos, 'S|' || o_orderstatus AS index_key
       FROM orders WHERE o_orderkey = 1
+    """,
+    "numeric_key_scan": """
+      SELECT o_totalprice AS value FROM orders
+      WHERE o_orderkey >= 100 AND o_orderkey < 2000
     """,
     "range_scan": """
       SELECT o_orderpriority AS index_key, o_totalprice AS value

@@ -255,6 +255,49 @@ def test_map_fn_after_group(spark, store):
     assert {r["key"]: r["results"] for r in rows} == {"a": 3.0, "b": 3.0, "c": 4.0}
 
 
+# ------------------------------------------------------------- collation
+
+
+def test_numeric_key_collation(spark, store):
+    """byteslice-style order-preserving numeric keys (index.js:118):
+    raw numeric casts collate lexicographically ('10' < '2');
+    sortable_int keys scan in true numeric order, negatives included,
+    and the Python bound encoder agrees with the Column encoder."""
+    from level_mapreduce_spark.functions import (
+        sortable_int,
+        sortable_int_key,
+        sortable_num,
+        sortable_num_key,
+    )
+
+    df = spark.createDataFrame(
+        [("d%d" % i, n, float(n) / 4) for i, n in enumerate([-3, 2, 10, -20, 0])],
+        "doc_key string, n long, x double",
+    )
+    mapper = ExprMapper.of(
+        (sortable_int(F.col("n")), F.col("n")), value_type=T.LongType()
+    )
+    idx = MapIndex(spark, "qcoll", mapper, store).build(df)
+    got = [r["value"] for r in idx.scan(sort=True).collect()]
+    assert got == [-20, -3, 0, 2, 10]
+    # range scan with Python-encoded bounds: [-3, 10) numerically
+    lo, hi = sortable_int_key(-3), sortable_int_key(10)
+    inr = [r["value"] for r in idx.scan(start=lo, end=hi, sort=True).collect()]
+    assert inr == [-3, 0, 2]
+    # Column and Python encoders produce the identical format
+    enc = df.select(sortable_int(F.col("n")).alias("e"), "n").collect()
+    assert all(r["e"] == sortable_int_key(r["n"]) for r in enc)
+    encf = df.select(sortable_num(F.col("x")).alias("e"), "x").collect()
+    assert all(r["e"] == sortable_num_key(r["x"]) for r in encf)
+    # fractional keys order across the sign boundary (floor, not trunc)
+    fm = ExprMapper.of(
+        (sortable_num(F.col("x")), F.col("x")), value_type=T.DoubleType()
+    )
+    fidx = MapIndex(spark, "qcollf", fm, store).build(df)
+    gotf = [r["value"] for r in fidx.scan(sort=True).collect()]
+    assert gotf == [-5.0, -0.75, 0.0, 0.5, 2.5]
+
+
 # --------------------------------------------------------------- actions
 
 
