@@ -329,6 +329,7 @@ class MapIndex:
         where ``value`` is the doc's full live emit list — the shape
         the reference pushes to piped indexes (index.js:244, 250-253).
         """
+        self._recover_swap()
         epochs = _list_epochs(self.spark, self.segments_path)
         epoch = (max(epochs) + 1) if epochs else 1
         changes = self._normalize_changes(changes, assume_unique=assume_unique)
@@ -411,6 +412,7 @@ class MapIndex:
         metadata, no job) the hint is dropped and AQE picks the join
         strategy — correct either way, never OOMs the driver.
         """
+        self._recover_swap()
         if not _list_epochs(self.spark, self.segments_path):
             return self.spark.createDataFrame([], self._storage_schema).drop(
                 "epoch"
@@ -578,6 +580,49 @@ class MapIndex:
 
     # ---------------------------------------------------------- compaction
 
+    def _recover_swap(self) -> None:
+        """Roll an interrupted :meth:`compact` swap forward or back.
+
+        Between ``rename(segments -> .old)`` and
+        ``rename(.compacting -> segments)`` the segments dir does not
+        exist; without recovery a crash there makes ``read()`` silently
+        return an empty index. Called at every entry that touches
+        segments (read/update/compact). Rules, single-writer assumed:
+
+        - segments present: any ``.compacting``/``.old`` leftovers are
+          dead (aborted write / completed swap) — delete them.
+        - segments missing + ``.compacting`` present: the compacted
+          copy is complete by construction (it is only ever renamed
+          after a successful write) — roll FORWARD: rename it in.
+        - segments missing + only ``.old``: roll BACK to the pre-swap
+          copy.
+
+        Tombstones are never touched: stale ones are harmless after a
+        rolled-forward compact (compacted epoch = max epoch, so
+        ``epoch < tomb_epoch`` never holds), and newer ones written by
+        a post-crash update must survive.
+        """
+        fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        tmp = P(self.segments_path + ".compacting")
+        old = P(self.segments_path + ".old")
+        has_tmp, has_old = fs.exists(tmp), fs.exists(old)
+        if not (has_tmp or has_old):
+            return
+        if fs.exists(seg_path):
+            if has_tmp:
+                fs.delete(tmp, True)
+            if has_old:
+                fs.delete(old, True)
+            return
+        if has_tmp:
+            fs.rename(tmp, seg_path)
+            if has_old:
+                fs.delete(old, True)
+        elif has_old:
+            fs.rename(old, seg_path)
+        self._tomb_bytes_cache = None
+
     def compact(self) -> "MapIndex":
         """Fold all epochs + tombstones into a single segment set — the
         LSM merge step (run by ``update()`` past the epoch/tombstone
@@ -591,11 +636,13 @@ class MapIndex:
         compacted row — tombstone deletion is pure cleanup, not a
         correctness step.
 
-        Swap order keeps a readable segments dir at every step: write
-        compacted → rename live dir aside → rename compacted in →
-        delete old. A crash mid-swap leaves either the old or the new
-        copy in place.
+        Swap order: write compacted → rename live dir aside → rename
+        compacted in → delete old. A crash anywhere in the window
+        leaves a state :meth:`_recover_swap` rolls forward (compacted
+        copy complete) or back (pre-swap copy) on the next
+        read/update/compact.
         """
+        self._recover_swap()
         epochs = _list_epochs(self.spark, self.segments_path)
         keep_epoch = max(epochs) if epochs else 0
         live = self.read()

@@ -67,6 +67,46 @@ def test_stale_tombstones_after_compact_are_harmless(spark, store):
     assert live_rows(idx) == sorted(want)
 
 
+def test_compact_crash_mid_swap_recovers(spark, store):
+    """The harder crash window (ADVICE r3): between rename(segments ->
+    .old) and rename(.compacting -> segments) there is NO segments dir.
+    _recover_swap must roll forward from the complete .compacting copy
+    (or back from .old), never silently read an empty index."""
+    import shutil
+
+    idx = kv_index(spark, store, "midswap")
+    idx.build(kv_df(spark, [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(5)]))
+    idx.update(kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 50.0}]))
+    before = live_rows(idx)
+    seg = idx.segments_path
+
+    # roll FORWARD: compacted copy written, segments renamed aside,
+    # crash before .compacting renamed in
+    idx.compact()  # produces the folded single-epoch copy
+    shutil.copytree(seg, seg + ".compacting")
+    os.rename(seg, seg + ".old")
+    assert live_rows(idx) == before  # read() recovered
+    assert os.path.exists(seg)
+    assert not os.path.exists(seg + ".old")
+    assert not os.path.exists(seg + ".compacting")
+
+    # roll BACK: only .old remains (compacted copy lost with the crash)
+    os.rename(seg, seg + ".old")
+    assert live_rows(idx) == before
+    assert os.path.exists(seg) and not os.path.exists(seg + ".old")
+
+    # cleanup-only: segments intact, dead leftovers from an aborted write
+    os.makedirs(seg + ".compacting/epoch=9", exist_ok=True)
+    os.makedirs(seg + ".old/epoch=9", exist_ok=True)
+    assert live_rows(idx) == before
+    assert not os.path.exists(seg + ".compacting")
+    assert not os.path.exists(seg + ".old")
+
+    # the index keeps working end-to-end after recovery
+    idx.update(kv_df(spark, [{"doc_key": "d9", "k": "z", "v": 9.0}]))
+    assert ("d9", "z", 9.0) in live_rows(idx)
+
+
 def test_replayed_update_batch_converges(spark, store):
     """foreachBatch retry semantics: re-running the same changes batch
     (same content, new epoch) must not duplicate emits — the replay's
