@@ -12,9 +12,15 @@ Two paths, per the 100 TB design rule:
   scale the bucket id is a MapIndex key, so a probe prunes to
   O(corpus / 2^bits * (bits+1)) — the scan never touches the rest.
 
-Hyperplanes are deterministic (seeded) ±1 vectors shipped as literal
-arrays, so the bucketing is pure Column arithmetic — no UDF, no
-driver-side model object.
+Bucket assignment (:func:`with_bucket_keys`) is an Arrow/numpy
+``mapInPandas`` kernel: hyperplanes derive deterministically from the
+seed in every process (nothing shipped), and the plane dots are one
+BLAS matmul per batch — dense linear algebra is the one workload where
+the vectorized Python batch beats Column expressions (the interpreted
+HOF form of the same dots measured ~1000x slower per row and literal
+plane arrays cost seconds of py4j/Catalyst per query, the round-3
+"giant literal tree" trap). :func:`bucket_expr` keeps a pure-Column
+single-table form for index-backed bucketing (operators.indexed).
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.functions import pin_array_arg, unpushable
+from level_mapreduce_spark.functions import unpushable
 
 
 def _as_double_array(col: Column) -> Column:
@@ -280,122 +286,94 @@ def cosine_neardup_pairs_blocked(
     )
 
 
-def bucket_ids_expr(
-    vec: Column, dim: int, n_bits: int, n_tables: int, seed: int
-) -> Column:
-    """Array of ``n_tables`` sign-LSH bucket ids for one vector.
-
-    The hyperplanes are ±1 vectors whose signs derive IN-EXPRESSION
-    from ``xxhash64(plane_idx, dim_idx, seed)`` — no literal plane
-    matrix at all. Shipping planes as literals costs seconds per
-    query (48 planes × 64 dims ≈ 3000 py4j Column calls building the
-    tree, then Catalyst parse/codegen over the giant literal array —
-    the round-3 "giant literal tree" trap); the hash form is a
-    ~30-node tree that plans instantly and evaluates JVM-side. Signs
-    are deterministic in (plane, dim, seed), so every row — and the
-    driver's probe twin, computed through this same expression on a
-    one-row DataFrame — sees identical planes.
-
-    Bucket id folds bits MSB-first: ``id = sum bit_j << (n_bits-1-j)``.
-    """
-    return _fold_bucket_ids(
-        _plane_dots_expr(vec, dim, n_tables * n_bits, seed), n_bits, n_tables
-    )
+#: process-global cache of hyperplane matrices, keyed by
+#: (dim, n_planes, seed) — derived identically on driver and every
+#: Python worker, so probe and corpus always see the same planes
+_PLANE_CACHE: dict[tuple, object] = {}
 
 
-def _plane_dots_expr(
-    vec: Column, dim: int, n_planes: int, seed: int
-) -> Column:
-    """array<double> of the vector's dot products against all
-    ``n_planes`` hash-derived ±1 hyperplanes."""
-    vec = _as_double_array(vec)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: F.when(
-                    F.pmod(F.xxhash64(p, d, F.lit(seed)), F.lit(2)) == 0, x
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+def _plane_matrix(dim: int, n_planes: int, seed: int):
+    """Gaussian hyperplane matrix ``(n_planes, dim)``, deterministic in
+    the key. PCG64's stream is stability-guaranteed by numpy, so every
+    process derives bit-identical planes from the seed — no plane
+    shipping, no literal trees, no driver-side model object."""
+    import numpy as np
+
+    key = (dim, n_planes, seed)
+    got = _PLANE_CACHE.get(key)
+    if got is None:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        got = rng.standard_normal((n_planes, dim))
+        _PLANE_CACHE[key] = got
+    return got
 
 
-def _fold_bucket_ids(dots: Column, n_bits: int, n_tables: int) -> Column:
-    """array<long> of per-table bucket ids from the flat dot array.
-    NB: ``dots`` re-evaluates once per table here — pass a staged
-    COLUMN (see :func:`with_bucket_keys`) on corpus-sized inputs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.aggregate(
-            F.slice(dots, t * n_bits + 1, F.lit(n_bits)),
-            F.lit(0).cast("long"),
-            lambda acc, dp: acc * 2
-            + F.when(dp > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
+def _bucket_ids_np(X, n_bits: int, n_tables: int, seed: int):
+    """Per-table sign-LSH bucket ids for a block of vectors: one BLAS
+    matmul for all ``n_tables * n_bits`` plane dots, then an MSB-first
+    bit fold per table. Returns int64 ``(n, n_tables)``."""
+    import numpy as np
+
+    P = _plane_matrix(X.shape[1], n_tables * n_bits, seed)
+    bits = (X @ P.T) > 0
+    weights = 1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64)
+    return np.stack(
+        [
+            bits[:, t * n_bits : (t + 1) * n_bits] @ weights
+            for t in range(n_tables)
+        ],
+        axis=1,
     )
 
 
 def with_bucket_keys(
     df: DataFrame,
     vec_col: str,
-    dim: int,
     n_bits: int,
     n_tables: int,
     seed: int,
     out_col: str = "_bkeys",
 ) -> DataFrame:
-    """Adds ``out_col``: array of ``'t:bucket'`` sign-LSH keys. The
-    expensive plane-dot array is staged as a real column (pinned
-    against CollapseProject) so the per-table id fold reads the row
-    buffer instead of re-running every dot once per table."""
-    dots = _plane_dots_expr(F.col(vec_col), dim, n_tables * n_bits, seed)
-    keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.concat_ws(
-            ":",
-            t.cast("string"),
-            F.element_at(F.col("_lsh_ids"), t + 1).cast("string"),
-        ),
+    """Adds ``out_col``: array of ``'t:bucket'`` sign-LSH keys per row.
+
+    Arrow/numpy ``mapInPandas`` kernel — bucket assignment is a dense
+    matmul, the one workload where a vectorized Python batch beats
+    Column expressions: the interpreted higher-order-function form of
+    the same plane dots measured ~35 ms/row-core at 128 planes × 64
+    dims (HOFs don't whole-stage-codegen and box per element), vs
+    microseconds/row for ``X @ P.T``. Plumbing cost is one Arrow
+    round-trip of the input columns; keep ``df`` narrow."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
-    return (
-        df.withColumn(
-            "_lsh_dots", pin_array_arg(_as_double_array(F.col(vec_col)), dots)
-        )
-        .withColumn(
-            "_lsh_ids",
-            pin_array_arg(
-                F.col("_lsh_dots"),
-                _fold_bucket_ids(F.col("_lsh_dots"), n_bits, n_tables),
-            ),
-        )
-        .withColumn(out_col, pin_array_arg(F.col("_lsh_ids"), keys))
-        .drop("_lsh_dots", "_lsh_ids")
-    )
+
+    def add_keys(pdfs):
+        import numpy as np
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = _bucket_ids_np(X, n_bits, n_tables, seed)
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [f"{t}:{row[t]}" for t in range(n_tables)] for row in ids
+            ]
+            yield pdf
+
+    return df.mapInPandas(add_keys, schema=schema)
 
 
 def probe_bucket_ids(
-    spark, probe: list[float], n_bits: int, n_tables: int, seed: int
+    probe: list[float], n_bits: int, n_tables: int, seed: int
 ) -> list[int]:
-    """The probe's per-table bucket ids, computed through the SAME
-    expression as the corpus (one-row Spark job) — consistent by
-    construction, no Python reimplementation of xxhash64."""
-    row = spark.range(1).select(
-        bucket_ids_expr(
-            F.array(*[F.lit(float(x)) for x in probe]),
-            len(probe),
-            n_bits,
-            n_tables,
-            seed,
-        ).alias("ids")
-    ).head()
-    return [int(b) for b in row["ids"]]
+    """The probe's per-table bucket ids — driver-side numpy through
+    the SAME plane derivation as the corpus kernel (no Spark job)."""
+    import numpy as np
+
+    X = np.asarray([probe], dtype=np.float64)
+    return [int(b) for b in _bucket_ids_np(X, n_bits, n_tables, seed)[0]]
 
 
 def cosine_neardup_pairs_lsh(
@@ -422,13 +400,23 @@ def cosine_neardup_pairs_lsh(
     are fetched back by a join after the distinct, so the wide rows
     (128 doubles/pair) never ride the dedup shuffle."""
     dim = len(embeddings.select("embedding").head()[0])
-    # explicit count: a single parquet file scans as ONE partition and
-    # the plane-dot stage is compute-bound on tiny bytes (AQE would
-    # coalesce a plain repartition back down by byte size)
+    # repartition ONLY the bucket path (explicit count: a single
+    # parquet file scans as one partition, and AQE would coalesce a
+    # plain repartition back down by byte size on the tiny rows); the
+    # fetch-back joins below shuffle on their own join keys, so
+    # `sides` stays an unshuffled scan for those
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
-    sides = _with_norm(embeddings.repartition(n_part, "vec_id"))
+    sides = _with_norm(embeddings)
     buckets = (
-        with_bucket_keys(sides, "_e", dim, n_bits, n_tables, seed)
+        with_bucket_keys(
+            _with_norm(embeddings.repartition(n_part, "vec_id")).select(
+                "vec_id", "_e"
+            ),
+            "_e",
+            n_bits,
+            n_tables,
+            seed,
+        )
         .select("vec_id", F.explode_outer("_bkeys").alias("bkey"))
         .where(F.col("bkey").isNotNull())
     )
@@ -487,14 +475,11 @@ def lsh_topk(
     is still scanned once and only candidates reach the rerank sort.
     Returns (vec_id, sim).
     """
-    dim = len(probe)
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
-    # probe buckets via a one-row job through the corpus expression;
-    # one wanted-key list covers all tables + hamming-1 multiprobe,
+    # probe buckets driver-side through the same plane derivation; one
+    # wanted-key list covers all tables + hamming-1 multiprobe,
     # matched with arrays_overlap
-    ids = probe_bucket_ids(
-        embeddings.sparkSession, probe, n_bits, n_tables, seed
-    )
+    ids = probe_bucket_ids(probe, n_bits, n_tables, seed)
     wanted = []
     for t, pb in enumerate(ids):
         for w in [pb] + [pb ^ (1 << j) for j in range(n_bits)]:
@@ -502,13 +487,12 @@ def lsh_topk(
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     keyed = with_bucket_keys(
         embeddings.repartition(n_part, "vec_id"),
-        "embedding", dim, n_bits, n_tables, seed,
+        "embedding", n_bits, n_tables, seed,
     )
     return (
-        # unpushable: pushed below the Projects, this filter would be
-        # rewritten with _bkeys' FULL definition — dots re-run per
-        # table, unstaged, at the scan — and evaluated there
-        keyed.where(unpushable(F.arrays_overlap(F.col("_bkeys"), F.lit(wanted))))
+        # the filter cannot be pushed below the mapInPandas barrier, so
+        # bucket keys are computed exactly once per row
+        keyed.where(F.arrays_overlap(F.col("_bkeys"), F.lit(wanted)))
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.round(cosine_sim(F.col("embedding"), probe_lit), 6).alias("sim"),
