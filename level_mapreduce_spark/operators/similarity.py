@@ -382,6 +382,7 @@ def cosine_neardup_pairs_lsh(
     n_bits: int = 16,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates = pairs sharing a
     sign-LSH bucket in ANY of ``n_tables`` hyperplane tables (the same
@@ -395,6 +396,11 @@ def cosine_neardup_pairs_lsh(
     = fewer random bucket collisions: 2^16 buckets keep candidate
     volume ~n²/2^16 per table + true-dup density, vs n²/64 at 6 bits
     — bits should grow with log2(corpus) so occupancy stays constant.
+    ``max_bucket`` drops degenerate hot buckets (e.g. a near-zero or
+    all-equal embedding cluster collapsing a table): a bucket larger
+    than the cap would alone contribute O(cap²) candidate pairs; the
+    other tables still cover its true pairs (same rationale as
+    minhash_lsh_pairs).
 
     The candidate dedup shuffles (vec_id_a, vec_id_b) ONLY — vectors
     are fetched back by a join after the distinct, so the wide rows
@@ -407,6 +413,11 @@ def cosine_neardup_pairs_lsh(
     # `sides` stays an unshuffled scan for those
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     sides = _with_norm(embeddings)
+    # localCheckpoint (eager) pins the narrow (vec_id, bkey) table:
+    # it feeds BOTH sides of the self-join plus the bucket-size
+    # aggregate, and without pinning each consumer re-runs the Arrow
+    # bucket kernel over the corpus. Eager RDD blocks (not .persist())
+    # so ContextCleaner reclaims them when the result is GC'd.
     buckets = (
         with_bucket_keys(
             _with_norm(embeddings.repartition(n_part, "vec_id")).select(
@@ -419,10 +430,15 @@ def cosine_neardup_pairs_lsh(
         )
         .select("vec_id", F.explode_outer("_bkeys").alias("bkey"))
         .where(F.col("bkey").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    sizes = buckets.groupBy("bkey").agg(F.count("*").alias("_n"))
+    capped = buckets.join(
+        sizes.where(F.col("_n") <= max_bucket), "bkey", "inner"
     )
     cands = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), "bkey")
+        capped.alias("x")
+        .join(capped.alias("y"), "bkey")
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_id_a"),
