@@ -427,3 +427,66 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
+    """Corpus-level duplicate-chunk flags — the C4/RefinedWeb-style
+    sub-document dedup step (Raffel et al. 2020 §2.2 drop repeated
+    three-sentence spans; Penedo et al. 2023 §4.2): split every doc
+    into fixed ``chunk_tokens``-token chunks (the corpus has no
+    sentence/paragraph marks, so token windows are the deterministic
+    segmentation), and flag every chunk whose text was already seen
+    at a smaller (doc_id, chunk_idx) anywhere in the corpus.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_frac) — the per-doc
+    dedup decision (drop/trim docs above a dup_frac threshold).
+
+    Plan: narrow chunk explode → first occurrence per chunk as a
+    ``min(struct(doc_id, chunk_idx))`` aggregation (NOT a window
+    rank: min is partially aggregable, so a chunk repeated 10⁹ times
+    is reduced map-side to one candidate per input partition before
+    the shuffle — a row_number window would funnel every occurrence
+    of the hot chunk through a single reducer) → join the winners
+    back on the hash (AQE skew-join splits any residual hot key) →
+    per-doc re-aggregate. Chunks ride both shuffles as 32-char md5,
+    never text.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, "doc_id").withColumn(
+        "_toks", tokens_expr("text")
+    )
+    toks = F.col("_toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens))
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(
+                        toks, (i - 1) * chunk_tokens + 1, chunk_tokens
+                    ),
+                    " ",
+                )
+            ),
+        ),
+    )
+    exploded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode_outer(chunks).alias("chunk_idx", "chunk_hash"),
+    ).where(F.col("chunk_hash").isNotNull())
+    firsts = exploded.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    is_dup = (
+        F.struct("doc_id", "chunk_idx") != F.col("_first")
+    ).cast("long")
+    return (
+        exploded.join(firsts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(is_dup).alias("n_dup_chunks"),
+            F.round(F.sum(is_dup) / F.count("*"), 6).alias("dup_frac"),
+        )
+    )

@@ -516,3 +516,51 @@ def lsh_topk(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def knn_join(
+    embeddings: DataFrame, probes: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact batch k-NN: for every probe vector, its ``k`` most
+    cosine-similar corpus rows — the bulk form of :func:`brute_topk`
+    (one probe) for semantic retrieval / hard-negative mining over a
+    bounded probe set.
+
+    ``probes`` is a small (vec_id, embedding) DataFrame; it is
+    broadcast, so the corpus scan stays partition-local and the only
+    shuffle carries (probe_id, vec_id, sim) triples. The ``rnk <= k``
+    filter over ``row_number`` plans as WindowGroupLimit (Spark 3.5+):
+    every partition pre-truncates to its local top-k per probe before
+    the shuffle, so the shuffle is O(partitions·probes·k), not
+    O(corpus·probes). Self-matches (vec_id == probe_id) are excluded.
+
+    Returns (probe_id, vec_id, sim, rnk), sim rounded to 6dp, ties on
+    sim broken by vec_id.
+    """
+    from pyspark.sql.window import Window
+
+    pb = F.broadcast(
+        probes.select(
+            F.col("vec_id").cast("long").alias("probe_id"),
+            _as_double_array(F.col("embedding")).alias("_pe"),
+        )
+    )
+    scored = (
+        embeddings.crossJoin(pb)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("_pe")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -331,3 +331,56 @@ def doc_fingerprints(
     return staged.select(
         "doc_id", F.explode_outer(F.array_distinct(mins)).alias("fp")
     ).where(F.col("fp").isNotNull())
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals — the Gopher/MassiveText-style
+    repetitiousness rules used to drop low-quality web text (Rae et
+    al. 2021 §A1.1), restated over whitespace tokens:
+
+    - ``dup_token_frac``  — 1 - distinct/total tokens
+    - ``dup_bigram_frac`` — 1 - distinct/total token bigrams
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram
+      over total bigrams
+
+    Bigram metrics are null for docs with fewer than 2 tokens. All
+    ratios rounded to 6dp for oracle-stable double formatting.
+
+    Pure narrow Column transforms — no shuffle, embarrassingly
+    parallel at any scale. The top-bigram count is O(distinct·total)
+    per doc via nested HOFs over the STAGED ``_bg`` attribute (row
+    buffer reads; an inline bigram expression would re-derive the
+    array per lambda invocation — see staging module docstring).
+    """
+    docs = docs.withColumn("_toks", tokens_expr("text"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    )
+    docs = docs.withColumn("_bg", bigrams)
+    bg = F.col("_bg")
+    n_bg = F.size(bg)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bg)) / n_bg, 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(top_cnt / n_bg, 6).alias("top_bigram_frac"),
+    )

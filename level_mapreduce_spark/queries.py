@@ -771,6 +771,27 @@ def q_ann_ivf(spark, sf_dir):
     return iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document duplicate-chunk flags (C4/RefinedWeb-style): every
+    20-token chunk seen earlier (by (doc_id, chunk_idx) order) anywhere
+    in the corpus is counted as a duplicate."""
+    return dd.chunk_dedup(_docs(spark, sf_dir), chunk_tokens=20)
+
+
+def q_knn_join(spark, sf_dir):
+    """Exact batch k-NN: 5 broadcast probe vectors against the corpus,
+    top-10 cosine neighbours each (WindowGroupLimit pre-truncation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return sim.knn_join(emb, probes, k=10)
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetitiousness signals (dup token/bigram fracs,
+    top-bigram frac) per document."""
+    return tx.text_repetition(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_get": q_build_get,
     "range_scan": q_range_scan,
@@ -799,7 +820,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "chunk_dedup": q_chunk_dedup,
     "text_stats": q_text_stats,
+    "text_repetition": q_text_repetition,
     "lang_id": q_lang_id,
     "quality_filter": q_quality_filter,
     "pack_documents": q_pack_documents,
@@ -812,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_cosine_lsh": q_neardup_cosine_lsh,
     "multimodal_features": q_multimodal_features,
     "ann_topk": q_ann_topk,
+    "knn_join": q_knn_join,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "join_broadcast": q_join_broadcast,
@@ -1207,6 +1231,86 @@ ORACLES: dict[str, str] = {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) + 1 AS BIGINT) AS session_id
       FROM flagged
+    """,
+    "chunk_dedup": f"""
+      WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+        FROM documents
+      ),
+      ch AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               md5(array_to_string(
+                 toks[((i - 1) * 20 + 1):((i - 1) * 20 + 20)], ' '
+               )) AS chunk_hash
+        FROM (
+          SELECT doc_id, toks,
+                 unnest(range(
+                   1, CAST(ceil(len(toks) / 20.0) AS BIGINT) + 1
+                 )) AS i
+          FROM t WHERE len(toks) > 0
+        )
+      ),
+      f AS (
+        SELECT chunk_hash,
+               min(doc_id * 1000000 + chunk_idx) AS first_key
+        FROM ch GROUP BY chunk_hash
+      )
+      SELECT ch.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
+                                <> f.first_key
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             round(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
+                                 <> f.first_key
+                            THEN 1 ELSE 0 END) * 1.0 / count(*),
+                   6) AS dup_frac
+      FROM ch JOIN f USING (chunk_hash)
+      GROUP BY ch.doc_id
+    """,
+    "knn_join": """
+      WITH scored AS (
+        SELECT p.probe_id, CAST(e.vec_id AS BIGINT) AS vec_id,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(p.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings e
+        CROSS JOIN (
+          SELECT CAST(vec_id AS BIGINT) AS probe_id, embedding
+          FROM embeddings WHERE vec_id < 5
+        ) p
+        WHERE e.vec_id <> p.probe_id
+      )
+      SELECT probe_id, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY sim DESC, vec_id
+        ) AS rnk
+        FROM scored
+      ) WHERE rnk <= 10
+    """,
+    "text_repetition": f"""
+      WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+        FROM documents
+      ),
+      b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || '_' || toks[i + 1])
+               END AS bg
+        FROM t
+      )
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks),
+                   6) AS dup_token_frac,
+             round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg),
+                   6) AS dup_bigram_frac,
+             round(list_max(list_transform(
+                     list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x))
+                   )) * 1.0 / len(bg), 6) AS top_bigram_frac
+      FROM b
     """,
     # dedup_simhash, ann_lsh: hash-function/bucketing not expressible in
     # DuckDB SQL; events_approx_users: HLL estimates are implementation-

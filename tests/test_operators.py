@@ -218,3 +218,69 @@ def test_sessionize_gap_semantics(spark):
     )
     got = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_chunk_dedup_planted_chunk(spark):
+    """Doc 2 reuses doc 1's first 20-token chunk: exactly that one
+    chunk is flagged; doc 1 (the first occurrence) keeps zero flags."""
+    from level_mapreduce_spark.operators.dedup import chunk_dedup
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    uniq1 = " ".join(f"x{i}" for i in range(20))
+    uniq2 = " ".join(f"y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, f"{shared} {uniq1}"), (2, f"{shared} {uniq2}"), (3, "short doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in chunk_dedup(df, chunk_tokens=20).collect()
+    }
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_text_repetition_signals(spark):
+    """Hand-checked ratios, and sub-2-token docs get null bigram
+    metrics rather than garbage."""
+    from level_mapreduce_spark.operators.text import text_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "solo"), (3, "go go go go")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_repetition(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 3
+    assert r1["dup_token_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert r1["dup_bigram_frac"] == 0.0  # a_a, a_b distinct
+    assert r1["top_bigram_frac"] == 0.5
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["dup_bigram_frac"] is None
+    assert r2["top_bigram_frac"] is None
+    r3 = rows[3]  # go x4: bigrams all "go_go"
+    assert r3["dup_token_frac"] == 0.75
+    assert r3["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert r3["top_bigram_frac"] == 1.0
+
+
+def test_knn_join_matches_brute_topk(emb):
+    """knn_join's probe-0 block equals brute_topk minus the self-match."""
+    from level_mapreduce_spark.operators.similarity import knn_join
+
+    probes = emb.where(F.col("vec_id") == 0)
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in knn_join(emb, probes, k=10)
+        .orderBy("rnk")
+        .collect()
+    ]
+    probe = probe_vector(emb, 0)
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in brute_topk(emb, probe, k=11).collect()
+        if r["vec_id"] != 0
+    ]
+    assert got == want
