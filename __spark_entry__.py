@@ -44,9 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. ``dedup_simhash``,
-    ``ann_lsh``, ``ann_ivf``, ``multimodal_features``, and
-    ``events_approx_users`` are intentionally absent (hash-function /
-    k-means bucketing, byte-level decode, HLL internals not
-    expressible in DuckDB SQL) → driver records the rows-only check;
-    their semantics vs the exact operators are asserted in pytest."""
+    ``ann_lsh_ivf``, ``multimodal_features``, ``events_approx_users``,
+    and ``neardup_cosine_blocked`` are intentionally absent
+    (hash-function / k-means bucketing, byte-level decode, HLL
+    internals, BLAS summation order not expressible in DuckDB SQL) →
+    driver records the rows-only check; their semantics vs the exact
+    operators are asserted in pytest."""
     return dict(_q.ORACLES)

@@ -42,17 +42,47 @@ def main() -> None:
     store = tempfile.mkdtemp(prefix="lmr_bench_")
     times: dict[str, float] = {}
 
+    errors: dict[str, str] = {}
+
     def timed(name: str, fn, repeat: int = 2) -> None:
         # min-of-N: drops first-run codegen/JIT-compile noise so
-        # round-over-round comparisons track real plan cost
+        # round-over-round comparisons track real plan cost.
+        # Per-query isolation: one failing query must never abort the
+        # run before the JSON line prints (the r4 bench died on the
+        # LAST query and lost every completed measurement).
         best = None
-        for _ in range(repeat):
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(repeat):
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            if best is None:
+                return
         times[name] = round(best, 3)
 
+    try:
+        _run(spark, sf_dir, store, timed)
+    except Exception as e:  # noqa: BLE001 — setup outside timed()
+        errors["__setup__"] = f"{type(e).__name__}: {e}"[:300]
+
+    shutil.rmtree(store, ignore_errors=True)
+    total = round(sum(times.values()), 3)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
+
+
+def _run(spark, sf_dir: str, store: str, timed) -> None:
     orders = load_table(spark, sf_dir, "orders")
     orders.count()  # warm the session + file listing before timing
 
@@ -213,20 +243,6 @@ def main() -> None:
     events = load_table(spark, sf_dir, "events")
     timed("events_window", lambda: materialize(windowed_counts(events)))
     timed("events_sessionize", lambda: materialize(sessionize(events)))
-
-    shutil.rmtree(store, ignore_errors=True)
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

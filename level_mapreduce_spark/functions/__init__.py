@@ -5,6 +5,10 @@ from level_mapreduce_spark.functions.collation import (
     sortable_int_key,
     sortable_num,
     sortable_num_key,
+    typed_num,
+    typed_num_key,
+    typed_str,
+    typed_str_key,
 )
 from level_mapreduce_spark.functions.staging import pin_array_arg, unpushable
 
@@ -15,4 +19,8 @@ __all__ = [
     "sortable_int_key",
     "sortable_num",
     "sortable_num_key",
+    "typed_num",
+    "typed_num_key",
+    "typed_str",
+    "typed_str_key",
 ]

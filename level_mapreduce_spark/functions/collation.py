@@ -32,6 +32,10 @@ __all__ = [
     "sortable_num",
     "sortable_int_key",
     "sortable_num_key",
+    "typed_num",
+    "typed_str",
+    "typed_num_key",
+    "typed_str_key",
 ]
 
 
@@ -67,3 +71,36 @@ def sortable_num_key(x: float, scale: int = 6) -> str:
     import math
 
     return sortable_int_key(math.floor(float(x) * 10**scale))
+
+
+# ---------------------------------------------------------------- mixed-type
+# byteslice collates VALUES OF DIFFERENT TYPES in one keyspace, numbers
+# before strings (reference index.js:118 — e.g. a map fn emitting both
+# numeric and string keys). A 1-byte class prefix ('n:' < 's:' in byte
+# order) + the order-preserving numeric encoding reproduces that class
+# ordering for map fns that emit mixed types: wrap each emit's key in
+# the matching tag, and scan bounds with the Python twins.
+
+
+def typed_num(col: Column, scale: int = 6) -> Column:
+    """Numeric key in a mixed-type keyspace: 'n:' + fixed-point
+    order-preserving encoding — all numbers collate before all
+    :func:`typed_str` keys, internally in numeric order."""
+    return F.concat(F.lit("n:"), sortable_num(col, scale))
+
+
+def typed_str(col: Column) -> Column:
+    """String key in a mixed-type keyspace: 's:' + the raw string —
+    collates after every :func:`typed_num` key, internally in
+    lexicographic order."""
+    return F.concat(F.lit("s:"), col.cast("string"))
+
+
+def typed_num_key(x: float, scale: int = 6) -> str:
+    """Python twin of :func:`typed_num` for scan/get bounds."""
+    return "n:" + sortable_num_key(x, scale)
+
+
+def typed_str_key(s: str) -> str:
+    """Python twin of :func:`typed_str`."""
+    return "s:" + str(s)

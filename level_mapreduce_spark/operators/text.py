@@ -171,7 +171,7 @@ def quality_filter(
 
 
 def pack_documents(
-    docs: DataFrame, budget: int = 2048, n_shards: int = 32
+    docs: DataFrame, budget: int = 2048, n_shards: int | None = None
 ) -> DataFrame:
     """Token-budget sequence packing — assign each document to a pack
     of ~``budget`` tokens (the standard LLM-training batching pre-step:
@@ -181,14 +181,20 @@ def pack_documents(
     shards (no global order), and within a shard a running token total
     quantizes into packs — one window per shard, so the only shuffle
     partitions by shard and parallelism is ``n_shards`` regardless of
-    corpus size. Packs are budget-quantized (a doc may straddle two
-    quantum boundaries and starts the next pack); exact bin-packing is
-    deliberately NOT attempted — greedy quantization is deterministic,
-    single-pass, and what production packers do.
+    corpus size. ``n_shards`` defaults to the cluster's
+    ``defaultParallelism`` so the window's parallelism tracks the
+    cluster instead of a fixed constant. Packs are budget-quantized (a
+    doc may straddle two quantum boundaries and starts the next pack);
+    exact bin-packing is deliberately NOT attempted — greedy
+    quantization is deterministic, single-pass, and what production
+    packers do.
 
     Returns (doc_id, shard, n_tokens, pack_id).
     """
     from pyspark.sql import Window
+
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
 
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -31,20 +31,30 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table.
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark
-    rejects outright (PARQUET_TYPE_ILLEGAL) — read it as raw nanos via
-    the legacy flag and truncate to a microsecond TimestampType column
-    (exactly DuckDB's nanos->micros conversion, so oracles agree)."""
+    ``events.ts`` has drifted across testdata generations: Parquet
+    TIMESTAMP(NANOS) (which Spark rejects outright, PARQUET_TYPE_ILLEGAL
+    — read as raw nanos via the legacy flag and truncate to micros) and
+    plain ``timestamp[us]`` with no timezone (which Spark reads as
+    TIMESTAMP_NTZ, breaking ``unix_micros`` and streaming watermarks).
+    Normalize both to a microsecond TimestampType column; the session
+    timezone is pinned UTC (session.py), so the NTZ->TZ cast is lossless
+    and DuckDB oracles agree."""
     path = posixpath.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return _normalize_ts(df)
     return spark.read.parquet(path)
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce a drifting event-time column to microsecond TIMESTAMP."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # legacy nanosAsLong read of TIMESTAMP(NANOS)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":  # parquet timestamp[us] without tz
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def stream_table(
@@ -69,8 +79,8 @@ def stream_table(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(src_dir)
     )
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_ts(df)
     return df
 
 

@@ -284,3 +284,29 @@ def test_knn_join_matches_brute_topk(emb):
         if r["vec_id"] != 0
     ]
     assert got == want
+
+
+def test_pack_documents_shards_track_parallelism(spark):
+    """pack_documents' only window partitions by shard, so shard count
+    IS its parallelism ceiling — the default must track the cluster
+    (defaultParallelism), not a fixed constant, and every doc's pack
+    must stay within its shard's budget quantization."""
+    from level_mapreduce_spark.operators.text import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = pack_documents(docs, budget=16)
+    shards = out.select("shard").distinct().count()
+    # 400 docs across defaultParallelism shards: every shard id occupied
+    assert shards == spark.sparkContext.defaultParallelism
+    # per-shard invariant: pack_id quantizes the running token total
+    rows = sorted(
+        out.collect(), key=lambda r: (r["shard"], r["doc_id"])
+    )
+    cum = {}
+    for r in rows:
+        start = cum.get(r["shard"], 0)
+        assert r["pack_id"] == start // 16
+        cum[r["shard"]] = start + r["n_tokens"]

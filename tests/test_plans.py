@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from level_mapreduce_spark import queries as q
 
-PYTHON_PATH_QUERIES = {"query_map_fn", "query_async_map", "query_filter_fn"}
+PYTHON_PATH_QUERIES = {"query_map_variants", "query_filter_variants"}
 SF_DIR = "/root/testdata/sf0.001"
 
 

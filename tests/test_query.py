@@ -305,3 +305,43 @@ def test_count_and_end_order(spark, store):
     q = scalar_index(spark, store).query()
     assert q.count() == 4
     assert [r["key"] for r in q.end(sort=True)] == ["a", "a", "b", "c"]
+
+
+def test_mixed_type_key_collation(spark, store):
+    """byteslice collates numbers BEFORE strings in one keyspace
+    (reference index.js:118): a map fn emitting both a numeric and a
+    string key per doc, wrapped in the typed_* class tags, scans with
+    every numeric key first (in numeric order), then every string key
+    (lexicographic) — and Python bound encoders agree with the Column
+    encoders."""
+    from level_mapreduce_spark.functions import (
+        typed_num,
+        typed_num_key,
+        typed_str,
+        typed_str_key,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", 10.0, "b"), ("d2", -3.0, "a"), ("d3", 2.0, "c")],
+        "doc_key string, n double, s string",
+    )
+    mapper = ExprMapper.of(
+        (typed_num(F.col("n")), F.col("n").cast("string")),
+        (typed_str(F.col("s")), F.col("s")),
+    )
+    idx = MapIndex(spark, "qmixed", mapper, store).build(df)
+    got = [r["value"] for r in idx.scan(sort=True).collect()]
+    assert got == ["-3.0", "2.0", "10.0", "a", "b", "c"]
+    # range scan spanning the class boundary: numbers >= 2 plus
+    # strings < 'c' — bounds built with the Python twins
+    inr = [
+        r["value"]
+        for r in idx.scan(
+            start=typed_num_key(2.0), end=typed_str_key("c"), sort=True
+        ).collect()
+    ]
+    assert inr == ["2.0", "10.0", "a", "b"]
+    enc = df.select(typed_num(F.col("n")).alias("e"), "n").collect()
+    assert all(r["e"] == typed_num_key(r["n"]) for r in enc)
+    encs = df.select(typed_str(F.col("s")).alias("e"), "s").collect()
+    assert all(r["e"] == typed_str_key(r["s"]) for r in encs)

@@ -132,8 +132,14 @@ def test_stateful_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
         events.select(F.unix_micros("ts").alias("us"))
         .approxQuantile("us", [0.33, 0.66], 0.0)
     )
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # nanos-long ts
-    us = F.expr("ts div 1000")
+    # split the RAW file (so written splits keep the source ts type and
+    # match stream_table's declared schema) — micros expr depends on how
+    # this testdata generation stored ts (nanos-long vs timestamp_ntz)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        us = F.expr("ts div 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
     splits = [
         raw.where(us <= b1),
         raw.where((us > b1) & (us <= b2)),
