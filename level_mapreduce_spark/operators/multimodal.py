@@ -121,3 +121,106 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 16, height: int = 16,
+    decode_fn: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize: binary in -> binary out (payload
+    replaced by the resized encoding), zero shuffles — the bulk
+    re-encode step of an image-corpus pipeline.
+
+    ``decode_fn='real'`` is the PIL plug-point (absent in this
+    container -> NotImplementedError). The 'fake' codec byte-samples
+    the payload down to exactly ``width*height`` bytes (stride
+    sampling — deterministic, size-correct, so downstream batch-shape
+    and memory behavior match a real resize).
+    """
+    if decode_fn == "real":
+        raise NotImplementedError(
+            "real image resize requires PIL, absent in this container; "
+            "use decode_fn='fake' (stride byte-sampling) — the Spark "
+            "plumbing is identical"
+        )
+    if decode_fn != "fake":
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
+    n_out = width * height
+
+    def _resize(b: bytes | None) -> bytes:
+        b = b or b"\x00"
+        step = max(len(b) // n_out, 1)
+        return (b[::step] + b"\x00" * n_out)[:n_out]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    decode_fn: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: ONE media row -> MANY frame rows (the
+    one-to-many ``mapInPandas`` shape a video pipeline needs; output
+    cardinality is data-dependent, capped by ``max_frames``).
+
+    ``decode_fn='real'`` is the ffmpeg plug-point (absent ->
+    NotImplementedError). The 'fake' codec treats every
+    ``every_n_bytes`` slice of the payload as one "frame" — the
+    expansion topology (row counts, ordering, memory per batch) is
+    exactly what a keyframe sampler produces.
+    """
+    if decode_fn == "real":
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, absent in this "
+            "container; use decode_fn='fake' (byte-slice frames) — "
+            "the Spark plumbing is identical"
+        )
+    if decode_fn != "fake":
+        raise ValueError(f"unknown decode_fn {decode_fn!r}")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload or b""
+                n = min(max(len(b) // every_n_bytes, 1), max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.where(F.col("media_type") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -79,13 +79,35 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+# GPT-2-style BPE pre-tokenizer classes, restated in explicit ASCII so
+# Java regex (Spark) and RE2 (DuckDB) match identically: common English
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs. Counting these matches
+# estimates the BPE token count of a document (each pre-token splits
+# into >=1 BPE tokens; for common English text the pre-token count is
+# the standard cheap proxy) without shipping a merges table.
+BPE_PRETOKEN_RE = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token-count estimate (GPT-2 pre-tokenizer class count)
+    as a pure Column expression — the LLM-pipeline "how many tokens is
+    this corpus" primitive, codegen'd JVM-side."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    ).cast("long")
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document quality/statistics features:
 
     - ``n_chars``   — character length
-    - ``n_words``   — runs of ``[A-Za-z0-9]+`` (BPE-ish word tokens)
+    - ``n_words``   — runs of ``[A-Za-z0-9]+``
     - ``n_nonalnum``— non-alphanumeric, non-space characters
     - ``n_tokens``  — whitespace tokens
+    - ``n_bpe_tokens`` — GPT-2-style pre-token count (BPE estimate,
+      :func:`bpe_token_count`)
     - ``stop_cnt``  — English stopword occurrences
     - ``stop_ratio``/``alnum_ratio`` — quality ratios, rounded to 6dp
       so double formatting is oracle-stable.
@@ -109,6 +131,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         n_words.alias("n_words"),
         n_nonalnum.alias("n_nonalnum"),
         n_tokens.alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         stop_cnt.alias("stop_cnt"),
         F.round(stop_cnt / n_tokens, 6).alias("stop_ratio"),
         F.round((n_chars - n_nonalnum) / n_chars, 6).alias("alnum_ratio"),

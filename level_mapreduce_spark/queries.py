@@ -1045,6 +1045,9 @@ ORACLES: dict[str, str] = {
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
              CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_nonalnum,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+'
+             )) AS BIGINT) AS n_bpe_tokens,
              CAST(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) AS BIGINT) AS stop_cnt,
              round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) AS stop_ratio,
              round((length(text) - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))) / length(text), 6) AS alnum_ratio

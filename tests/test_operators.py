@@ -310,3 +310,54 @@ def test_pack_documents_shards_track_parallelism(spark):
         start = cum.get(r["shard"], 0)
         assert r["pack_id"] == start // 16
         cum[r["shard"]] = start + r["n_tokens"]
+
+
+def test_multimodal_resize_and_frames(docs):
+    """Resize keeps 1:1 cardinality with size-exact payloads; frame
+    sampling expands one video row into ordered frame rows (capped),
+    and both real-codec paths are explicitly stubbed."""
+    import pytest as _pytest
+
+    from level_mapreduce_spark.operators import multimodal as mm
+
+    media = mm.attach_fake_media(docs)
+    rs = mm.resize_images(media, width=4, height=4)
+    rows = rs.collect()
+    assert len(rows) == media.count()
+    assert all(len(r["payload"]) == 16 for r in rows)
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
+
+    vids = media.where("media_type = 'video'")
+    fr = mm.sample_frames(media, every_n_bytes=16, max_frames=4)
+    got = fr.collect()
+    assert {r["media_id"] for r in got} == {
+        r["media_id"] for r in vids.collect()
+    }
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in by_id.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
+        assert len(idxs) <= 4
+    with _pytest.raises(NotImplementedError):
+        mm.resize_images(media, decode_fn="real")
+    with _pytest.raises(NotImplementedError):
+        mm.sample_frames(media, decode_fn="real")
+
+
+def test_bpe_token_count_classes(spark):
+    """BPE pre-token estimate splits on GPT-2 classes: contraction
+    suffixes, space-prefixed letter/digit/punct runs."""
+    from level_mapreduce_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            ("it's 2024, really!?", 6),  # [it]['s][ 2024][,][ really][!?]
+            ("hello world", 2),
+            ("a1b2", 4),
+            ("", 0),
+        ],
+        "text string, want long",
+    )
+    rows = df.select("want", bpe_token_count("text").alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in rows), rows

@@ -199,3 +199,51 @@ def test_stream_chained_propagation(spark, store, tmp_path):
     drain(spark, a, src, ckpt)
     # downstream converged within the same micro-batch (no sleeps)
     assert b.get("n_emits") == ["1"]
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup: one survivor per content hash across
+    micro-batches, and for a duplicate spanning batches the FIRST
+    arrival is the one emitted (later arrivals drop against state)."""
+    import glob
+    import time as _time
+
+    from level_mapreduce_spark.streaming import dedup_stream
+
+    src = tmp_path / "docs_src"
+    os.makedirs(src)
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]       # in-batch dup
+    b2 = [(4, "beta"), (5, "gamma"), (6, "gamma")]       # cross-batch + in-batch
+    now = _time.time()
+    for i, rows in enumerate([b1, b2]):
+        d = str(tmp_path / f"_docs{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(pf, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        r["text"]: r["doc_id"]
+        for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    # one survivor per distinct text; 'beta' kept from batch 1 (doc 2),
+    # not the batch-2 re-arrival (doc 4)
+    assert got == {"alpha": 1, "beta": 2, "gamma": 5}
