@@ -362,7 +362,7 @@ def doc_fingerprints(
     ).where(F.col("fp").isNotNull())
 
 
-def text_repetition(docs: DataFrame) -> DataFrame:
+def text_repetition(docs: DataFrame, mode: str = "expr") -> DataFrame:
     """Per-document repetition signals — the Gopher/MassiveText-style
     repetitiousness rules used to drop low-quality web text (Rae et
     al. 2021 §A1.1), restated over whitespace tokens:
@@ -375,12 +375,24 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     Bigram metrics are null for docs with fewer than 2 tokens. All
     ratios rounded to 6dp for oracle-stable double formatting.
 
-    Pure narrow Column transforms — no shuffle, embarrassingly
-    parallel at any scale. The top-bigram count is O(distinct·total)
-    per doc via nested HOFs over the STAGED ``_bg`` attribute (row
-    buffer reads; an inline bigram expression would re-derive the
-    array per lambda invocation — see staging module docstring).
+    Two physically different plans, identical results:
+
+    - ``mode='expr'`` (default): pure narrow Column transforms — no
+      shuffle, embarrassingly parallel. The top-bigram count is
+      O(distinct·total) per doc via nested HOFs over the STAGED
+      ``_bg`` attribute (row buffer reads; an inline bigram expression
+      would re-derive the array per lambda invocation — see staging
+      module docstring). Right for web-page-sized docs (the quadratic
+      term is bounded by doc length).
+    - ``mode='grouped'``: explode bigrams -> partial-aggregable
+      groupBy((doc_id, bigram)) -> max per doc -> join back. One
+      shuffle on (doc_id, bigram), but O(total) work per doc — the
+      book-length-document path where distinct·total explodes.
     """
+    if mode == "grouped":
+        return _text_repetition_grouped(docs)
+    if mode != "expr":
+        raise ValueError(f"unknown mode {mode!r}")
     docs = docs.withColumn("_toks", tokens_expr("text"))
     toks = F.col("_toks")
     n = F.size(toks)
@@ -412,4 +424,59 @@ def text_repetition(docs: DataFrame) -> DataFrame:
             "dup_bigram_frac"
         ),
         F.round(top_cnt / n_bg, 6).alias("top_bigram_frac"),
+    )
+
+
+def _text_repetition_grouped(docs: DataFrame) -> DataFrame:
+    """Shuffle-based twin of :func:`text_repetition` for book-length
+    documents: bigram stats via explode + partial-aggregable groupBy
+    (map-side combine absorbs within-doc repetition before the
+    shuffle), so per-doc work is O(total tokens), never
+    O(distinct·total). Token stats stay narrow expressions."""
+    staged = docs.withColumn("_toks", tokens_expr("text"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    base = staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
+            "dup_token_frac"
+        ),
+        "_toks",
+    )
+    bg_rows = base.where(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.concat_ws(
+                    "_",
+                    F.element_at(F.col("_toks"), i),
+                    F.element_at(F.col("_toks"), i + 1),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    per_bigram = bg_rows.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("_total_bg"),
+        F.count("*").alias("_distinct_bg"),
+        F.max("cnt").alias("_top_cnt"),
+    )
+    return (
+        base.drop("_toks")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.round(
+                F.lit(1.0) - F.col("_distinct_bg") / F.col("_total_bg"), 6
+            ).alias("dup_bigram_frac"),
+            F.round(F.col("_top_cnt") / F.col("_total_bg"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
     )

@@ -656,7 +656,54 @@ def q_events_running(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    return ev.sessionize(load_table(spark, sf_dir, "events"))
+    """Gap sessionization BOTH ways in one tagged union: the batch
+    window-function operator AND the applyInPandasWithState streaming
+    operator (events replayed as an availableNow file stream into a
+    memory sink) — the streaming path is hash-checked against the same
+    SQL oracle, not just pytest-converged."""
+    batch = ev.sessionize(load_table(spark, sf_dir, "events"))
+    stream = _sessionize_via_stream(spark, sf_dir)
+    return batch.select(
+        F.lit("batch").alias("variant"), "event_id", "user_id", "session_id"
+    ).unionByName(
+        stream.select(
+            F.lit("stream").alias("variant"),
+            "event_id",
+            "user_id",
+            "session_id",
+        )
+    )
+
+
+def _sessionize_via_stream(spark, sf_dir) -> DataFrame:
+    """Run the stateful streaming sessionizer over the events table
+    replayed as a file stream; blocks until the availableNow trigger
+    drains, then returns the materialized memory-sink table."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from level_mapreduce_spark.sources.tables import stream_table
+    from level_mapreduce_spark.streaming.stateful import sessionize_stream
+
+    work = _tf.mkdtemp(prefix="lmr_sess_stream_")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    _shutil.copy(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(src, "events.parquet"),
+    )
+    q = (
+        sessionize_stream(stream_table(spark, src, sf_dir, "events"))
+        .writeStream.format("memory")
+        .queryName("lmr_sess_gate")
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("lmr_sess_gate")
 
 
 def q_events_approx_users(spark, sf_dir):
@@ -1236,14 +1283,19 @@ ORACLES: dict[str, str] = {
                       PARTITION BY user_id ORDER BY ts, event_id
                     ) > 1800000000 THEN 1 ELSE 0 END AS new_s
         FROM events
+      ),
+      sess AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(new_s) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS BIGINT) AS session_id
+        FROM flagged
       )
-      SELECT CAST(event_id AS BIGINT) AS event_id,
-             CAST(user_id AS BIGINT) AS user_id,
-             CAST(sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) + 1 AS BIGINT) AS session_id
-      FROM flagged
+      SELECT 'batch' AS variant, * FROM sess
+      UNION ALL
+      SELECT 'stream', * FROM sess
     """,
     "chunk_dedup": f"""
       WITH t AS (

@@ -361,3 +361,29 @@ def test_bpe_token_count_classes(spark):
     )
     rows = df.select("want", bpe_token_count("text").alias("got")).collect()
     assert all(r["got"] == r["want"] for r in rows), rows
+
+
+def test_text_repetition_grouped_matches_expr(docs):
+    """The shuffle-based book-length plan must equal the narrow
+    expression plan row-for-row (including <2-token null semantics)."""
+    from level_mapreduce_spark.operators.text import text_repetition
+
+    expr_rows = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    grp_rows = {
+        r["doc_id"]: r
+        for r in text_repetition(docs, mode="grouped").collect()
+    }
+    assert expr_rows.keys() == grp_rows.keys()
+    for did, e in expr_rows.items():
+        g = grp_rows[did]
+        assert (
+            e["n_tokens"],
+            e["dup_token_frac"],
+            e["dup_bigram_frac"],
+            e["top_bigram_frac"],
+        ) == (
+            g["n_tokens"],
+            g["dup_token_frac"],
+            g["dup_bigram_frac"],
+            g["top_bigram_frac"],
+        ), did
