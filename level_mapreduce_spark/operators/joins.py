@@ -132,3 +132,49 @@ def asof_join(
         F.col("_match")[c].alias(f"{right_prefix}{c}") for c in rcols
     ]
     return carried.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for keys hot on BOTH sides.
+
+    AQE's skew-join split handles a key that is hot on ONE side (it
+    splits that side's oversized partition and replicates the other).
+    When a key is hot on both sides, every one of its rows still meets
+    every other in a single reducer — no split helps. The standard
+    rewrite: scatter the left side across ``n_salts`` sub-keys by a
+    hash of its OTHER columns (deterministic, no rand() — repeatable
+    plans and retries), and replicate the right side once per salt, so
+    the hot key's work spreads over ``n_salts`` reducers at the cost
+    of ``n_salts``x duplication of the right side.
+
+    Use when: right is too big to broadcast AND key skew is extreme on
+    both sides (else plain join + AQE wins). ``how`` supports 'inner'
+    and 'left' (the salt spread preserves left rows exactly once).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    non_key = [c for c in left.columns if c not in keys]
+    # salt from the non-key columns so a hot key's rows scatter; a
+    # key-only left side has nothing to scatter by (all rows of a key
+    # are identical) — any constant salt is then correct
+    salt_src = non_key or keys
+    l_s = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    r_s = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")
+        ),
+    )
+    return l_s.join(r_s, [*keys, "_salt"], how).drop("_salt")

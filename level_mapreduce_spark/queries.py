@@ -702,7 +702,8 @@ def _sessionize_via_stream(spark, sf_dir) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # surface a partial table rather than hang the gate
     return spark.table("lmr_sess_gate")
 
 

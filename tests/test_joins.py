@@ -111,3 +111,28 @@ def test_asof_plan_is_single_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted join must equal the plain equi-join on a skewed key
+    (one key holding most rows on both sides), for inner and left."""
+    from level_mapreduce_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i, f"l{i}") for i in range(200)]
+        + [("cold", i, f"l{i}") for i in range(5)]
+        + [("only_left", 0, "x")],
+        "k string, i long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("hot", j) for j in range(50)] + [("cold", 7)],
+        "k string, rv long",
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            map(tuple, left.join(right, "k", how).collect())
+        )
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", n_salts=8, how=how).collect())
+        )
+        assert got == want, how
