@@ -227,6 +227,24 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         lambda: materialize(cosine_neardup_pairs_blocked(emb, threshold=0.42)),
     )
 
+    # r4/r5 LLM-pipeline additions: sub-document chunk dedup, batch
+    # k-NN join, Gopher repetition signals
+    from level_mapreduce_spark.operators.dedup import chunk_dedup
+    from level_mapreduce_spark.operators.similarity import knn_join
+    from level_mapreduce_spark.operators.text import text_repetition
+
+    timed("chunk_dedup", lambda: materialize(chunk_dedup(docs, chunk_tokens=20)))
+    probes = emb.where(F.col("vec_id") < 5)
+    timed("knn_join", lambda: materialize(knn_join(emb, probes, k=10)))
+    # grouped mode: the shuffle-based scale plan. The default expr plan
+    # is oracle-gated in the registry; its giant nested-HOF codegen is
+    # also an order of magnitude slower to compile inside a session
+    # already carrying many plans — not the headline you want timed.
+    timed(
+        "text_repetition",
+        lambda: materialize(text_repetition(docs, mode="grouped")),
+    )
+
     events_tbl = load_table(spark, sf_dir, "events")
 
     def asof():
