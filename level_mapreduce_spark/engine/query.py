@@ -28,7 +28,7 @@ import json
 from collections.abc import Awaitable, Callable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -260,7 +260,11 @@ class Query:
             return cls._AGG_FINISHERS[m.group(1)](F.col(vcol))
         return None
 
-    def group(self, finish: Callable[[Column], Column] | None = None) -> "Query":
+    def group(
+        self,
+        finish: Callable[[Column], Column] | None = None,
+        limit_per_key: int | None = None,
+    ) -> "Query":
         """key -> sorted list of values (reference group, index.js:64-89,
         intent not bugs). ``finish`` — the reference's declared-but-
         unused reduce finalizer (index.js:64) — is a Column fn applied
@@ -276,11 +280,30 @@ class Query:
         direct ``agg`` — no unbounded per-key ``collect_list`` array
         ever exists, and the aggregation combines map-side. The raw
         collect form is inherent to the reference's group-to-array
-        semantics; cap hot keys upstream if a key's value list cannot
-        fit one executor.
+        semantics; for hot keys whose full value list cannot fit one
+        executor, ``limit_per_key=N`` keeps only the FIRST N values per
+        key in the deterministic (doc_key, emit_pos) order — truncation
+        happens BEFORE the collect via a rank filter (WindowGroupLimit
+        pre-truncates map-side), so the oversized array never exists
+        anywhere in the plan.
         """
         df = self._df
         vcol = self._vcol
+        if limit_per_key is not None:
+            order_cols = [
+                c for c in ("doc_key", "emit_pos") if c in df.columns
+            ]
+            if not order_cols:
+                raise ValueError(
+                    "limit_per_key needs the (doc_key, emit_pos) order "
+                    "columns; this pipeline has projected them away"
+                )
+            w = Window.partitionBy("key").orderBy(*order_cols)
+            df = (
+                df.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= limit_per_key)
+                .drop("_rk")
+            )
         if finish is not None:
             agg = self._finish_as_agg(finish, vcol)
             if agg is not None:

@@ -345,3 +345,25 @@ def test_mixed_type_key_collation(spark, store):
     assert all(r["e"] == typed_num_key(r["n"]) for r in enc)
     encs = df.select(typed_str(F.col("s")).alias("e"), "s").collect()
     assert all(r["e"] == typed_str_key(r["s"]) for r in encs)
+
+
+def test_group_limit_per_key(spark, store):
+    """group(limit_per_key=N) keeps the FIRST N values per key in
+    (doc_key, emit_pos) order, pre-truncated before the collect (the
+    hot-key guard), and plans the rank filter as a window group limit."""
+    rows = [(f"d{i:02d}", "a" if i % 2 == 0 else "b", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_key string, k string, v double")
+    idx = MapIndex(
+        spark,
+        "qglimit",
+        ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType()),
+        store,
+    ).build(df)
+    q = idx.query().group(limit_per_key=3)
+    got = {r["key"]: r["results"] for r in q.df.collect()}
+    assert got == {"a": [0.0, 2.0, 4.0], "b": [1.0, 3.0, 5.0]}
+    plan = q.df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # unbounded form unchanged
+    full = {r["key"]: r["results"] for r in idx.query().group().df.collect()}
+    assert len(full["a"]) == 5 and len(full["b"]) == 5
