@@ -480,3 +480,49 @@ def _text_repetition_grouped(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# PII patterns in explicit ASCII classes (Java regex / RE2 identical):
+# emails, international-ish phone numbers, IPv4s. Deliberately simple,
+# high-precision forms — production scrubbing swaps in stricter
+# patterns; the operator shape (single narrow regexp_replace pass,
+# zero shuffles) is the part that matters at corpus scale.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Redact PII spans in-place: each matched span is replaced by its
+    ``<KIND>`` tag. Adds per-kind match counts (``n_<kind>``) so the
+    pipeline can quarantine high-PII documents instead of silently
+    shipping scrubbed text.
+
+    One chained ``regexp_replace`` per kind over a staged column —
+    narrow, codegen'd, embarrassingly parallel; counts come from
+    ``regexp_extract_all`` on the ORIGINAL text (pre-scrub), so a
+    span consumed by an earlier kind's replacement is still counted
+    by later kinds.
+    """
+    kinds = list(PII_PATTERNS) if kinds is None else kinds
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = docs
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed_text", scrubbed)

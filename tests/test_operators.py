@@ -387,3 +387,30 @@ def test_text_repetition_grouped_matches_expr(docs):
             g["dup_bigram_frac"],
             g["top_bigram_frac"],
         ), did
+
+
+def test_scrub_pii(spark):
+    """PII spans are replaced by kind tags; counts come from the
+    original text; clean docs pass through unchanged."""
+    from level_mapreduce_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or call +1 (555) 123-4567 now"),
+            (2, "server 10.0.255.7 rebooted"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["scrubbed_text"]
+    assert "<PHONE>" in rows[1]["scrubbed_text"]
+    assert "jo.doe" not in rows[1]["scrubbed_text"]
+    assert "555" not in rows[1]["scrubbed_text"]
+    assert rows[2]["n_ipv4"] == 1
+    assert rows[2]["scrubbed_text"] == "server <IPV4> rebooted"
+    assert rows[3]["scrubbed_text"] == "no pii here"
+    assert (
+        rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+    )
