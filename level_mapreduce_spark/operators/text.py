@@ -526,3 +526,48 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    bad_markers: list[str] | None = None,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation AND have at least
+    ``min_line_words`` words AND mention none of the boilerplate
+    markers; flag documents containing code braces for removal.
+
+    Returns (doc_id, n_lines, n_kept_lines, clean_text, keep) where
+    ``clean_text`` is the kept lines rejoined and ``keep`` is the
+    document-level decision (any line survived, no brace). All nested
+    HOFs run over the STAGED ``_lines`` attribute (see staging module
+    docstring) — narrow transform, no shuffle, 100 TB-parallel.
+    """
+    markers = (
+        ["javascript", "cookie", "terms of use", "privacy policy"]
+        if bad_markers is None
+        else bad_markers
+    )
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    staged = docs.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    lines = F.col("_lines")
+
+    def line_ok(line):
+        lw = F.lower(line)
+        words = F.size(F.filter(F.split(line, " "), lambda t: t != ""))
+        ends = lw.rlike("[.!?\"']$")
+        clean = ~F.exists(marker_arr, lambda m: lw.contains(m))
+        return ends & (words >= min_line_words) & clean
+
+    staged = staged.withColumn("_kept", F.filter(lines, line_ok))
+    kept = F.col("_kept")
+    has_brace = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    return staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        ((F.size(kept) > 0) & ~has_brace).alias("keep"),
+    )

@@ -414,3 +414,29 @@ def test_scrub_pii(spark):
     assert (
         rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
     )
+
+
+def test_c4_line_filter(spark):
+    """Line rules: terminal punctuation + min words + no boilerplate
+    markers; brace documents are dropped wholesale."""
+    from level_mapreduce_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "This sentence is properly terminated.\nshort.\n"
+                "Enable JavaScript to view this page.\n"
+                "Another good line stays here!"),
+            (2, "function f() { return 1; }\nReal prose would end well."),
+            (3, "no terminal punctuation at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_kept_lines"] == 2
+    assert rows[1]["clean_text"] == (
+        "This sentence is properly terminated.\nAnother good line stays here!"
+    )
+    assert rows[1]["keep"]
+    assert not rows[2]["keep"]          # brace document
+    assert rows[2]["n_kept_lines"] == 1  # the prose line itself passes
+    assert not rows[3]["keep"] and rows[3]["n_kept_lines"] == 0
