@@ -6,27 +6,41 @@ the spine and every operator inherits its partitioned/sorted storage.
 """
 
 from level_mapreduce_spark.operators.dedup import (
+    chunk_dedup,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_from_hashes,
     minhash_lsh_pairs,
+    neardup_clusters,
     simhash,
     simhash_pairs,
 )
-from level_mapreduce_spark.operators.joins import asof_join
+from level_mapreduce_spark.operators.joins import (
+    asof_join,
+    range_join_buckets,
+    salted_join,
+)
 from level_mapreduce_spark.operators.similarity import (
     brute_topk,
     cosine_neardup_pairs,
+    cosine_neardup_pairs_blocked,
     cosine_neardup_pairs_lsh,
     cosine_sim,
+    knn_join,
     lsh_topk,
 )
 from level_mapreduce_spark.operators.text import (
+    bpe_token_count,
+    c4_line_filter,
     doc_fingerprints,
     inverted_index_mapper,
     lang_id,
+    pack_documents,
+    quality_filter,
+    scrub_pii,
     shingles_from_tokens,
     term_frequencies,
+    text_repetition,
     text_stats,
     tfidf,
     tokens_expr,
@@ -35,22 +49,34 @@ from level_mapreduce_spark.operators.text import (
 
 __all__ = [
     "asof_join",
+    "range_join_buckets",
+    "salted_join",
+    "chunk_dedup",
     "exact_dedup",
     "jaccard_pairs_exact",
     "minhash_from_hashes",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "simhash",
     "simhash_pairs",
     "brute_topk",
     "cosine_neardup_pairs",
+    "cosine_neardup_pairs_blocked",
     "cosine_neardup_pairs_lsh",
     "cosine_sim",
+    "knn_join",
     "lsh_topk",
+    "bpe_token_count",
+    "c4_line_filter",
     "doc_fingerprints",
     "inverted_index_mapper",
     "lang_id",
+    "pack_documents",
+    "quality_filter",
+    "scrub_pii",
     "shingles_from_tokens",
     "term_frequencies",
+    "text_repetition",
     "text_stats",
     "tfidf",
     "tokens_expr",
