@@ -20,6 +20,11 @@ from level_mapreduce_spark.operators.joins import (
     range_join_buckets,
     salted_join,
 )
+from level_mapreduce_spark.operators.sketches import (
+    distinct_users_between,
+    rollup_sketches,
+    user_sketches,
+)
 from level_mapreduce_spark.operators.similarity import (
     brute_topk,
     cosine_neardup_pairs,
@@ -59,6 +64,9 @@ __all__ = [
     "neardup_clusters",
     "simhash",
     "simhash_pairs",
+    "distinct_users_between",
+    "rollup_sketches",
+    "user_sketches",
     "brute_topk",
     "cosine_neardup_pairs",
     "cosine_neardup_pairs_blocked",

@@ -1,0 +1,99 @@
+"""Mergeable-sketch rollups — the hypertable/continuous-aggregate
+pattern for distinct counting at 100 TB.
+
+``count(DISTINCT user_id)`` over an arbitrary time range rescans raw
+events — O(range) every query. The sketch rollup pays that scan ONCE:
+aggregate a mergeable HLL sketch per coarse bucket (hour), store the
+sketches (a few KB each — a MapIndex value, a parquet table, anything),
+and answer any range query by UNIONING the covered buckets' sketches —
+O(buckets in range), independent of event volume. Sketch union is
+associative/commutative, so rollups chain losslessly: hour sketches
+union into day sketches union into month sketches (the hypertable
+cascade), each level built from the previous WITHOUT touching raw data.
+
+Spark-native: ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` (Apache DataSketches HLL under the hood) —
+JVM-side, map-side partial aggregation, binary-typed sketch columns
+that ride shuffles and parquet like any other column. Relative error
+~1.6% at the default lgConfigK=12; raise it for tighter bounds.
+
+Extends the exact/approx twins in :mod:`.events`
+(``distinct_users`` / ``approx_distinct_users``): those answer one
+fixed grouping; this answers EVERY range after one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def user_sketches(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch of distinct ``user_id`` per (time bucket,
+    event_type): the stored continuous-aggregate base level.
+
+    Returns (ws, event_type, sketch) — ``ws`` is the bucket start,
+    ``sketch`` the binary HLL. One shuffle on the (bucket, type) key
+    with map-side partial sketch merges; output size is
+    O(buckets × types), never O(events).
+    """
+    return (
+        events.groupBy(
+            F.window("ts", bucket).alias("_w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.hll_sketch_agg(
+                F.col("user_id").cast("long"), F.lit(lg_config_k)
+            ).alias("sketch")
+        )
+        .select(F.col("_w.start").alias("ws"), "event_type", "sketch")
+    )
+
+
+def rollup_sketches(
+    sketches: DataFrame,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Next cascade level: union fine-bucket sketches into coarse
+    buckets (hour -> day -> month) WITHOUT rescanning events. Same
+    schema out as in, so levels chain."""
+    return (
+        sketches.groupBy(
+            F.window("ws", bucket).alias("_w"),
+            F.col("event_type"),
+        )
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select(F.col("_w.start").alias("ws"), "event_type", "sketch")
+    )
+
+
+def distinct_users_between(
+    sketches: DataFrame,
+    start,
+    end,
+    by_type: bool = False,
+) -> DataFrame:
+    """Estimate distinct users in ``[start, end)`` by unioning the
+    covered buckets' sketches — O(buckets), no raw-event scan.
+
+    ``start``/``end`` are timestamp-like (string/py datetime/Column).
+    With ``by_type`` the estimate is per event_type; otherwise one
+    total row (sketches union across types losslessly — a user seen
+    under two types counts once).
+    """
+    lo = start if isinstance(start, Column) else F.lit(start).cast("timestamp")
+    hi = end if isinstance(end, Column) else F.lit(end).cast("timestamp")
+    in_range = sketches.where((F.col("ws") >= lo) & (F.col("ws") < hi))
+    keys = ["event_type"] if by_type else []
+    agg = in_range.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("_merged")
+    )
+    return agg.select(
+        *keys,
+        F.hll_sketch_estimate("_merged").cast("long").alias("n_users_est"),
+    )

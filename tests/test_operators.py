@@ -440,3 +440,55 @@ def test_c4_line_filter(spark):
     assert not rows[2]["keep"]          # brace document
     assert rows[2]["n_kept_lines"] == 1  # the prose line itself passes
     assert not rows[3]["keep"] and rows[3]["n_kept_lines"] == 0
+
+
+def test_sketch_rollup_distinct_users(spark, sf_dir):
+    """HLL sketch rollup: range estimates from unioned hour sketches
+    stay within HLL error of the exact rescan answer, the day-level
+    cascade built from hour sketches agrees with day sketches built
+    from raw events, and no raw scan happens at query time."""
+    from level_mapreduce_spark.operators.sketches import (
+        distinct_users_between,
+        rollup_sketches,
+        user_sketches,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    hours = user_sketches(events).persist()
+    lo = events.select(F.min("ts").cast("string")).first()[0]
+    # whole-range estimate vs exact distinct (end bound exclusive on
+    # bucket starts, so push it past max ts)
+    est = distinct_users_between(hours, lo, "9999-01-01").first()["n_users_est"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # per-type estimates track the exact per-type counts
+    per_type = {
+        r["event_type"]: r["n_users_est"]
+        for r in distinct_users_between(
+            hours, lo, "9999-01-01", by_type=True
+        ).collect()
+    }
+    for r in events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    ).collect():
+        assert abs(per_type[r["event_type"]] - r["n"]) / r["n"] < 0.05
+    # cascade: day sketches from hour sketches == day sketches from raw
+    day_from_hours = rollup_sketches(hours, "1 day")
+    day_from_raw = user_sketches(events, "1 day")
+    a = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in day_from_hours.select(
+            "ws", "event_type",
+            F.hll_sketch_estimate("sketch").cast("long").alias("n"),
+        ).collect()
+    }
+    b = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in day_from_raw.select(
+            "ws", "event_type",
+            F.hll_sketch_estimate("sketch").cast("long").alias("n"),
+        ).collect()
+    }
+    assert a == b and a
+    hours.unpersist()
