@@ -21,8 +21,11 @@ from level_mapreduce_spark.operators.joins import (
     salted_join,
 )
 from level_mapreduce_spark.operators.sketches import (
+    build_sketch_index,
     distinct_users_between,
     rollup_sketches,
+    sketch_index_estimate,
+    update_sketch_index,
     user_sketches,
 )
 from level_mapreduce_spark.operators.similarity import (
@@ -64,8 +67,11 @@ __all__ = [
     "neardup_clusters",
     "simhash",
     "simhash_pairs",
+    "build_sketch_index",
     "distinct_users_between",
     "rollup_sketches",
+    "sketch_index_estimate",
+    "update_sketch_index",
     "user_sketches",
     "brute_topk",
     "cosine_neardup_pairs",

@@ -97,3 +97,98 @@ def distinct_users_between(
         *keys,
         F.hll_sketch_estimate("_merged").cast("long").alias("n_users_est"),
     )
+
+
+# ------------------------------------------------------- index-backed
+# The stored form: sketches as MapIndex values, so the continuous
+# aggregate inherits the engine's LSM maintenance (epochs, tombstone
+# reads, compaction, crash recovery) and key-pruned range scans —
+# "distinct users in March" is a pushed-down index range scan over a
+# few dozen KB of sketches, never an event scan.
+
+
+def _sketch_mapper():
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark.engine.mapper import ExprMapper
+
+    return ExprMapper.of(
+        (F.col("bucket_key"), F.col("sketch")),
+        value_type=T.BinaryType(),
+    )
+
+
+def build_sketch_index(
+    spark,
+    events: DataFrame,
+    store: str,
+    name: str = "user_sketches",
+    bucket: str = "1 hour",
+):
+    """Materialize the bucket->sketch continuous aggregate as a
+    MapIndex: ``index_key = <iso bucket start>|<event_type>`` (sorts
+    chronologically, so time ranges are contiguous key ranges),
+    value = HLL binary."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
+    idx.build(_bucket_docs(user_sketches(events, bucket)), assume_unique=True)
+    return idx
+
+
+def update_sketch_index(
+    idx,
+    new_events: DataFrame,
+    bucket: str = "1 hour",
+) -> None:
+    """Fold a new batch of events into the stored aggregate in
+    O(affected buckets): sketch the batch, UNION with the stored
+    sketches of the touched buckets (read through the index — a
+    key-pruned lookup, not a scan), and overwrite only those keys.
+    Replace-on-update composes with sketch merge because hll_union is
+    associative: stored ∪ batch is the new stored value.
+    """
+    part = _bucket_docs(user_sketches(new_events, bucket))
+    existing = idx.read().select(
+        F.col("index_key").alias("bucket_key"),
+        F.col("value").alias("_old"),
+    )
+    merged = part.join(existing, "bucket_key", "left").select(
+        "bucket_key",
+        F.when(
+            F.col("_old").isNotNull(),
+            F.hll_union(F.col("sketch"), F.col("_old")),
+        )
+        .otherwise(F.col("sketch"))
+        .alias("sketch"),
+    )
+    idx.update(merged, assume_unique=True)
+
+
+def _bucket_docs(sketches: DataFrame) -> DataFrame:
+    """(ws, event_type, sketch) -> change-feed docs keyed by the
+    chronologically-sortable bucket key."""
+    return sketches.select(
+        F.concat_ws(
+            "|",
+            F.date_format("ws", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.col("event_type"),
+        ).alias("bucket_key"),
+        "sketch",
+    )
+
+
+def sketch_index_estimate(
+    idx,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Any-range estimate straight off the stored aggregate: a
+    key-range scan (pushed-down parquet filters on index_key) over
+    ``[start, end)`` ISO-prefixed keys, then one union-estimate."""
+    rows = idx.scan(start=start, end=end)
+    return rows.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("value"))
+        .cast("long")
+        .alias("n_users_est")
+    )

@@ -90,3 +90,48 @@ def test_indexed_ann_matches_brute(spark, store, sf_dir):
     brute = [r["vec_id"] for r in brute_topk(emb, probe, k=10).collect()]
     assert approx[0] == 0  # probe finds itself via its own bucket
     assert len(set(brute) & set(approx)) >= 5
+
+
+def test_sketch_index_incremental_equals_full(spark, sf_dir, tmp_path):
+    """The index-backed continuous aggregate: build from the first
+    half of events, fold in the second half with update (O(affected
+    buckets) read-merge-overwrite), and every range estimate must
+    equal the from-scratch index over all events. Range queries are
+    key-pruned scans (PushedFilters on index_key)."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.sketches import (
+        build_sketch_index,
+        sketch_index_estimate,
+        update_sketch_index,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.select(
+        F.unix_micros(F.percentile_approx("ts", 0.5, 10000)).alias("us")
+    ).first()["us"]
+    first = events.where(F.unix_micros("ts") <= mid)
+    second = events.where(F.unix_micros("ts") > mid)
+    assert first.count() > 0 and second.count() > 0
+
+    inc = build_sketch_index(
+        spark, first, str(tmp_path / "inc"), name="sk_inc"
+    )
+    update_sketch_index(inc, second)
+    full = build_sketch_index(
+        spark, events, str(tmp_path / "full"), name="sk_full"
+    )
+    # same keys, same estimates, for the whole range and a subrange
+    for lo, hi in [("0", "9999"), ("2", "9999"), ("0", "2024-01-01T00")]:
+        a = sketch_index_estimate(inc, lo, hi).first()["n_users_est"]
+        b = sketch_index_estimate(full, lo, hi).first()["n_users_est"]
+        assert a == b, (lo, hi, a, b)
+    # key pruning reaches the parquet scan
+    plan = (
+        inc.scan(start="2", end="3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "index_key" in plan
