@@ -262,6 +262,28 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     timed("events_window", lambda: materialize(windowed_counts(events)))
     timed("events_sessionize", lambda: materialize(sessionize(events)))
 
+    # continuous-aggregate sketch store: one-time build + O(affected
+    # buckets) fold of a 10% tail batch
+    from level_mapreduce_spark.operators.sketches import (
+        build_sketch_index,
+        update_sketch_index,
+    )
+
+    sk = {}
+
+    def sk_build():
+        sk["idx"] = build_sketch_index(
+            spark, events, store, name="bench_sketches"
+        )
+
+    timed("sketch_index_build", sk_build, repeat=1)
+    tail = events.where(F.col("event_id") % 10 == 0)
+    timed(
+        "sketch_index_update_10pct",
+        lambda: update_sketch_index(sk["idx"], tail),
+        repeat=1,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -7,6 +7,7 @@ the spine and every operator inherits its partitioned/sorted storage.
 
 from level_mapreduce_spark.operators.dedup import (
     chunk_dedup,
+    contamination_check,
     exact_dedup,
     jaccard_pairs_exact,
     minhash_from_hashes,
@@ -60,6 +61,7 @@ __all__ = [
     "range_join_buckets",
     "salted_join",
     "chunk_dedup",
+    "contamination_check",
     "exact_dedup",
     "jaccard_pairs_exact",
     "minhash_from_hashes",

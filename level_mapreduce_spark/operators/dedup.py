@@ -28,6 +28,7 @@ from level_mapreduce_spark.functions import pin_array_arg, unpushable
 from level_mapreduce_spark.operators.text import (
     shingles_from_tokens,
     tokens_expr,
+    word_shingles,
 )
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod P over
@@ -489,4 +490,50 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
             F.sum(is_dup).alias("n_dup_chunks"),
             F.round(F.sum(is_dup) / F.count("*"), 6).alias("dup_frac"),
         )
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: which training documents
+    contain any word ``k``-gram of a (small) probe/benchmark set.
+
+    Plan: hash both sides' distinct k-shingles to int64, BROADCAST the
+    probe shingles (benchmark suites are tiny next to a training
+    corpus), inner-join, and count overlapping shingles per
+    (doc, probe) pair — per-doc work is O(tokens), the join never
+    shuffles the corpus side, and a clean corpus produces zero rows.
+    The standard n-gram-overlap decontamination pass (GPT-3 appendix C
+    style) as two narrow transforms + one broadcast join.
+
+    Returns (doc_id, probe_id, n_overlap) for contaminated pairs only.
+    """
+    from pyspark.sql.functions import broadcast
+
+    doc_sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), k=k), lambda s: F.xxhash64(s)
+            )
+        ).alias("shh"),
+    )
+    probe_sh = probes.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(probe_text_col), k=k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shh"),
+    )
+    return (
+        doc_sh.join(broadcast(probe_sh), "shh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_overlap"))
     )

@@ -492,3 +492,32 @@ def test_sketch_rollup_distinct_users(spark, sf_dir):
     }
     assert a == b and a
     hours.unpersist()
+
+
+def test_contamination_check(spark, docs):
+    """Planted benchmark text inside one training doc is detected with
+    the right overlap count; clean docs produce no rows; the probe
+    side broadcasts (corpus never shuffles on the join)."""
+    from level_mapreduce_spark.operators.dedup import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy sleeping dog"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words here " + bench_text + " suffix words here"),
+            (2, "completely unrelated content about skies and oceans today"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, bench_text)], "probe_id long, text string"
+    )
+    out = contamination_check(train, probes, k=8)
+    rows = out.collect()
+    assert len(rows) == 1
+    (r,) = rows
+    # bench text has 10 tokens -> 3 distinct 8-grams, all present in doc 1
+    assert (r["doc_id"], r["probe_id"], r["n_overlap"]) == (1, 100, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # a clean corpus yields zero rows
+    assert contamination_check(docs, probes, k=8).count() == 0
