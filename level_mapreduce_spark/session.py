@@ -28,6 +28,13 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{extra}" if extra else repo_root
         )
+    # One BLAS thread per Python worker: the Arrow/numpy kernels
+    # (blocked cosine, LSH bucketing) run in up-to-ncores parallel
+    # workers; letting each spawn ncores BLAS threads oversubscribes
+    # the box ncores× (measured: 0.6 s -> 4.6 s swings on the blocked
+    # near-dup at sf0.1). Parallelism belongs to Spark's task layer.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", n))
