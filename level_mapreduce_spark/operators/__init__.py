@@ -48,6 +48,7 @@ from level_mapreduce_spark.operators.text import (
     quality_filter,
     scrub_pii,
     shingles_from_tokens,
+    split_dataset,
     term_frequencies,
     text_repetition,
     text_stats,
@@ -91,6 +92,7 @@ __all__ = [
     "quality_filter",
     "scrub_pii",
     "shingles_from_tokens",
+    "split_dataset",
     "term_frequencies",
     "text_repetition",
     "text_stats",

@@ -571,3 +571,32 @@ def c4_line_filter(
         F.array_join(kept, "\n").alias("clean_text"),
         ((F.size(kept) > 0) & ~has_brace).alias("keep"),
     )
+
+
+def split_dataset(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the document key
+    (with a seed) into [0, 1) and cut by cumulative weights. Unlike
+    ``randomSplit`` this is stable across runs, partitionings, and
+    cluster sizes — the same doc always lands in the same split, so
+    reshuffled or incrementally-grown corpora never leak val/test docs
+    into train. Narrow transform, no shuffle.
+
+    Returns the input plus a ``split`` column.
+    """
+    weights = {"train": 0.98, "val": 0.01, "test": 0.01} if weights is None else weights
+    total = sum(weights.values())
+    # 2^63-scale bucket: xxhash64 is signed; shift to [0, 1)
+    u = (F.xxhash64(F.col(key_col), F.lit(seed)) / F.lit(2.0**64)) + F.lit(0.5)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        expr = F.coalesce(expr, F.when(u < acc, F.lit(name)))
+    # float edge: u == 1.0 - eps rounding past the last boundary
+    expr = F.coalesce(expr, F.lit(list(weights)[-1]))
+    return docs.withColumn("split", expr)

@@ -521,3 +521,29 @@ def test_contamination_check(spark, docs):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # a clean corpus yields zero rows
     assert contamination_check(docs, probes, k=8).count() == 0
+
+
+def test_split_dataset_deterministic(spark, docs):
+    """Same doc -> same split across runs and repartitionings; split
+    fractions land near the requested weights; different seeds give
+    different assignments."""
+    from level_mapreduce_spark.operators.text import split_dataset
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_dataset(docs, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs.repartition(7), w).collect()
+    }
+    assert a == b  # partitioning-independent
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.08 and abs(frac["val"] - 0.1) < 0.06
+    c = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs, w, seed=1).collect()
+    }
+    assert c != a  # seed moves the assignment
+    assert set(a.values()) <= set(w)
