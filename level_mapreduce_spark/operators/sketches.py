@@ -148,8 +148,17 @@ def update_sketch_index(
     Replace-on-update composes with sketch merge because hll_union is
     associative: stored ∪ batch is the new stored value.
     """
-    part = _bucket_docs(user_sketches(new_events, bucket))
-    existing = idx.read().select(
+    part = _bucket_docs(user_sketches(new_events, bucket)).persist()
+    # read back ONLY the touched key range (a batch covers a narrow,
+    # recent time window; bucket keys are chronological) — a pruned
+    # index scan, not a full read. Two driver-side scalars, bounded.
+    bounds = part.agg(
+        F.min("bucket_key").alias("lo"), F.max("bucket_key").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        part.unpersist()
+        return
+    existing = idx.scan(start=bounds["lo"], end=bounds["hi"] + "\x7f").select(
         F.col("index_key").alias("bucket_key"),
         F.col("value").alias("_old"),
     )
@@ -163,6 +172,7 @@ def update_sketch_index(
         .alias("sketch"),
     )
     idx.update(merged, assume_unique=True)
+    part.unpersist()
 
 
 def _bucket_docs(sketches: DataFrame) -> DataFrame:
