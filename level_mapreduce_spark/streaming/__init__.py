@@ -1,5 +1,5 @@
 from level_mapreduce_spark.streaming.dedup import dedup_stream
-from level_mapreduce_spark.streaming.sink import stream_into
+from level_mapreduce_spark.streaming.sink import stream_into, stream_sketches_into
 from level_mapreduce_spark.streaming.stateful import sessionize_stream
 from level_mapreduce_spark.streaming.windows import windowed_counts_stream
 
@@ -7,5 +7,6 @@ __all__ = [
     "dedup_stream",
     "sessionize_stream",
     "stream_into",
+    "stream_sketches_into",
     "windowed_counts_stream",
 ]

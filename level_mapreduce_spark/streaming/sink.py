@@ -57,3 +57,40 @@ def stream_into(
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sketches_into(
+    index: MapIndex,
+    events: DataFrame,
+    checkpoint: str,
+    bucket: str = "1 hour",
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Live continuous aggregate: fold each micro-batch of raw events
+    into a bucket->HLL sketch index (see ``operators.sketches``).
+
+    Each micro-batch costs O(buckets touched by the batch): sketch the
+    batch, read back the touched key range through the pruned index
+    scan, union, overwrite. Distinct-user range queries stay answerable
+    mid-stream off the index (``sketch_index_estimate``) — the
+    hypertable "continuous aggregate" behavior on the engine's own
+    storage. Retried micro-batches re-fold the same events into the
+    stored sketch; HLL union is idempotent for duplicate inserts, so
+    replays converge.
+    """
+    from level_mapreduce_spark.operators.sketches import update_sketch_index
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_sketch_index(index, batch_df, bucket=bucket)
+
+    writer = events.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

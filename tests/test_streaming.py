@@ -247,3 +247,68 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     # one survivor per distinct text; 'beta' kept from batch 1 (doc 2),
     # not the batch-2 re-arrival (doc 4)
     assert got == {"alpha": 1, "beta": 2, "gamma": 5}
+
+
+def test_stream_sketches_continuous_aggregate(spark, sf_dir, tmp_path):
+    """Replaying the events table through the sketch sink in three
+    micro-batches must converge the stored aggregate to exactly the
+    batch-built index: same keys, same range estimates."""
+    import glob
+    import time as _time
+
+    from level_mapreduce_spark.operators.sketches import (
+        build_sketch_index,
+        sketch_index_estimate,
+        _sketch_mapper,
+    )
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.sink import stream_sketches_into
+
+    events = load_table(spark, sf_dir, "events")
+    # three time-ordered files -> three micro-batches (same staging as
+    # the stateful sessionize test)
+    src = tmp_path / "sk_src"
+    os.makedirs(src)
+    b1, b2 = (
+        events.select(F.unix_micros("ts").alias("us"))
+        .approxQuantile("us", [0.33, 0.66], 0.0)
+    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        us = F.expr("ts div 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    now = _time.time()
+    for i, part in enumerate(
+        [raw.where(us <= b1), raw.where((us > b1) & (us <= b2)), raw.where(us > b2)]
+    ):
+        d = str(tmp_path / f"_sk{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(pf, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    live = MapIndex(
+        spark, "sk_live", _sketch_mapper(), str(tmp_path / "sk_store"),
+        doc_key="bucket_key",
+    )
+    live.build(spark.createDataFrame([], "bucket_key string, sketch binary"))
+    stream = stream_table(spark, str(src), sf_dir, "events")
+    q = stream_sketches_into(live, stream, str(tmp_path / "sk_ckpt"))
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    full = build_sketch_index(
+        spark, events, str(tmp_path / "sk_full_store"), name="sk_full_batch"
+    )
+    for lo, hi in [("0", "9999"), ("2", "9999")]:
+        a = sketch_index_estimate(live, lo, hi).first()["n_users_est"]
+        b = sketch_index_estimate(full, lo, hi).first()["n_users_est"]
+        assert a == b, (lo, hi, a, b)
+    # same stored keys
+    lk = {r["index_key"] for r in live.read().select("index_key").collect()}
+    fk = {r["index_key"] for r in full.read().select("index_key").collect()}
+    assert lk == fk and lk
