@@ -533,6 +533,20 @@ class MapIndex:
         """Scan -> lazy pipeline (reference Index.query, index.js:140-147)."""
         return Query(self.scan(start=start, end=end, key=key))
 
+    def create_view(self, view_name: str | None = None) -> str:
+        """Register the live index as a temp view so ``spark.sql`` can
+        query it directly — the SQL surface of the stored map.
+
+        The view wraps :meth:`read` (tombstone-resolved rows), so
+        ``WHERE index_key BETWEEN ...`` predicates written in SQL push
+        down to the parquet segments exactly like :meth:`scan` bounds
+        (Catalyst pushes filters through the view and the anti-join's
+        preserved side). Returns the view name.
+        """
+        name = view_name or f"lmr_index_{self.name}"
+        self.read().createOrReplaceTempView(name)
+        return name
+
     # ------------------------------------------------------------ chaining
 
     def pipe(self, downstream: "MapIndex") -> "MapIndex":

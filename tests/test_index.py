@@ -212,3 +212,40 @@ def test_get_meta(spark, store):
     assert idx.get_meta("d1") == ["z"]
     idx.update(docs_df(spark, [{"doc_key": "d1", "deleted": True}]))
     assert idx.get_meta("d1") == []
+
+
+def test_sql_view_over_index(spark, store):
+    """spark.sql over the registered view returns tombstone-resolved
+    rows, and SQL key predicates reach the parquet scan (the same
+    pushdown as scan() bounds)."""
+    docs = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "b", 2.0), ("d3", "c", 3.0)],
+        "doc_key string, k string, v double",
+    )
+    idx = MapIndex(
+        spark,
+        "sqlview",
+        ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType()),
+        store,
+    ).build(docs)
+    # tombstone d3, then query through SQL
+    idx.update(
+        spark.createDataFrame(
+            [("d3", None, None, True)],
+            "doc_key string, k string, v double, deleted boolean",
+        )
+    )
+    view = idx.create_view()
+    rows = spark.sql(
+        f"SELECT index_key, value FROM {view} "
+        "WHERE index_key >= 'a' AND index_key < 'c' ORDER BY index_key"
+    )
+    assert [(r["index_key"], r["value"]) for r in rows.collect()] == [
+        ("a", 1.0),
+        ("b", 2.0),
+    ]
+    assert (
+        spark.sql(f"SELECT count(*) n FROM {view}").first()["n"] == 2
+    )  # d3 tombstoned away
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "index_key" in plan
