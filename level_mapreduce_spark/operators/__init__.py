@@ -20,6 +20,7 @@ from level_mapreduce_spark.operators.joins import (
     asof_join,
     range_join_buckets,
     salted_join,
+    topk_per_key,
 )
 from level_mapreduce_spark.operators.sketches import (
     build_sketch_index,
@@ -61,6 +62,7 @@ __all__ = [
     "asof_join",
     "range_join_buckets",
     "salted_join",
+    "topk_per_key",
     "chunk_dedup",
     "contamination_check",
     "exact_dedup",

@@ -21,7 +21,7 @@ so a hot key costs O(rows log rows), never O(rows²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,31 @@ def salted_join(
         ),
     )
     return l_s.join(r_s, [*keys, "_salt"], how).drop("_salt")
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: str | list[str],
+    order_by: Column | list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per key as a rank filter Spark plans with
+    WindowGroupLimit: each map task pre-truncates its partition to k
+    rows per key BEFORE the shuffle, so the shuffle carries
+    O(partitions * keys * k) rows — never a global sort, never a full
+    per-key sort spill. The building block under ``knn_join`` and
+    ``scan(limit=)``-style queries, exposed for direct use.
+
+    ``order_by`` columns should break ties deterministically (append a
+    unique id); ``rank_col`` optionally keeps the 1-based rank.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order_list = order_by if isinstance(order_by, list) else [order_by]
+    w = Window.partitionBy(*key_list).orderBy(*order_list)
+    ranked = df.withColumn("_rank", F.row_number().over(w)).where(
+        F.col("_rank") <= k
+    )
+    if rank_col is not None:
+        return ranked.withColumnRenamed("_rank", rank_col)
+    return ranked.drop("_rank")

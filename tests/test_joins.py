@@ -136,3 +136,30 @@ def test_salted_join_matches_plain(spark):
             map(tuple, salted_join(left, right, "k", n_salts=8, how=how).collect())
         )
         assert got == want, how
+
+
+def test_topk_per_key_plans_window_group_limit(spark):
+    """topk_per_key returns the k best rows per key and plans the rank
+    filter as WindowGroupLimit (map-side pre-truncation), with an
+    optional rank column."""
+    from level_mapreduce_spark.operators.joins import topk_per_key
+
+    df = spark.createDataFrame(
+        [(k, i, float((i * 37) % 100)) for k in ("a", "b") for i in range(50)],
+        "k string, i long, score double",
+    )
+    out = topk_per_key(
+        df, "k", [F.col("score").desc(), F.col("i")], k=3, rank_col="rnk"
+    )
+    rows = sorted(
+        (r["k"], r["rnk"], r["score"]) for r in out.collect()
+    )
+    assert len(rows) == 6
+    for key in ("a", "b"):
+        scores = [s for kk, _, s in rows if kk == key]
+        top3 = sorted(
+            (float((i * 37) % 100) for i in range(50)), reverse=True
+        )[:3]
+        assert sorted(scores, reverse=True) == top3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
