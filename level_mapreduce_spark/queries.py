@@ -644,11 +644,33 @@ def q_rollup(spark, sf_dir):
 
 
 def q_events_window(spark, sf_dir):
-    # window start emitted as epoch micros (BIGINT): the driver hash
-    # canonicalizer is unreliable on timestamp cells (micros-vs-nanos)
-    return ev.windowed_counts(load_table(spark, sf_dir, "events")).select(
-        F.unix_micros("ws").alias("ws_us"), "event_type", "n", "total"
+    """Tumbling 1-hour windows BOTH ways in one tagged union: the batch
+    groupBy operator AND the watermarked streaming window operator
+    (events replayed as an availableNow file stream into a
+    complete-mode memory sink, so every window emits — append mode
+    would hold back windows the watermark never passes). ``total`` is
+    emitted as exact integer CENTS (bigint): Spark's and DuckDB's
+    sum(decimal(18,2)) widen to different decimal types that the driver
+    hash canonicalizer renders differently even when values are equal —
+    the same quirk fixed for rollup/cube in round 5. Window start as
+    epoch micros (timestamp cells are likewise canonicalizer-unsafe)."""
+    from level_mapreduce_spark.streaming.windows import windowed_counts_stream
+
+    batch = ev.windowed_counts(load_table(spark, sf_dir, "events"))
+    stream = _replay_events_stream(
+        spark, sf_dir, windowed_counts_stream, "lmr_win_gate", "complete"
     )
+
+    def proj(df, tag):
+        return df.select(
+            F.lit(tag).alias("variant"),
+            F.unix_micros("ws").alias("ws_us"),
+            F.col("event_type"),
+            F.col("n"),
+            (F.col("total") * 100).cast("long").alias("total_cents"),
+        )
+
+    return proj(batch, "batch").unionByName(proj(stream, "stream"))
 
 
 def q_events_running(spark, sf_dir):
@@ -676,35 +698,55 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def _sessionize_via_stream(spark, sf_dir) -> DataFrame:
-    """Run the stateful streaming sessionizer over the events table
-    replayed as a file stream; blocks until the availableNow trigger
-    drains, then returns the materialized memory-sink table."""
+    from level_mapreduce_spark.streaming.stateful import sessionize_stream
+
+    return _replay_events_stream(
+        spark, sf_dir, sessionize_stream, "lmr_sess_gate", "append"
+    )
+
+
+def _replay_events_stream(
+    spark, sf_dir, transform, query_name: str, output_mode: str
+) -> DataFrame:
+    """Replay the events table as an availableNow file stream through
+    ``transform`` into a memory sink and return the materialized table.
+    Raises on drain timeout — a partial table would surface downstream
+    as a baffling oracle hash mismatch instead of a clear failure. The
+    staging + checkpoint temp dir is removed once the query terminates
+    (memory sinks buffer rows on the driver, so the files and the
+    checkpoint are no longer needed)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tf
 
     from level_mapreduce_spark.sources.tables import stream_table
-    from level_mapreduce_spark.streaming.stateful import sessionize_stream
 
-    work = _tf.mkdtemp(prefix="lmr_sess_stream_")
-    src = _os.path.join(work, "src")
-    _os.makedirs(src)
-    _shutil.copy(
-        _os.path.join(sf_dir, "events.parquet"),
-        _os.path.join(src, "events.parquet"),
-    )
-    q = (
-        sessionize_stream(stream_table(spark, src, sf_dir, "events"))
-        .writeStream.format("memory")
-        .queryName("lmr_sess_gate")
-        .outputMode("append")
-        .option("checkpointLocation", _os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()  # surface a partial table rather than hang the gate
-    return spark.table("lmr_sess_gate")
+    work = _tf.mkdtemp(prefix="lmr_gate_stream_")
+    try:
+        src = _os.path.join(work, "src")
+        _os.makedirs(src)
+        _shutil.copy(
+            _os.path.join(sf_dir, "events.parquet"),
+            _os.path.join(src, "events.parquet"),
+        )
+        q = (
+            transform(stream_table(spark, src, sf_dir, "events"))
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming gate query {query_name!r} did not drain "
+                "within 300 s; refusing to return a partial memory table"
+            )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return spark.table(query_name)
 
 
 def q_events_approx_users(spark, sf_dir):
@@ -1264,10 +1306,16 @@ ORACLES: dict[str, str] = {
       WHERE o_orderstatus = 'O'
     """,
     "events_window": """
-      SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
-             count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS total
-      FROM events GROUP BY 1, 2
+      WITH w AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS total_cents
+        FROM events GROUP BY 1, 2
+      )
+      SELECT 'batch' AS variant, * FROM w
+      UNION ALL
+      SELECT 'stream', * FROM w
     """,
     "events_running": """
       SELECT CAST(event_id AS BIGINT) AS event_id,
