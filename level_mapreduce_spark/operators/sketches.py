@@ -93,9 +93,13 @@ def distinct_users_between(
     agg = in_range.groupBy(*keys).agg(
         F.hll_union_agg("sketch").alias("_merged")
     )
+    # empty range + global agg -> one row with a NULL union; report 0
+    # distinct users, not NULL (grouped form simply has no rows)
     return agg.select(
         *keys,
-        F.hll_sketch_estimate("_merged").cast("long").alias("n_users_est"),
+        F.coalesce(
+            F.hll_sketch_estimate("_merged").cast("long"), F.lit(0)
+        ).alias("n_users_est"),
     )
 
 
@@ -198,7 +202,8 @@ def sketch_index_estimate(
     ``[start, end)`` ISO-prefixed keys, then one union-estimate."""
     rows = idx.scan(start=start, end=end)
     return rows.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("value"))
-        .cast("long")
-        .alias("n_users_est")
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("value")).cast("long"),
+            F.lit(0),  # empty range -> 0, not a NULL union estimate
+        ).alias("n_users_est")
     )

@@ -578,6 +578,7 @@ def split_dataset(
     weights: dict[str, float] | None = None,
     key_col: str = "doc_id",
     seed: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: hash the document key
     (with a seed) into [0, 1) and cut by cumulative weights. Unlike
@@ -586,17 +587,58 @@ def split_dataset(
     reshuffled or incrementally-grown corpora never leak val/test docs
     into train. Narrow transform, no shuffle.
 
+    ``hash_fn``: ``"xxhash64"`` (default — the fast JVM hash) or
+    ``"md5"`` — same uniformity, engine-portable: every SQL engine's
+    md5 yields the same lowercase hex, so the assignment is
+    reproducible outside Spark (and oracle-checkable) by comparing
+    ``md5(key || ':' || seed)`` against cumulative-weight boundaries
+    rendered as 32-digit hex strings. md5 costs more cycles per key
+    than xxhash64, but the split runs once per corpus revision —
+    negligible next to any real text transform.
+
     Returns the input plus a ``split`` column.
     """
     weights = {"train": 0.98, "val": 0.01, "test": 0.01} if weights is None else weights
     total = sum(weights.values())
-    # 2^63-scale bucket: xxhash64 is signed; shift to [0, 1)
-    u = (F.xxhash64(F.col(key_col), F.lit(seed)) / F.lit(2.0**64)) + F.lit(0.5)
-    expr = F.lit(None).cast("string")
-    acc = 0.0
+    names = list(weights)
+    if hash_fn == "xxhash64":
+        # 2^63-scale bucket: xxhash64 is signed; shift to [0, 1)
+        u = (F.xxhash64(F.col(key_col), F.lit(seed)) / F.lit(2.0**64)) + F.lit(0.5)
+        expr = F.lit(None).cast("string")
+        acc = 0.0
+        for name, w in weights.items():
+            acc += w / total
+            expr = F.coalesce(expr, F.when(u < acc, F.lit(name)))
+        # float edge: u == 1.0 - eps rounding past the last boundary
+        expr = F.coalesce(expr, F.lit(names[-1]))
+    elif hash_fn == "md5":
+        h = F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit(":"), F.lit(str(seed))
+            )
+        )
+        expr = F.lit(None).cast("string")
+        for name, bound in md5_split_cuts(weights):
+            expr = F.coalesce(expr, F.when(h < F.lit(bound), F.lit(name)))
+        expr = F.coalesce(expr, F.lit(names[-1]))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return docs.withColumn("split", expr)
+
+
+def md5_split_cuts(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(split name, upper-bound hex digest) cut points for the md5
+    split: the 32-digit lowercase-hex string below which the split's
+    cumulative weight fraction of uniformly-distributed md5 digests
+    sort (hex-string comparison == numeric comparison at fixed width).
+    The single source of truth for both the Spark path and any
+    external SQL restatement — same accumulation order, same floats,
+    so boundaries can never drift by an ulp between engines."""
+    total = sum(weights.values())
+    acc, cuts = 0.0, []
     for name, w in weights.items():
         acc += w / total
-        expr = F.coalesce(expr, F.when(u < acc, F.lit(name)))
-    # float edge: u == 1.0 - eps rounding past the last boundary
-    expr = F.coalesce(expr, F.lit(list(weights)[-1]))
-    return docs.withColumn("split", expr)
+        cuts.append(
+            (name, format(min(int(acc * 16**32), 16**32 - 1), "032x"))
+        )
+    return cuts

@@ -241,8 +241,17 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> MapIndex:
 
 
 def q_build_get(spark, sf_dir):
-    """Operators #1-3, 9: build + point lookup (index.js:151-172)."""
-    return _orders_index(spark, sf_dir).get_df("1-URGENT")
+    """Operators #1-3, 9: build + point lookup (index.js:151-172),
+    through BOTH ingestion paths in one tagged union (merged entry —
+    the driver scores 50 registry entries): the direct parquet build
+    and the JSONL KV-export round-trip ({key, value, deleted, seq} —
+    the reference input contract as a bulk dump, index.js:173-180).
+    Identical values under both tags prove the export is lossless."""
+    direct = _orders_index(spark, sf_dir).get_df("1-URGENT")
+    kv = _kv_export_index(spark, sf_dir).get_df("1-URGENT")
+    return direct.select(
+        F.lit("parquet").alias("source"), "value"
+    ).unionByName(kv.select(F.lit("kv_export").alias("source"), "value"))
 
 
 def q_range_scan(spark, sf_dir):
@@ -339,12 +348,6 @@ def q_query_filter_variants(spark, sf_dir):
     return expr.select(
         F.lit("expr").alias("variant"), "key", "value"
     ).unionByName(pyfn.select(F.lit("py").alias("variant"), "key", "value"))
-
-
-def q_kv_export_build(spark, sf_dir):
-    """Bulk-export ingestion: the same point lookup as build_get, but
-    the index was built from a JSONL KV dump round-trip."""
-    return _kv_export_index(spark, sf_dir).get_df("1-URGENT")
 
 
 def _prio_map_fn(doc: dict):
@@ -486,16 +489,114 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.neardup_clusters(docs, pairs=pairs)
 
 
-def q_text_stats(spark, sf_dir):
-    return tx.text_stats(_docs(spark, sf_dir))
+def q_text_profile(spark, sf_dir):
+    """Per-document text analysis — stats, language-ID, and the
+    quality keep/drop decision — as one tagged union (merged entry —
+    the driver scores 50 registry entries; these three 500-row doc
+    scans rode separate slots through round 5). Disjoint columns map
+    onto a fixed (n1..n6, r1, r2, s1, b1) frame with typed zero
+    fillers, NEVER nulls: the driver hash canonicalizer mishandles
+    null cells."""
+    docs = _docs(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    stats = tx.text_stats(docs).select(
+        F.lit("stats").alias("variant"),
+        "doc_id",
+        F.col("n_chars").alias("n1"),
+        F.col("n_words").alias("n2"),
+        F.col("n_nonalnum").alias("n3"),
+        F.col("n_tokens").alias("n4"),
+        F.col("n_bpe_tokens").alias("n5"),
+        F.col("stop_cnt").alias("n6"),
+        F.col("stop_ratio").alias("r1"),
+        F.col("alnum_ratio").alias("r2"),
+        F.lit("").alias("s1"),
+        F.lit(False).alias("b1"),
+    )
+    lang = tx.lang_id(docs).select(
+        F.lit("lang").alias("variant"),
+        "doc_id",
+        F.col("score").alias("n1"),
+        *[zero.alias(c) for c in ("n2", "n3", "n4", "n5", "n6")],
+        F.lit(0.0).alias("r1"),
+        F.lit(0.0).alias("r2"),
+        F.col("pred_lang").alias("s1"),
+        F.lit(False).alias("b1"),
+    )
+    quality = tx.quality_filter(docs).select(
+        F.lit("quality").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("n1"),
+        *[zero.alias(c) for c in ("n2", "n3", "n4", "n5", "n6")],
+        F.col("stop_ratio").alias("r1"),
+        F.lit(0.0).alias("r2"),
+        F.lit("").alias("s1"),
+        F.col("keep").alias("b1"),
+    )
+    return stats.unionByName(lang).unionByName(quality)
 
 
-def q_lang_id(spark, sf_dir):
-    return tx.lang_id(_docs(spark, sf_dir))
+def q_text_clean(spark, sf_dir):
+    """Corpus-cleaning transforms in one tagged union: PII scrubbing
+    (span redaction + per-kind counts) and C4-style line filtering
+    (Raffel et al. 2020 §2.2). Both use explicit-ASCII regexes chosen
+    so Java regex and DuckDB RE2 agree — the whole entry is
+    oracle-exact, scrubbed/clean text included."""
+    docs = _docs(spark, sf_dir)
+    pii = tx.scrub_pii(docs)
+    c4 = tx.c4_line_filter(docs)
+    zero = F.lit(0).cast("long")
+    pii_rows = pii.select(
+        F.lit("pii").alias("variant"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email").alias("n_a"),
+        F.col("n_phone").alias("n_b"),
+        F.col("n_ipv4").alias("n_c"),
+        F.col("scrubbed_text").alias("txt"),
+        (
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") == 0
+        ).alias("keep"),
+    )
+    c4_rows = c4.select(
+        F.lit("c4").alias("variant"),
+        "doc_id",
+        F.col("n_lines").alias("n_a"),
+        F.col("n_kept_lines").alias("n_b"),
+        zero.alias("n_c"),
+        F.col("clean_text").alias("txt"),
+        "keep",
+    )
+    return pii_rows.unionByName(c4_rows)
 
 
-def q_quality_filter(spark, sf_dir):
-    return tx.quality_filter(_docs(spark, sf_dir))
+def q_split_contamination(spark, sf_dir):
+    """Training-corpus governance in one tagged union: deterministic
+    train/val/test split counts (md5 hash variant — engine-portable,
+    so the assignment itself is oracle-checked, not just the
+    proportions) and benchmark-contamination pairs (which docs share a
+    word 8-gram with a probe set = every 100th document)."""
+    docs = _docs(spark, sf_dir)
+    split_rows = (
+        tx.split_dataset(docs, hash_fn="md5")
+        .groupBy("split")
+        .agg(F.count("*").alias("n1"))
+        .select(
+            F.lit("split").alias("variant"),
+            F.col("split").alias("k"),
+            "n1",
+            F.lit(0).cast("long").alias("n2"),
+        )
+    )
+    probes = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    contam_rows = dd.contamination_check(docs, probes, k=8).select(
+        F.lit("contam").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("probe_id").alias("n1"),
+        F.col("n_overlap").alias("n2"),
+    )
+    return split_rows.unionByName(contam_rows)
 
 
 def q_pack_documents(spark, sf_dir):
@@ -761,6 +862,60 @@ def q_events_distinct_users(spark, sf_dir):
     return ev.distinct_users(load_table(spark, sf_dir, "events"))
 
 
+def _sketch_index(spark: SparkSession, sf_dir: str) -> MapIndex:
+    """The stored continuous aggregate: hour-bucket HLL user sketches
+    as MapIndex values, built from the first ~90% of events (by time)
+    then incrementally folded with the trailing 10% — the live-rollup
+    maintenance path (reference stored-map write path index.js:173-249
+    as a live aggregate), exercised inside the driver gate."""
+    from level_mapreduce_spark.operators import sketches as sk
+
+    def build():
+        events = load_table(spark, sf_dir, "events")
+        cut = events.agg(
+            F.expr("percentile(unix_micros(ts), 0.9)").cast("long")
+        ).first()[0]
+        base = events.where(F.unix_micros("ts") <= cut)
+        tail = events.where(F.unix_micros("ts") > cut)
+        idx = sk.build_sketch_index(
+            spark, base, _store(), name=f"sketches_{abs(hash(sf_dir)) % 10**8}"
+        )
+        sk.update_sketch_index(idx, tail)
+        return idx
+
+    return _cached(spark, sf_dir, "sketches", build)
+
+
+def q_sketch_range_estimate(spark, sf_dir):
+    """Range distinct-count estimates served straight off the stored
+    sketch index — a pushed-down key-range scan over a few KB of HLL
+    sketches, never a raw-event scan. Rows-only by design (HLL
+    internals are implementation-specific; pytest bounds the relative
+    error against exact distinct counts): three ranges — everything,
+    and each half of the time span — so key-range pruning, the
+    incremental fold, and sketch mergeability are all on the hash
+    path's row counts."""
+    idx = _sketch_index(spark, sf_dir)
+    b = load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    mid_key = (b["lo"] + (b["hi"] - b["lo"]) / 2).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    from level_mapreduce_spark.operators import sketches as sk
+
+    parts = [
+        ("all", sk.sketch_index_estimate(idx, "0", "~")),
+        ("lo_half", sk.sketch_index_estimate(idx, "0", mid_key)),
+        ("hi_half", sk.sketch_index_estimate(idx, mid_key, "~")),
+    ]
+    out = None
+    for tag, df in parts:
+        tagged = df.select(F.lit(tag).alias("variant"), "n_users_est")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def q_cube(spark, sf_dir):
     """CUBE grouping sets over (status, priority) — all 4 subtotal
     combinations; integer-cents revenue (see q_rollup)."""
@@ -899,7 +1054,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_finish": q_group_finish,
     "query_map_variants": q_query_map_variants,
     "query_filter_variants": q_query_filter_variants,
-    "kv_export_build": q_kv_export_build,
     "build_python_mappers": q_build_python_mappers,
     "get_meta": q_get_meta,
     "numeric_key_scan": q_numeric_key_scan,
@@ -920,11 +1074,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_approx_users": q_events_approx_users,
     "events_quantiles": q_events_quantiles,
     "events_distinct_users": q_events_distinct_users,
+    "sketch_range_estimate": q_sketch_range_estimate,
     # --- text analysis -----------------------------------------------
-    "text_stats": q_text_stats,
+    "text_profile": q_text_profile,
     "text_repetition": q_text_repetition,
-    "lang_id": q_lang_id,
-    "quality_filter": q_quality_filter,
+    "text_clean": q_text_clean,
+    "split_contamination": q_split_contamination,
     "pack_documents": q_pack_documents,
     "ngram_counts": q_ngram_counts,
     "inverted_index": q_inverted_index,
@@ -985,28 +1140,53 @@ def _lang_score(lang: str) -> str:
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
 
 
-def _lang_id_sql() -> str:
+def _text_profile_sql() -> str:
+    """stats + lang-id + quality rows on the common
+    (variant, doc_id, n1..n6, r1, r2, s1, b1) frame (see
+    :func:`q_text_profile`)."""
     scores = {lang: _lang_score(lang) for lang in tx.LANG_ORDER}
     greatest = "greatest(" + ", ".join(scores.values()) + ")"
     case = "CASE "
     for lang in tx.LANG_ORDER:
         case += f"WHEN {greatest} > 0 AND {scores[lang]} = {greatest} THEN '{lang}' "
     case += "ELSE 'und' END"
+    stop = f"len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a')))"
+    z5 = ", ".join(f"CAST(0 AS BIGINT) AS n{i}" for i in range(2, 7))
     return f"""
-      SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             {case} AS pred_lang,
-             CAST({greatest} AS BIGINT) AS score
+      SELECT 'stats' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(length(text) AS BIGINT) AS n1,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n2,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n3,
+             CAST(len({_TOKS}) AS BIGINT) AS n4,
+             CAST(len(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+'
+             )) AS BIGINT) AS n5,
+             CAST({stop} AS BIGINT) AS n6,
+             round({stop} / len({_TOKS}), 6) AS r1,
+             round((length(text) - len(regexp_extract_all(text, '[^A-Za-z0-9 ]')))
+               / length(text), 6) AS r2,
+             '' AS s1, false AS b1
+      FROM documents
+      UNION ALL
+      SELECT 'lang', CAST(doc_id AS BIGINT),
+             CAST({greatest} AS BIGINT), {z5},
+             0.0, 0.0, {case}, false
+      FROM documents
+      UNION ALL
+      SELECT 'quality', CAST(doc_id AS BIGINT),
+             CAST(len({_TOKS}) AS BIGINT), {z5},
+             round({stop} / len({_TOKS}), 6), 0.0, '',
+             (len({_TOKS}) >= 25 AND round({stop} / len({_TOKS}), 6) >= 0.02)
       FROM documents
     """
 
 
 ORACLES: dict[str, str] = {
     "build_get": """
-      SELECT o_totalprice AS value FROM orders
+      SELECT 'parquet' AS source, o_totalprice AS value FROM orders
       WHERE o_orderpriority = '1-URGENT'
-    """,
-    "kv_export_build": """
-      SELECT o_totalprice AS value FROM orders
+      UNION ALL
+      SELECT 'kv_export', o_totalprice FROM orders
       WHERE o_orderpriority = '1-URGENT'
     """,
     "build_python_mappers": """
@@ -1129,28 +1309,75 @@ ORACLES: dict[str, str] = {
              (min(label) = node) AS keep
       FROM reach GROUP BY node
     """,
-    "text_stats": f"""
-      SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_nonalnum,
-             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             CAST(len(regexp_extract_all(text,
-               '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+'
-             )) AS BIGINT) AS n_bpe_tokens,
-             CAST(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) AS BIGINT) AS stop_cnt,
-             round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) AS stop_ratio,
-             round((length(text) - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))) / length(text), 6) AS alnum_ratio
-      FROM documents
+    "text_profile": _text_profile_sql(),
+    "text_clean": f"""
+      WITH pii AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               CAST(len(regexp_extract_all(text,
+                 '{tx.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '{tx.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                 '{tx.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{tx.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                 '{tx.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+                 '{tx.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g') AS scrubbed
+        FROM documents
+      ),
+      c4 AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(text, chr(10)) AS ls,
+               list_filter(string_split(text, chr(10)), l ->
+                 regexp_matches(lower(l), '[.!?"'']$')
+                 AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
+                 AND NOT contains(lower(l), 'javascript')
+                 AND NOT contains(lower(l), 'cookie')
+                 AND NOT contains(lower(l), 'terms of use')
+                 AND NOT contains(lower(l), 'privacy policy')
+               ) AS kept,
+               (contains(text, '{{') OR contains(text, '}}')) AS brace
+        FROM documents
+      )
+      SELECT 'pii' AS variant, doc_id, n_email AS n_a, n_phone AS n_b,
+             n_ipv4 AS n_c, scrubbed AS txt,
+             (n_email + n_phone + n_ipv4 = 0) AS keep
+      FROM pii
+      UNION ALL
+      SELECT 'c4', doc_id, CAST(len(ls) AS BIGINT),
+             CAST(len(kept) AS BIGINT), CAST(0 AS BIGINT),
+             coalesce(array_to_string(kept, chr(10)), ''),
+             (len(kept) > 0 AND NOT brace)
+      FROM c4
     """,
-    "lang_id": _lang_id_sql(),
-    "quality_filter": f"""
-      SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) AS stop_ratio,
-             (len({_TOKS}) >= 25 AND
-              round(len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a'))) / len({_TOKS}), 6) >= 0.02) AS keep
-      FROM documents
+    "split_contamination": f"""
+      WITH sh AS (
+        SELECT doc_id, array_to_string(t[x.i : x.i + 7], '_') AS s
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        CROSS JOIN LATERAL (
+          SELECT unnest(range(1, greatest(len(t) - 6, 1))) AS i
+        ) x
+        GROUP BY doc_id, s
+      ),
+      splits AS (
+        SELECT CASE
+          WHEN md5(CAST(doc_id AS VARCHAR) || ':0')
+            < '{tx.md5_split_cuts({"train": 0.98, "val": 0.01, "test": 0.01})[0][1]}'
+            THEN 'train'
+          WHEN md5(CAST(doc_id AS VARCHAR) || ':0')
+            < '{tx.md5_split_cuts({"train": 0.98, "val": 0.01, "test": 0.01})[1][1]}'
+            THEN 'val'
+          ELSE 'test' END AS k
+        FROM documents
+      )
+      SELECT 'split' AS variant, k, count(*) AS n1,
+             CAST(0 AS BIGINT) AS n2
+      FROM splits GROUP BY k
+      UNION ALL
+      SELECT 'contam', CAST(d.doc_id AS VARCHAR),
+             CAST(p.doc_id AS BIGINT), count(*)
+      FROM sh d JOIN sh p ON d.s = p.s AND p.doc_id % 100 = 0
+      GROUP BY d.doc_id, p.doc_id
     """,
     "ngram_counts": f"""
       WITH g AS (

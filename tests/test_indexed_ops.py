@@ -127,6 +127,16 @@ def test_sketch_index_incremental_equals_full(spark, sf_dir, tmp_path):
         a = sketch_index_estimate(inc, lo, hi).first()["n_users_est"]
         b = sketch_index_estimate(full, lo, hi).first()["n_users_est"]
         assert a == b, (lo, hi, a, b)
+    # accuracy: the stored-sketch estimate tracks the exact rescan
+    # answer within HLL error (the sketch_range_estimate gate twin)
+    est = sketch_index_estimate(inc, "0", "9999").first()["n_users_est"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # empty key range -> 0, not NULL
+    assert (
+        sketch_index_estimate(inc, "1901", "1902").first()["n_users_est"]
+        == 0
+    )
     # key pruning reaches the parquet scan
     plan = (
         inc.scan(start="2", end="3")

@@ -491,6 +491,16 @@ def test_sketch_rollup_distinct_users(spark, sf_dir):
         ).collect()
     }
     assert a == b and a
+    # empty range: global form reports 0 (not a NULL union estimate),
+    # grouped form simply has no rows
+    empty = distinct_users_between(hours, "1901-01-01", "1902-01-01")
+    assert empty.collect() == [(0,)] or empty.first()["n_users_est"] == 0
+    assert (
+        distinct_users_between(
+            hours, "1901-01-01", "1902-01-01", by_type=True
+        ).count()
+        == 0
+    )
     hours.unpersist()
 
 
@@ -547,3 +557,37 @@ def test_split_dataset_deterministic(spark, docs):
     }
     assert c != a  # seed moves the assignment
     assert set(a.values()) <= set(w)
+
+
+def test_split_dataset_md5_portable(spark, docs):
+    """The md5 hash variant is engine-portable: recomputing
+    md5(key || ':' || seed) with hashlib and cutting at the shared
+    hex boundaries reproduces Spark's assignment exactly — the
+    property that makes the split oracle-checkable and reproducible
+    outside Spark. Fractions still land near the weights."""
+    import hashlib
+    from collections import Counter
+
+    from level_mapreduce_spark.operators.text import (
+        md5_split_cuts,
+        split_dataset,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs, w, seed=7, hash_fn="md5").collect()
+    }
+    cuts = md5_split_cuts(w)
+
+    def expect(doc_id):
+        h = hashlib.md5(f"{doc_id}:7".encode()).hexdigest()
+        for name, bound in cuts:
+            if h < bound:
+                return name
+        return list(w)[-1]
+
+    assert got == {d: expect(d) for d in got}
+    n = len(got)
+    frac = {k: v / n for k, v in Counter(got.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.08
