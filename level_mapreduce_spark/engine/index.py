@@ -150,6 +150,10 @@ class MapIndex:
         self.auto_compact = auto_compact
         self.compaction_due = False
         self._downstreams: list[MapIndex] = []
+        # temp views registered via create_view(); re-registered after
+        # every mutation so SQL through a view never reads a stale
+        # file listing (see create_view)
+        self._views: set[str] = set()
         # (tomb epoch signature) -> bytes, so repeated read()s don't
         # re-walk the tombstone dir (getContentSummary is a recursive
         # listing — expensive on object stores).
@@ -305,6 +309,7 @@ class MapIndex:
             )
             for down in self._downstreams:
                 down.build(feed, assume_unique=True)
+        self._refresh_views()
         return self
 
     # -------------------------------------------------------------- update
@@ -356,7 +361,9 @@ class MapIndex:
             self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
         )
         if self.compaction_due and self.auto_compact:
-            self.compact()
+            self.compact()  # refreshes views itself
+        else:
+            self._refresh_views()
 
         feed = self.changes_feed(changed_keys)
         for down in self._downstreams:
@@ -534,7 +541,7 @@ class MapIndex:
         return Query(self.scan(start=start, end=end, key=key))
 
     def create_view(self, view_name: str | None = None) -> str:
-        """Register the live index as a temp view so ``spark.sql`` can
+        """Register the index as a temp view so ``spark.sql`` can
         query it directly — the SQL surface of the stored map.
 
         The view wraps :meth:`read` (tombstone-resolved rows), so
@@ -542,10 +549,27 @@ class MapIndex:
         down to the parquet segments exactly like :meth:`scan` bounds
         (Catalyst pushes filters through the view and the anti-join's
         preserved side). Returns the view name.
+
+        Freshness: a temp view captures the parquet file listing at
+        registration time, so THIS index re-registers every view it
+        created after each :meth:`build` / :meth:`update` /
+        :meth:`compact` — SQL through the view always sees the state
+        as of the last completed mutation (and never hits
+        FileNotFoundException on files a compaction deleted). Views
+        over the same store created by another MapIndex instance or
+        another Spark application get no such signal and DO go stale.
         """
         name = view_name or f"lmr_index_{self.name}"
         self.read().createOrReplaceTempView(name)
+        self._views.add(name)
         return name
+
+    def _refresh_views(self) -> None:
+        """Re-resolve every registered view against the current
+        segment/tombstone listing (mutations add or delete files; a
+        view holds the listing it was created with)."""
+        for name in self._views:
+            self.read().createOrReplaceTempView(name)
 
     # ------------------------------------------------------------ chaining
 
@@ -678,4 +702,5 @@ class MapIndex:
         _delete_path(self.spark, old)
         self._tomb_bytes_cache = None
         self.compaction_due = False
+        self._refresh_views()
         return self

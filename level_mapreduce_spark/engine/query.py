@@ -290,15 +290,18 @@ class Query:
         df = self._df
         vcol = self._vcol
         if limit_per_key is not None:
-            order_cols = [
-                c for c in ("doc_key", "emit_pos") if c in df.columns
-            ]
-            if not order_cols:
+            # BOTH order columns or refuse: with only one present, ties
+            # on it would make the kept-N set nondeterministic — the
+            # documented (doc_key, emit_pos) truncation order needs the
+            # full compound key
+            missing = {"doc_key", "emit_pos"} - set(df.columns)
+            if missing:
                 raise ValueError(
-                    "limit_per_key needs the (doc_key, emit_pos) order "
-                    "columns; this pipeline has projected them away"
+                    "limit_per_key needs BOTH (doc_key, emit_pos) order "
+                    f"columns for deterministic truncation; missing: "
+                    f"{sorted(missing)}"
                 )
-            w = Window.partitionBy("key").orderBy(*order_cols)
+            w = Window.partitionBy("key").orderBy("doc_key", "emit_pos")
             df = (
                 df.withColumn("_rk", F.row_number().over(w))
                 .where(F.col("_rk") <= limit_per_key)

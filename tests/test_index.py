@@ -249,3 +249,20 @@ def test_sql_view_over_index(spark, store):
     )  # d3 tombstoned away
     plan = rows._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "index_key" in plan
+    # the view stays fresh across mutations: update() after view
+    # creation is visible through SQL...
+    idx.update(
+        spark.createDataFrame(
+            [("d4", "d", 4.0)], "doc_key string, k string, v double"
+        )
+    )
+    assert (
+        spark.sql(
+            f"SELECT value FROM {view} WHERE index_key = 'd'"
+        ).first()["value"]
+        == 4.0
+    )
+    # ...and compact() (which DELETES the old segment files) does not
+    # leave the view pointing at vanished files
+    idx.compact()
+    assert spark.sql(f"SELECT count(*) n FROM {view}").first()["n"] == 3
