@@ -152,7 +152,13 @@ def _overwrite_index(spark: SparkSession, sf_dir: str) -> MapIndex:
 
 def _chained_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     """A: orders->(priority, price); B consumes A's output docs and
-    re-keys each pair as 'by_'||key (reference pipe, index.js:250-253)."""
+    re-keys each pair as 'by_'||key (reference pipe, index.js:250-253).
+
+    After the initial build, every 10th order is OVERWRITTEN with a
+    re-priced doc through A's update() — the incremental change must
+    cascade through the pipe into B (index.js:250-253 + 182-186
+    combined), so the hash gate checks chained propagation, not just
+    chained build."""
 
     def build():
         a = MapIndex(
@@ -176,7 +182,12 @@ def _chained_index(spark: SparkSession, sf_dir: str) -> MapIndex:
             spark, f"chain_b_{abs(hash(sf_dir)) % 10**8}", b_mapper, _store()
         )
         a.pipe(b)
-        a.build(load_table(spark, sf_dir, "orders"), assume_unique=True)
+        orders = load_table(spark, sf_dir, "orders")
+        a.build(orders, assume_unique=True)
+        upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        )
+        a.update(upd, assume_unique=True)
         return b
 
     return _cached(spark, sf_dir, "chain_b", build)
@@ -1281,7 +1292,9 @@ ORACLES: dict[str, str] = {
       FROM orders
     """,
     "chained_index": """
-      SELECT 'by_' || o_orderpriority AS index_key, o_totalprice AS value
+      SELECT 'by_' || o_orderpriority AS index_key,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice * 1.5 ELSE o_totalprice END AS value
       FROM orders
     """,
     "dedup_exact": """

@@ -76,6 +76,35 @@ def test_multi_emit(spark, store):
     assert [json.loads(v) for v in idx.get("k")] == [5, 3, 9]
 
 
+def test_get_emit_order_across_docs(spark, store):
+    """The executable spec for get()'s documented ordering contract
+    (SURVEY §7.3 hard part 2): values come back in (doc_key, emit_pos)
+    order — doc keys sorted, each doc's emits in emit order — the
+    deterministic stand-in for the reference's uuid-insertion order
+    (index.js:165-167, 236). Docs arrive deliberately out of key order."""
+
+    def mapper(doc):
+        v = json.loads(doc["value"])
+        return [("k", x) for x in v["items"]]
+
+    idx = MapIndex(spark, "emitorder", PythonMapper(mapper), store)
+    idx.build(
+        docs_df(
+            spark,
+            [
+                {"doc_key": "d2", "value": {"items": [20, 21]}},
+                {"doc_key": "d1", "value": {"items": [10, 11, 12]}},
+                {"doc_key": "d3", "value": {"items": [30]}},
+            ],
+        )
+    )
+    assert [json.loads(v) for v in idx.get("k")] == [10, 11, 12, 20, 21, 30]
+    # the order survives incremental maintenance: overwriting d1 keeps
+    # its (new) emits in its key slot
+    idx.update(docs_df(spark, [{"doc_key": "d1", "value": {"items": [99]}}]))
+    assert [json.loads(v) for v in idx.get("k")] == [99, 20, 21, 30]
+
+
 def test_empty_emit_unindexes(spark, store):
     """index.js:218-230 — mapping to [] removes prior emits."""
 
