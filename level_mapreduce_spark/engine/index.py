@@ -454,6 +454,9 @@ class MapIndex:
         sort: bool = False,
         limit: int | None = None,
         reverse: bool = False,
+        keys: bool = True,
+        values: bool = True,
+        raw: bool = False,
     ) -> DataFrame:
         """Range / prefix / full scan (reference createReadStream,
         index.js:124-138) with the *intended* end-bound semantics
@@ -465,13 +468,27 @@ class MapIndex:
         row-group skipping over the range-partitioned layout) — the
         LevelDB iterator-seek equivalent.
 
-        ``limit`` and ``reverse`` are levelup read-stream opts
-        passthroughs (reference index.js:124-137 forwards opts
-        verbatim): first/last N rows in key order. With ``sort``
-        (implied by limit) Spark plans it as distributed top-k
-        (TakeOrderedAndProject), never a global sort — for either
-        direction.
+        ``limit``, ``reverse``, ``keys``, ``values``, and ``raw`` are
+        the levelup read-stream opts passthroughs (reference
+        index.js:124-137 forwards opts verbatim):
+
+        - ``limit``/``reverse``: first/last N rows in key order; with
+          ``sort`` (implied by limit) Spark plans a distributed top-k
+          (TakeOrderedAndProject), never a global sort.
+        - ``keys=True, values=False``: key stream — ``index_key``
+          only. ``keys=False, values=True``: value stream — ``value``
+          only. Both false is an error (levelup yields undefined
+          entries; nothing meaningful to return).
+        - ``raw=True``: the undecoded stored record — the composite
+          storage key ``namespace\\x00index_key\\x00doc_key\\x00
+          emit_pos`` (the byteslice-tuple analog the reference's
+          DecodeStream parses apart, index.js:102-104) as ``raw_key``,
+          plus ``value``. Overrides keys/values.
         """
+        if not keys and not values and not raw:
+            raise ValueError(
+                "scan(keys=False, values=False): nothing to return"
+            )
         df = self.read()
         if key is not None:
             df = df.where(F.col("index_key") == key)
@@ -487,6 +504,21 @@ class MapIndex:
             df = df.orderBy(*order)
         if limit is not None:
             df = df.limit(limit)
+        if raw:
+            return df.select(
+                F.concat_ws(
+                    "\x00",
+                    F.lit(self.name),
+                    F.col("index_key"),
+                    F.col(DOC_KEY),
+                    F.col("emit_pos").cast("string"),
+                ).alias("raw_key"),
+                "value",
+            )
+        if not values:
+            return df.select("index_key")
+        if not keys:
+            return df.select("value")
         return df
 
     def get_df(self, key: str) -> DataFrame:

@@ -273,9 +273,12 @@ def q_range_scan(spark, sf_dir):
 
 
 def q_scan_bounds(spark, sf_dir):
-    """levelup limit + reverse passthroughs in one entry (registry is
-    capped at 50 driver-scored entries — near-duplicate operators ride
-    one tagged union): first 5 and last 5 in key order."""
+    """ALL the levelup read-stream opts passthroughs in one entry
+    (registry is capped at 50 driver-scored entries — near-duplicate
+    operators ride one tagged union): limit (first 5), reverse (last
+    5), keys-only stream, values-only stream, and the raw undecoded
+    record (composite storage key; the namespace prefix is stripped
+    before hashing since it embeds a per-process store id)."""
     idx = _orders_index(spark, sf_dir)
     fwd = idx.scan(limit=5).select(
         F.lit("fwd").alias("dir"), "index_key", "value", "doc_key"
@@ -283,7 +286,28 @@ def q_scan_bounds(spark, sf_dir):
     rev = idx.scan(limit=5, reverse=True).select(
         F.lit("rev").alias("dir"), "index_key", "value", "doc_key"
     )
-    return fwd.unionByName(rev)
+    keys = idx.scan(limit=5, values=False).select(
+        F.lit("keys").alias("dir"),
+        "index_key",
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("doc_key"),
+    )
+    vals = idx.scan(limit=5, keys=False).select(
+        F.lit("vals").alias("dir"),
+        F.lit("").alias("index_key"),
+        "value",
+        F.lit("").alias("doc_key"),
+    )
+    raw = idx.scan(limit=5, raw=True).select(
+        F.lit("raw").alias("dir"),
+        F.substring_index("raw_key", "\x00", -3).alias("index_key"),
+        "value",
+        F.lit("").alias("doc_key"),
+    )
+    out = fwd.unionByName(rev)
+    for part in (keys, vals, raw):
+        out = out.unionByName(part)
+    return out
 
 
 def q_multi_emit(spark, sf_dir):
@@ -1224,13 +1248,14 @@ ORACLES: dict[str, str] = {
       WHERE o_orderpriority >= '2' AND o_orderpriority < '4'
     """,
     "scan_bounds": """
-      SELECT 'fwd' AS dir, * FROM (
+      WITH fwd5 AS (
         SELECT o_orderpriority AS index_key, o_totalprice AS value,
                CAST(o_orderkey AS VARCHAR) AS doc_key
         FROM orders
         ORDER BY o_orderpriority, CAST(o_orderkey AS VARCHAR)
         LIMIT 5
       )
+      SELECT 'fwd' AS dir, * FROM fwd5
       UNION ALL
       SELECT 'rev', * FROM (
         SELECT o_orderpriority AS index_key, o_totalprice AS value,
@@ -1239,6 +1264,15 @@ ORACLES: dict[str, str] = {
         ORDER BY o_orderpriority DESC, CAST(o_orderkey AS VARCHAR) DESC
         LIMIT 5
       )
+      UNION ALL
+      SELECT 'keys', index_key, 0.0, '' FROM fwd5
+      UNION ALL
+      SELECT 'vals', '', value, '' FROM fwd5
+      UNION ALL
+      SELECT 'raw',
+             index_key || chr(0) || doc_key || chr(0) || '0',
+             value, ''
+      FROM fwd5
     """,
     "multi_emit": """
       SELECT o_orderpriority || '|P' AS index_key, o_totalprice AS value

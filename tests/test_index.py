@@ -243,6 +243,31 @@ def test_get_meta(spark, store):
     assert idx.get_meta("d1") == []
 
 
+def test_scan_keys_values_raw_passthroughs(spark, store):
+    """The remaining levelup read-stream opts (reference forwards opts
+    verbatim, index.js:124-137): keys-only stream, values-only stream,
+    and the raw undecoded record with its composite storage key."""
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    docs = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "b", 2.0)],
+        "doc_key string, k string, v double",
+    )
+    idx = MapIndex(spark, "passthru", mapper, store).build(docs)
+    assert idx.scan(values=False, sort=True).columns == ["index_key"]
+    assert [r["index_key"] for r in idx.scan(values=False, sort=True).collect()] == ["a", "b"]
+    assert idx.scan(keys=False, sort=True).columns == ["value"]
+    assert [r["value"] for r in idx.scan(keys=False, sort=True).collect()] == [1.0, 2.0]
+    raw = idx.scan(raw=True, sort=True).collect()
+    assert [r["raw_key"] for r in raw] == [
+        "passthru\x00a\x00d1\x000",
+        "passthru\x00b\x00d2\x000",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        idx.scan(keys=False, values=False)
+
+
 def test_sql_view_over_index(spark, store):
     """spark.sql over the registered view returns tombstone-resolved
     rows, and SQL key predicates reach the parquet scan (the same
