@@ -77,6 +77,55 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel progression per user: the furthest stage ``k``
+    such that events of types ``stages[0..k-1]`` occur as a
+    subsequence of the user's history in (ts, event_id) order —
+    the classic conversion-funnel operator (view → click → purchase).
+
+    Greedy earliest-match is exact for subsequence existence (taking
+    the first eligible match never forecloses a longer match), so one
+    pass over the per-user sorted event array suffices: a single
+    shuffle on user_id, then a pure-Column ``aggregate`` fold — no
+    UDF, no per-stage join cascade. Returns (user_id, stage) with
+    stage in [0, len(stages)]; every user appears (stage 0 = never
+    entered the funnel).
+
+    Scale note: the per-user array is bounded by one user's event
+    count. For whale entities that break that bound, reformulate as
+    ``len(stages)`` sequential conditional-min aggregations (one
+    shuffle per stage, no array) — the same greedy semantics; this
+    array form is the fewer-shuffles default for human-scale keys.
+    """
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").cast("long").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    fold = F.aggregate(
+        F.col("_evs"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < len(stages))
+            & (e["et"] == F.element_at(stage_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return (
+        events.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(evs.alias("_evs"))
+        .select("user_id", fold.cast("long").alias("stage"))
+    )
+
+
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Exact interpolated percentiles (p50/p95/p99) of event value per
     event_type — Spark's ``percentile`` is the same linear-interpolation

@@ -810,7 +810,21 @@ def q_events_window(spark, sf_dir):
 
 
 def q_events_running(spark, sf_dir):
-    return ev.running_number(load_table(spark, sf_dir, "events"))
+    """Per-user sequencing BOTH ways in one tagged union: running
+    event numbers (window function) and ordered-funnel progression
+    (view → click → purchase greedy subsequence fold) — the funnel's
+    per-user stage rides the ``rn`` slot."""
+    events = load_table(spark, sf_dir, "events")
+    run = ev.running_number(events).select(
+        F.lit("run").alias("variant"), "event_id", "user_id", "rn"
+    )
+    fun = ev.funnel_stages(events).select(
+        F.lit("funnel").alias("variant"),
+        F.lit(0).cast("long").alias("event_id"),
+        "user_id",
+        F.col("stage").alias("rn"),
+    )
+    return run.unionByName(fun)
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -1592,12 +1606,45 @@ ORACLES: dict[str, str] = {
       SELECT 'stream', * FROM w
     """,
     "events_running": """
-      SELECT CAST(event_id AS BIGINT) AS event_id,
+      WITH ord AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+               CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS pos
+        FROM events
+      ),
+      s1 AS (
+        SELECT user_id, min(pos) AS p FROM ord
+        WHERE event_type = 'view' GROUP BY user_id
+      ),
+      s2 AS (
+        SELECT o.user_id, min(o.pos) AS p FROM ord o
+        JOIN s1 USING (user_id)
+        WHERE o.event_type = 'click' AND o.pos > s1.p
+        GROUP BY o.user_id
+      ),
+      s3 AS (
+        SELECT o.user_id, min(o.pos) AS p FROM ord o
+        JOIN s2 USING (user_id)
+        WHERE o.event_type = 'purchase' AND o.pos > s2.p
+        GROUP BY o.user_id
+      )
+      SELECT 'run' AS variant, CAST(event_id AS BIGINT) AS event_id,
              CAST(user_id AS BIGINT) AS user_id,
              CAST(row_number() OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS BIGINT) AS rn
       FROM events
+      UNION ALL
+      SELECT 'funnel', CAST(0 AS BIGINT), u.user_id,
+             CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                       WHEN s2.user_id IS NOT NULL THEN 2
+                       WHEN s1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM ord) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
     """,
     "events_sessionize": """
       WITH flagged AS (

@@ -201,6 +201,40 @@ def test_hll_sketch_error_bound(spark, sf_dir):
         assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
 
 
+def test_funnel_stages_subsequence_semantics(spark):
+    """Greedy ordered-subsequence matching: stages must occur in
+    (ts, event_id) order; out-of-order completions don't count; users
+    with no funnel events report stage 0; a decoy first-stage event
+    after the real one cannot block progression (greedy correctness)."""
+    from level_mapreduce_spark.operators.events import funnel_stages
+
+    rows = [
+        # u1: view -> click -> purchase in order => 3
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        # u2: purchase BEFORE view+click => only view->click counts => 2
+        (4, "2024-01-01 09:00:00", 2, "purchase"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        (6, "2024-01-01 10:01:00", 2, "click"),
+        # u3: only unrelated events => 0
+        (7, "2024-01-01 10:00:00", 3, "error"),
+        # u4: view, view, click, purchase — greedy takes the FIRST
+        # view and still completes => 3
+        (8, "2024-01-01 10:00:00", 4, "view"),
+        (9, "2024-01-01 10:00:30", 4, "view"),
+        (10, "2024-01-01 10:01:00", 4, "click"),
+        (11, "2024-01-01 10:02:00", 4, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r["stage"] for r in funnel_stages(events).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 0, 4: 3}
+
+
 def test_sessionize_gap_semantics(spark):
     import datetime as dt
 
