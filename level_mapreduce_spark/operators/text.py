@@ -626,19 +626,84 @@ def split_dataset(
     return docs.withColumn("split", expr)
 
 
+def md5_fraction_bound(fraction: float) -> str:
+    """The 32-digit lowercase-hex string below which ``fraction`` of
+    uniformly-distributed md5 digests sort (hex-string comparison ==
+    numeric comparison at fixed width)."""
+    return format(min(int(fraction * 16**32), 16**32 - 1), "032x")
+
+
 def md5_split_cuts(weights: dict[str, float]) -> list[tuple[str, str]]:
     """(split name, upper-bound hex digest) cut points for the md5
-    split: the 32-digit lowercase-hex string below which the split's
-    cumulative weight fraction of uniformly-distributed md5 digests
-    sort (hex-string comparison == numeric comparison at fixed width).
-    The single source of truth for both the Spark path and any
-    external SQL restatement — same accumulation order, same floats,
-    so boundaries can never drift by an ulp between engines."""
+    split: cumulative-weight fractions rendered via
+    :func:`md5_fraction_bound`. The single source of truth for both
+    the Spark path and any external SQL restatement — same
+    accumulation order, same floats, so boundaries can never drift by
+    an ulp between engines."""
     total = sum(weights.values())
     acc, cuts = 0.0, []
     for name, w in weights.items():
         acc += w / total
-        cuts.append(
-            (name, format(min(int(acc * 16**32), 16**32 - 1), "032x"))
-        )
+        cuts.append((name, md5_fraction_bound(acc)))
     return cuts
+
+
+def sample_by_key(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic stratified downsampling — the mixture-rebalancing
+    primitive: keep a document iff its key hash lands below its
+    stratum's keep-rate (e.g. downsample an overrepresented language
+    or source toward a target mixture). Unlike ``DataFrame.sampleBy``
+    this is stable across runs, partitionings, AND corpus growth — a
+    kept doc stays kept when new docs arrive, so incrementally-grown
+    corpora never resample history. Narrow transform, zero shuffle,
+    100 TB-parallel.
+
+    ``hash_fn="md5"`` is the engine-portable variant (same contract
+    as :func:`split_dataset`): any SQL engine reproduces the exact
+    keep set by comparing ``md5(key || ':' || seed)`` against
+    :func:`md5_fraction_bound` hex cut points.
+
+    Adds a boolean ``sampled`` column (filter on it to materialize
+    the sample; keeping the flag supports audit queries).
+    """
+    if hash_fn == "xxhash64":
+        u = (
+            F.xxhash64(F.col(key_col), F.lit(seed)) / F.lit(2.0**64)
+        ) + F.lit(0.5)
+        keep = F.lit(None).cast("boolean")
+        for name, rate in rates.items():
+            keep = F.when(
+                F.col(stratum_col) == name, u < F.lit(rate)
+            ).otherwise(keep)
+        keep = F.coalesce(keep, u < F.lit(default_rate))
+    elif hash_fn == "md5":
+        h = F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit(":"), F.lit(str(seed))
+            )
+        )
+
+        # rate >= 1 keeps ALL docs (a strict '< ffff…f' compare would
+        # drop the one-in-16^32 all-f digest)
+        def below(rate):
+            if rate >= 1.0:
+                return F.lit(True)
+            return h < F.lit(md5_fraction_bound(rate))
+
+        keep = F.lit(None).cast("boolean")
+        for name, rate in rates.items():
+            keep = F.when(
+                F.col(stratum_col) == name, below(rate)
+            ).otherwise(keep)
+        keep = F.coalesce(keep, below(default_rate))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return docs.withColumn("sampled", keep)

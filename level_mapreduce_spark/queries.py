@@ -606,10 +606,13 @@ def q_text_clean(spark, sf_dir):
 
 def q_split_contamination(spark, sf_dir):
     """Training-corpus governance in one tagged union: deterministic
-    train/val/test split counts (md5 hash variant — engine-portable,
-    so the assignment itself is oracle-checked, not just the
-    proportions) and benchmark-contamination pairs (which docs share a
-    word 8-gram with a probe set = every 100th document)."""
+    train/val/test split counts, stratified downsampling counts
+    (keep 35% of 'en', 80% of 'zh', all else — the mixture-rebalance
+    primitive), and benchmark-contamination pairs (which docs share a
+    word 8-gram with a probe set = every 100th document). The split
+    and sample use the md5 hash variant — engine-portable, so the
+    exact per-doc assignments are oracle-checked, not just
+    proportions."""
     docs = _docs(spark, sf_dir)
     split_rows = (
         tx.split_dataset(docs, hash_fn="md5")
@@ -622,6 +625,17 @@ def q_split_contamination(spark, sf_dir):
             F.lit(0).cast("long").alias("n2"),
         )
     )
+    sample_rows = (
+        tx.sample_by_key(
+            docs, rates={"en": 0.35, "zh": 0.8}, hash_fn="md5"
+        )
+        .groupBy(F.col("lang").alias("k"))
+        .agg(
+            F.count_if(F.col("sampled")).alias("n1"),
+            F.count("*").alias("n2"),
+        )
+        .select(F.lit("sample").alias("variant"), "k", "n1", "n2")
+    )
     probes = docs.where(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("probe_id"), "text"
     )
@@ -631,7 +645,7 @@ def q_split_contamination(spark, sf_dir):
         F.col("probe_id").alias("n1"),
         F.col("n_overlap").alias("n2"),
     )
-    return split_rows.unionByName(contam_rows)
+    return split_rows.unionByName(sample_rows).unionByName(contam_rows)
 
 
 def q_pack_documents(spark, sf_dir):
@@ -1434,6 +1448,16 @@ ORACLES: dict[str, str] = {
       SELECT 'split' AS variant, k, count(*) AS n1,
              CAST(0 AS BIGINT) AS n2
       FROM splits GROUP BY k
+      UNION ALL
+      SELECT 'sample', lang, count(*) FILTER (
+               CASE lang
+                 WHEN 'en' THEN md5(CAST(doc_id AS VARCHAR) || ':0')
+                   < '{tx.md5_fraction_bound(0.35)}'
+                 WHEN 'zh' THEN md5(CAST(doc_id AS VARCHAR) || ':0')
+                   < '{tx.md5_fraction_bound(0.8)}'
+                 ELSE true END
+             ), count(*)
+      FROM documents GROUP BY lang
       UNION ALL
       SELECT 'contam', CAST(d.doc_id AS VARCHAR),
              CAST(p.doc_id AS BIGINT), count(*)

@@ -625,3 +625,41 @@ def test_split_dataset_md5_portable(spark, docs):
     n = len(got)
     frac = {k: v / n for k, v in Counter(got.values()).items()}
     assert abs(frac["train"] - 0.8) < 0.08
+
+
+def test_sample_by_key_stratified(spark, docs):
+    """Stratified deterministic sampling: per-stratum keep fractions
+    track the requested rates, unlisted strata keep everything at the
+    default rate, the keep set is stable under repartitioning, and the
+    md5 variant is reproducible outside Spark via hashlib."""
+    import hashlib
+
+    from level_mapreduce_spark.operators.text import (
+        md5_fraction_bound,
+        sample_by_key,
+    )
+
+    rates = {"en": 0.3}
+    out = sample_by_key(docs, rates, hash_fn="md5").select(
+        "doc_id", "lang", "sampled"
+    )
+    rows = out.collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    other = [r for r in rows if r["lang"] != "en"]
+    kept_en = sum(r["sampled"] for r in en) / len(en)
+    assert abs(kept_en - 0.3) < 0.12
+    assert all(r["sampled"] for r in other)  # default_rate=1.0 keeps all
+    # portability: hashlib reproduces the exact keep set
+    bound = md5_fraction_bound(0.3)
+    for r in en:
+        assert r["sampled"] == (
+            hashlib.md5(f"{r['doc_id']}:0".encode()).hexdigest() < bound
+        )
+    # stable under repartitioning
+    again = {
+        r["doc_id"]: r["sampled"]
+        for r in sample_by_key(
+            docs.repartition(7), rates, hash_fn="md5"
+        ).select("doc_id", "sampled").collect()
+    }
+    assert again == {r["doc_id"]: r["sampled"] for r in rows}
