@@ -573,6 +573,37 @@ def c4_line_filter(
     )
 
 
+def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse repeated lines within each document, keeping the first
+    occurrence in order — the cheap intra-document boilerplate pass
+    (navigation, headers, cookie banners repeated through a page) that
+    runs before any corpus-level dedup.
+
+    Plan: staged line array + an index-aware filter keeping position
+    ``i`` iff the line's FIRST occurrence is ``i`` (explicit
+    first-position semantics on both engines; array_distinct's
+    ordering is an implementation detail we don't rely on).
+    ``array_position`` is O(lines) per element — O(lines²) per doc,
+    fine at page-scale line counts; a posexplode + min(pos)-window
+    twin is the shuffle-based alternative for pathological documents.
+    Narrow transform, zero shuffle.
+
+    Returns (doc_id, n_lines, n_unique_lines, deduped_text).
+    """
+    staged = docs.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    lines = F.col("_lines")
+    staged = staged.withColumn(
+        "_kept",
+        F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1),
+    )
+    return staged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_unique_lines"),
+        F.array_join("_kept", "\n").alias("deduped_text"),
+    )
+
+
 def split_dataset(
     docs: DataFrame,
     weights: dict[str, float] | None = None,

@@ -573,10 +573,12 @@ def q_text_profile(spark, sf_dir):
 
 def q_text_clean(spark, sf_dir):
     """Corpus-cleaning transforms in one tagged union: PII scrubbing
-    (span redaction + per-kind counts) and C4-style line filtering
-    (Raffel et al. 2020 §2.2). Both use explicit-ASCII regexes chosen
-    so Java regex and DuckDB RE2 agree — the whole entry is
-    oracle-exact, scrubbed/clean text included."""
+    (span redaction + per-kind counts), C4-style line filtering
+    (Raffel et al. 2020 §2.2), and intra-document line dedup
+    (first-occurrence boilerplate collapse). Explicit-ASCII regexes
+    and explicit first-position semantics chosen so Spark and DuckDB
+    agree — the whole entry is oracle-exact, transformed text
+    included."""
     docs = _docs(spark, sf_dir)
     pii = tx.scrub_pii(docs)
     c4 = tx.c4_line_filter(docs)
@@ -601,7 +603,16 @@ def q_text_clean(spark, sf_dir):
         F.col("clean_text").alias("txt"),
         "keep",
     )
-    return pii_rows.unionByName(c4_rows)
+    line_rows = tx.dedup_lines(docs).select(
+        F.lit("lines").alias("variant"),
+        "doc_id",
+        F.col("n_lines").alias("n_a"),
+        F.col("n_unique_lines").alias("n_b"),
+        zero.alias("n_c"),
+        F.col("deduped_text").alias("txt"),
+        (F.col("n_unique_lines") == F.col("n_lines")).alias("keep"),
+    )
+    return pii_rows.unionByName(c4_rows).unionByName(line_rows)
 
 
 def q_split_contamination(spark, sf_dir):
@@ -1424,6 +1435,19 @@ ORACLES: dict[str, str] = {
              coalesce(array_to_string(kept, chr(10)), ''),
              (len(kept) > 0 AND NOT brace)
       FROM c4
+      UNION ALL
+      SELECT 'lines', doc_id, CAST(len(ls) AS BIGINT),
+             CAST(len(uq) AS BIGINT), CAST(0 AS BIGINT),
+             coalesce(array_to_string(uq, chr(10)), ''),
+             (len(uq) = len(ls))
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(text, chr(10)) AS ls,
+               list_filter(string_split(text, chr(10)),
+                 (l, i) -> list_position(string_split(text, chr(10)), l) = i
+               ) AS uq
+        FROM documents
+      )
     """,
     "split_contamination": f"""
       WITH sh AS (

@@ -567,6 +567,25 @@ def test_contamination_check(spark, docs):
     assert contamination_check(docs, probes, k=8).count() == 0
 
 
+def test_dedup_lines_first_occurrence(spark):
+    """Repeated lines collapse to their first occurrence, order
+    preserved; unique documents pass through untouched."""
+    from level_mapreduce_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nreal content.\nnav bar\nmore content.\nnav bar"),
+            (2, "a\nb\nc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert rows[1]["deduped_text"] == "nav bar\nreal content.\nmore content."
+    assert (rows[1]["n_lines"], rows[1]["n_unique_lines"]) == (5, 3)
+    assert rows[2]["deduped_text"] == "a\nb\nc"
+    assert rows[2]["n_unique_lines"] == 3
+
+
 def test_split_dataset_deterministic(spark, docs):
     """Same doc -> same split across runs and repartitionings; split
     fractions land near the requested weights; different seeds give
