@@ -39,6 +39,35 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows per event_type: every
+    event lands in ``window/slide`` overlapping windows (4 for
+    1h/15min) — the trailing-window rate/revenue view tumbling
+    windows can't express. Same output shape as
+    :func:`windowed_counts`: (ws, event_type, n, total).
+
+    Spark's ``window()`` generates the per-event window set inline
+    (a generator, no self-join), then one shuffle on the
+    (window, type) key — rows amplify by window/slide before the
+    map-side partial agg, so keep the ratio modest at scale (4-8) or
+    pre-aggregate to tumbling-slide-size buckets and roll up."""
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("_w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .select(F.col("_w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
 def running_number(events: DataFrame) -> DataFrame:
     """Per-user event sequence number in time order (deterministic
     tie-break on event_id): (event_id, user_id, rn)."""

@@ -327,22 +327,46 @@ def q_count_by_key(spark, sf_dir):
 
 
 def q_group_collect(spark, sf_dir):
-    """Operator #15: key -> [values] (intent, not the reference bugs).
+    """Operator #15 (key -> [values], intent not the reference bugs)
+    plus the WindowGroupLimit top-k building block in one tagged
+    union: the full grouped array and the top-3-by-value
+    rank-truncated form (``topk_per_key`` — map tasks pre-truncate to
+    k rows per key BEFORE the shuffle, the hot-key-safe sibling of
+    group's collect). Arrays ride as CSV with decimal-exact element
+    rendering: the driver's hash canonicalizer cannot hash array
+    cells; the underlying operators still return real arrays/rows."""
+    from level_mapreduce_spark.operators.joins import topk_per_key
 
-    The grouped array is emitted CSV-serialized (decimal-exact element
-    rendering) because the driver's hash canonicalizer cannot hash
-    array-typed cells; Query.group itself still returns the real
-    array<double> column."""
-    df = _orders_index(spark, sf_dir).query().group().df
-    return df.select(
-        "key",
-        F.array_join(
-            F.transform(
-                "results", lambda v: v.cast("decimal(18,2)").cast("string")
-            ),
+    idx = _orders_index(spark, sf_dir)
+
+    def csv(arr):
+        return F.array_join(
+            F.transform(arr, lambda v: v.cast("decimal(18,2)").cast("string")),
             ",",
-        ).alias("results_csv"),
+        )
+
+    grouped = _orders_index(spark, sf_dir).query().group().df.select(
+        F.lit("group").alias("variant"),
+        "key",
+        csv(F.col("results")).alias("results_csv"),
     )
+    top = topk_per_key(
+        idx.read(),
+        "index_key",
+        [F.col("value").desc(), F.col("doc_key")],
+        3,
+        rank_col="rk",
+    )
+    topk_rows = (
+        top.groupBy(F.col("index_key").alias("key"))
+        .agg(F.array_sort(F.collect_list(F.struct("rk", "value"))).alias("_t"))
+        .select(
+            F.lit("topk").alias("variant"),
+            "key",
+            csv(F.transform("_t", lambda s: s["value"])).alias("results_csv"),
+        )
+    )
+    return grouped.unionByName(topk_rows)
 
 
 def q_group_finish(spark, sf_dir):
@@ -700,19 +724,38 @@ def q_join_broadcast(spark, sf_dir):
 
 def q_join_large(spark, sf_dir):
     """Fact-fact join (lineitem x orders) shuffled on the join key,
-    aggregated to revenue per order priority (decimal-exact)."""
+    aggregated to revenue per order priority (decimal-exact) — BOTH
+    plan strategies in one tagged union: the plain shuffled join (AQE
+    covers one-sided skew) and the deterministic salted rewrite for
+    keys hot on both sides. Identical results by construction, so one
+    oracle gates both plans."""
+    from level_mapreduce_spark.operators.joins import salted_join
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("o_orderpriority")
-        .agg(
+
+    def agg(joined, tag):
+        return joined.groupBy("o_orderpriority").agg(
             F.count("*").alias("n"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
                 "revenue"
             ),
-        )
+        ).select(F.lit(tag).alias("variant"), "o_orderpriority", "n", "revenue")
+
+    plain = agg(
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]),
+        "plain",
     )
+    salted = agg(
+        salted_join(
+            lineitem,
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            on="l_orderkey",
+            n_salts=8,
+        ),
+        "salted",
+    )
+    return plain.unionByName(salted)
 
 
 def q_set_except(spark, sf_dir):
@@ -805,22 +848,26 @@ def q_rollup(spark, sf_dir):
 
 
 def q_events_window(spark, sf_dir):
-    """Tumbling 1-hour windows BOTH ways in one tagged union: the batch
-    groupBy operator AND the watermarked streaming window operator
-    (events replayed as an availableNow file stream into a
-    complete-mode memory sink, so every window emits — append mode
-    would hold back windows the watermark never passes). ``total`` is
-    emitted as exact integer CENTS (bigint): Spark's and DuckDB's
-    sum(decimal(18,2)) widen to different decimal types that the driver
-    hash canonicalizer renders differently even when values are equal —
-    the same quirk fixed for rollup/cube in round 5. Window start as
-    epoch micros (timestamp cells are likewise canonicalizer-unsafe)."""
+    """Event-time windows THREE ways in one tagged union: tumbling
+    1-hour batch, the same tumbling aggregation through the
+    watermarked streaming operator (events replayed as an availableNow
+    file stream into a complete-mode memory sink, so every window
+    emits — append mode would hold back windows the watermark never
+    passes), and sliding 1-hour/15-minute windows (each event in 4
+    overlapping windows). ``total`` is emitted as exact integer CENTS
+    (bigint): Spark's and DuckDB's sum(decimal(18,2)) widen to
+    different decimal types that the driver hash canonicalizer renders
+    differently even when values are equal — the same quirk fixed for
+    rollup/cube in round 5. Window start as epoch micros (timestamp
+    cells are likewise canonicalizer-unsafe)."""
     from level_mapreduce_spark.streaming.windows import windowed_counts_stream
 
-    batch = ev.windowed_counts(load_table(spark, sf_dir, "events"))
+    events = load_table(spark, sf_dir, "events")
+    batch = ev.windowed_counts(events)
     stream = _replay_events_stream(
         spark, sf_dir, windowed_counts_stream, "lmr_win_gate", "complete"
     )
+    sliding = ev.sliding_counts(events)
 
     def proj(df, tag):
         return df.select(
@@ -831,7 +878,11 @@ def q_events_window(spark, sf_dir):
             (F.col("total") * 100).cast("long").alias("total_cents"),
         )
 
-    return proj(batch, "batch").unionByName(proj(stream, "stream"))
+    return (
+        proj(batch, "batch")
+        .unionByName(proj(stream, "stream"))
+        .unionByName(proj(sliding, "sliding"))
+    )
 
 
 def q_events_running(spark, sf_dir):
@@ -1326,13 +1377,29 @@ ORACLES: dict[str, str] = {
       SELECT '<total>', count(*) FROM orders
     """,
     "group_collect": """
-      SELECT o_orderpriority AS key,
+      WITH ranked AS (
+        SELECT o_orderpriority AS key, o_totalprice AS v,
+               row_number() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)
+               ) AS rk
+        FROM orders
+      )
+      SELECT 'group' AS variant, o_orderpriority AS key,
              array_to_string(
                list_transform(
                  list(o_totalprice ORDER BY CAST(o_orderkey AS VARCHAR)),
                  v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
                ',') AS results_csv
       FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'topk', key,
+             array_to_string(
+               list_transform(
+                 list(v ORDER BY rk),
+                 v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
+               ',')
+      FROM ranked WHERE rk <= 3 GROUP BY key
     """,
     "group_finish": """
       SELECT o_orderpriority AS key, min(o_totalprice) AS result
@@ -1580,10 +1647,15 @@ ORACLES: dict[str, str] = {
       GROUP BY c_mktsegment
     """,
     "join_large": """
-      SELECT o_orderpriority, count(*) AS n,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority
+      WITH j AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+      )
+      SELECT 'plain' AS variant, * FROM j
+      UNION ALL
+      SELECT 'salted', * FROM j
     """,
     "asof_join": """
       SELECT CAST(c.event_id AS BIGINT) AS event_id,
@@ -1648,10 +1720,21 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
                  AS total_cents
         FROM events GROUP BY 1, 2
+      ),
+      s AS (
+        SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                        - k.k * INTERVAL '15 minutes') AS ws_us,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS total_cents
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        GROUP BY 1, 2
       )
       SELECT 'batch' AS variant, * FROM w
       UNION ALL
       SELECT 'stream', * FROM w
+      UNION ALL
+      SELECT 'sliding', * FROM s
     """,
     "events_running": """
       WITH ord AS (
