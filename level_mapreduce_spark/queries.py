@@ -512,7 +512,29 @@ def q_chained(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_dedup(_docs(spark, sf_dir))
+    """Exact content-hash dedup BOTH ways in one tagged union: the
+    batch canonical-doc pick AND the first-arrival-wins streaming
+    operator (documents replayed as an availableNow file stream
+    through ``dedup_stream``). Which row survives inside a streaming
+    micro-batch is engine-arbitrary, so the stream variant hashes only
+    its deterministic surface — the distinct content-hash KEY SET
+    (result slot pinned to 0); the batch variant keeps the full
+    (hash, canonical doc) mapping."""
+    from level_mapreduce_spark.streaming.dedup import dedup_stream
+
+    batch = dd.exact_dedup(_docs(spark, sf_dir)).select(
+        F.lit("batch").alias("variant"), "key", "result"
+    )
+    kept = _replay_events_stream(
+        spark, sf_dir, dedup_stream, "lmr_dedup_gate", "append",
+        table="documents",
+    )
+    stream = kept.select(
+        F.lit("stream").alias("variant"),
+        F.col("content_hash").alias("key"),
+        F.lit(0).cast("long").alias("result"),
+    )
+    return batch.unionByName(stream)
 
 
 def q_dedup_minhash_ngram(spark, sf_dir):
@@ -932,9 +954,14 @@ def _sessionize_via_stream(spark, sf_dir) -> DataFrame:
 
 
 def _replay_events_stream(
-    spark, sf_dir, transform, query_name: str, output_mode: str
+    spark,
+    sf_dir,
+    transform,
+    query_name: str,
+    output_mode: str,
+    table: str = "events",
 ) -> DataFrame:
-    """Replay the events table as an availableNow file stream through
+    """Replay a testdata table as an availableNow file stream through
     ``transform`` into a memory sink and return the materialized table.
     Raises on drain timeout — a partial table would surface downstream
     as a baffling oracle hash mismatch instead of a clear failure. The
@@ -952,11 +979,11 @@ def _replay_events_stream(
         src = _os.path.join(work, "src")
         _os.makedirs(src)
         _shutil.copy(
-            _os.path.join(sf_dir, "events.parquet"),
-            _os.path.join(src, "events.parquet"),
+            _os.path.join(sf_dir, f"{table}.parquet"),
+            _os.path.join(src, f"{table}.parquet"),
         )
         q = (
-            transform(stream_table(spark, src, sf_dir, "events"))
+            transform(stream_table(spark, src, sf_dir, table))
             .writeStream.format("memory")
             .queryName(query_name)
             .outputMode(output_mode)
@@ -1095,18 +1122,21 @@ def q_neardup_cosine_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> Arrow-batched feature
-    extraction (deterministic fake decoder; rows-only check — byte-level
-    decode is not expressible in DuckDB SQL)."""
+    """ALL THREE multimodal plumbing shapes in one tagged union
+    (rows-only check — byte-level decode is not expressible in DuckDB
+    SQL): Arrow-batched feature extraction (1:1), image resize (1:1,
+    binary in/out), and video frame sampling (1:N expansion). Codecs
+    are the documented deterministic fakes; the Spark-side schema,
+    batching, and cardinality behavior are the real contract."""
     media = mm.attach_fake_media(_docs(spark, sf_dir))
-    feats = mm.extract_features(media)
-    # the feature vector is emitted CSV-serialized at 6dp: rows-only
-    # entries still pass through the driver's canonicalizer, which
-    # cannot hash array-typed cells
-    return feats.select(
+    feats = mm.extract_features(media).select(
+        F.lit("features").alias("variant"),
         "media_id",
         "n_bytes",
         "checksum",
+        # the feature vector rides CSV-serialized at 6dp: rows-only
+        # entries still pass through the driver's canonicalizer, which
+        # cannot hash array-typed cells
         F.array_join(
             F.transform(
                 "features",
@@ -1115,6 +1145,23 @@ def q_multimodal_features(spark, sf_dir):
             ",",
         ).alias("features_csv"),
     )
+    resized = mm.resize_images(media).select(
+        F.lit("resize").alias("variant"),
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.crc32("payload").alias("checksum"),
+        F.concat_ws(
+            ",", F.col("width").cast("string"), F.col("height").cast("string")
+        ).alias("features_csv"),
+    )
+    frames = mm.sample_frames(media).select(
+        F.lit("frames").alias("variant"),
+        "media_id",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.crc32("frame").alias("checksum"),
+        F.col("frame_idx").cast("string").alias("features_csv"),
+    )
+    return feats.unionByName(resized).unionByName(frames)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1438,7 +1485,11 @@ ORACLES: dict[str, str] = {
       FROM orders
     """,
     "dedup_exact": """
-      SELECT md5(text) AS key, min(CAST(doc_id AS BIGINT)) AS result
+      SELECT 'batch' AS variant, md5(text) AS key,
+             min(CAST(doc_id AS BIGINT)) AS result
+      FROM documents GROUP BY md5(text)
+      UNION ALL
+      SELECT 'stream', md5(text), CAST(0 AS BIGINT)
       FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_ngram": f"""
