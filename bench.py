@@ -256,11 +256,38 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     timed("asof_join", asof)
 
-    from level_mapreduce_spark.operators.events import sessionize, windowed_counts
+    from level_mapreduce_spark.operators.events import (
+        funnel_stages,
+        sessionize,
+        sliding_counts,
+        windowed_counts,
+    )
 
     events = load_table(spark, sf_dir, "events")
     timed("events_window", lambda: materialize(windowed_counts(events)))
     timed("events_sessionize", lambda: materialize(sessionize(events)))
+    timed("events_funnel", lambda: materialize(funnel_stages(events)))
+    timed("events_sliding", lambda: materialize(sliding_counts(events)))
+
+    # corpus cleaning + governance (narrow transforms — the per-doc
+    # cost IS the number; zero shuffle by design)
+    from level_mapreduce_spark.operators.text import (
+        c4_line_filter,
+        dedup_lines,
+        sample_by_key,
+        scrub_pii,
+        split_dataset,
+    )
+
+    timed("scrub_pii", lambda: materialize(scrub_pii(docs)))
+    timed("c4_line_filter", lambda: materialize(c4_line_filter(docs)))
+    timed("dedup_lines", lambda: materialize(dedup_lines(docs)))
+    timed(
+        "split_sample",
+        lambda: materialize(
+            sample_by_key(split_dataset(docs), rates={"en": 0.35})
+        ),
+    )
 
     # continuous-aggregate sketch store: one-time build + O(affected
     # buckets) fold of a 10% tail batch
