@@ -264,12 +264,24 @@ class Query:
         self,
         finish: Callable[[Column], Column] | None = None,
         limit_per_key: int | None = None,
+        finish_fn: Callable[[list], object] | None = None,
+        finish_type: T.DataType | None = None,
     ) -> "Query":
         """key -> sorted list of values (reference group, index.js:64-89,
         intent not bugs). ``finish`` — the reference's declared-but-
         unused reduce finalizer (index.js:64) — is a Column fn applied
         to the collected array, e.g.
         ``q.group(finish=lambda r: F.size(r))``.
+
+        ``finish_fn`` is the arbitrary-Python realization of the same
+        finalizer (the reference's finish is a JS closure): an
+        Arrow-batched pandas UDF over the collected array —
+        ``finish_fn(values: list) -> result``, with ``finish_type``
+        declaring the result type (JSON-string encoded when omitted,
+        like ``map_fn``). Mutually exclusive with ``finish``; unlike
+        recognized Column finishers it always materializes the
+        per-key array first, so pair it with ``limit_per_key`` on
+        hot-keyed data.
 
         Hash aggregation (map-side partial + final) replaces the
         reference's sort-based adjacent-key grouping with identical
@@ -287,6 +299,8 @@ class Query:
         pre-truncates map-side), so the oversized array never exists
         anywhere in the plan.
         """
+        if finish is not None and finish_fn is not None:
+            raise ValueError("pass finish OR finish_fn, not both")
         df = self._df
         vcol = self._vcol
         if limit_per_key is not None:
@@ -324,6 +338,18 @@ class Query:
         grouped = df.groupBy("key").agg(results.alias("results"))
         if finish is not None:
             grouped = grouped.select("key", finish(F.col("results")).alias("result"))
+        elif finish_fn is not None:
+            jsonify = finish_type is None
+            out_type = finish_type or T.StringType()
+
+            @F.pandas_udf(out_type)
+            def apply(res: pd.Series) -> pd.Series:
+                out = [finish_fn(list(v)) for v in res]
+                if jsonify:
+                    out = [json.dumps(v, sort_keys=True) for v in out]
+                return pd.Series(out, dtype=object)
+
+            grouped = grouped.select("key", apply("results").alias("result"))
         return self._with(grouped)
 
     # ------------------------------------------------------------- actions

@@ -370,13 +370,20 @@ def q_group_collect(spark, sf_dir):
 
 
 def q_group_finish(spark, sf_dir):
-    """The declared-but-unused finish finalizer (index.js:64), applied."""
-    return (
-        _orders_index(spark, sf_dir)
-        .query()
-        .group(finish=lambda r: F.array_min(r))
-        .df
-    )
+    """The declared-but-unused finish finalizer (index.js:64), applied
+    through BOTH realizations in one tagged union: the Column form
+    (plans as a direct order-insensitive aggregate — no per-key array
+    ever exists) and the arbitrary-Python closure form (Arrow pandas
+    UDF over the collected array — the reference's JS-closure
+    contract), computing the same per-key minimum."""
+    idx = _orders_index(spark, sf_dir)
+    expr = idx.query().group(finish=lambda r: F.array_min(r)).df
+    pyfn = idx.query().group(
+        finish_fn=lambda vs: min(vs), finish_type=T.DoubleType()
+    ).df
+    return expr.select(
+        F.lit("expr").alias("variant"), "key", "result"
+    ).unionByName(pyfn.select(F.lit("py").alias("variant"), "key", "result"))
 
 
 def q_query_map_variants(spark, sf_dir):
@@ -1449,8 +1456,13 @@ ORACLES: dict[str, str] = {
       FROM ranked WHERE rk <= 3 GROUP BY key
     """,
     "group_finish": """
-      SELECT o_orderpriority AS key, min(o_totalprice) AS result
-      FROM orders GROUP BY o_orderpriority
+      WITH m AS (
+        SELECT o_orderpriority AS key, min(o_totalprice) AS result
+        FROM orders GROUP BY o_orderpriority
+      )
+      SELECT 'expr' AS variant, * FROM m
+      UNION ALL
+      SELECT 'py', * FROM m
     """,
     "query_map_variants": """
       SELECT 'expr' AS variant, o_orderpriority AS key,

@@ -208,6 +208,38 @@ def test_group_finish(spark, store):
     assert {r["key"]: r["result"] for r in rows} == {"a": 2, "b": 1, "c": 1}
 
 
+def test_group_finish_fn_python(spark, store):
+    """The arbitrary-Python finish closure (the reference's actual
+    finish contract is a JS closure): typed result, JSON default, and
+    mutual exclusion with the Column form."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    idx = scalar_index(spark, store)
+    typed = (
+        idx.query()
+        .group(finish_fn=lambda vs: sum(vs), finish_type=T.DoubleType())
+        .end()
+    )
+    assert {r["key"]: r["result"] for r in typed} == {
+        "a": 3.0,
+        "b": 3.0,
+        "c": 4.0,
+    }
+    untyped = idx.query().group(finish_fn=lambda vs: {"n": len(vs)}).end()
+    assert {r["key"]: _json.loads(r["result"]) for r in untyped} == {
+        "a": {"n": 2},
+        "b": {"n": 1},
+        "c": {"n": 1},
+    }
+    with _pytest.raises(ValueError):
+        idx.query().group(
+            finish=lambda r: F.size(r), finish_fn=lambda vs: len(vs)
+        )
+
+
 def test_group_agg_finisher_plans_direct(spark, store):
     """An order-insensitive aggregate finisher (array_min/array_max/
     size) plans as a direct map-side-combinable agg — the per-key
