@@ -537,3 +537,35 @@ def contamination_check(
         .groupBy("doc_id", "probe_id")
         .agg(F.count("*").alias("n_overlap"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """The removal step over :func:`contamination_check`: drop every
+    training document sharing at least ``min_overlap`` word k-grams
+    with any probe. A broadcast-built contaminated-id set anti-joined
+    against the corpus — the corpus side never shuffles, so the pass
+    costs one scan regardless of corpus size. Returns the clean docs
+    with their original columns."""
+    from pyspark.sql.functions import broadcast
+
+    bad = (
+        contamination_check(
+            docs, probes, k=k, text_col=text_col,
+            probe_text_col=probe_text_col,
+        )
+        .where(F.col("n_overlap") >= min_overlap)
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        broadcast(bad),
+        docs["doc_id"].cast("long") == bad["doc_id"],
+        "left_anti",
+    )

@@ -573,6 +573,47 @@ def c4_line_filter(
     )
 
 
+def mixture_rates(
+    docs: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "lang",
+) -> dict[str, float]:
+    """Solve the per-stratum keep-rates that move the corpus to a
+    target mixture by DOWNSAMPLING ONLY (rates capped at 1.0 — no
+    stratum is upsampled; the achievable mixture keeps the most data
+    subject to the target proportions).
+
+    Standard water-filling: the binding stratum is the one whose
+    relative abundance vs its target share is lowest; it keeps rate
+    1.0 and every other stratum keeps
+    ``(target_s / count_s) * (count_b / target_b)``. One tiny
+    aggregation (O(strata) rows to the driver — bounded); feed the
+    result straight into :func:`sample_by_key`. Strata absent from
+    ``target`` get rate 0.0 (excluded from the mixture).
+    """
+    total_target = sum(target.values())
+    shares = {s: w / total_target for s, w in target.items()}
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    present = {s: counts[s] for s in shares if counts.get(s)}
+    if not present:
+        return {s: 0.0 for s in counts}
+    # binding stratum: least abundant relative to its target share
+    b = min(present, key=lambda s: present[s] / shares[s])
+    scale = present[b] / shares[b]
+    rates = {}
+    for s in counts:
+        if s not in shares:
+            rates[s] = 0.0
+        else:
+            rates[s] = min((shares[s] * scale) / counts[s], 1.0)
+    return rates
+
+
 def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Collapse repeated lines within each document, keeping the first
     occurrence in order — the cheap intra-document boilerplate pass

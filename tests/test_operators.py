@@ -567,6 +567,60 @@ def test_contamination_check(spark, docs):
     assert contamination_check(docs, probes, k=8).count() == 0
 
 
+def test_decontaminate_removes_flagged_docs(spark, docs):
+    """The removal step: contaminated docs (>= min_overlap shared
+    k-grams with a probe) disappear; the rest pass through intact,
+    and the corpus side never shuffles (broadcast anti-join)."""
+    from level_mapreduce_spark.operators.dedup import (
+        contamination_check,
+        decontaminate,
+    )
+
+    probes = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    flagged = {
+        r["doc_id"]
+        for r in contamination_check(docs, probes, k=8).collect()
+    }
+    assert flagged  # probes at least match themselves
+    clean = decontaminate(docs, probes, k=8)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - flagged
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_mixture_rates_water_filling(spark, docs):
+    """Downsample-only mixture solve: applying the solved rates with
+    sample_by_key lands the kept corpus on the target proportions
+    (within sampling noise), the binding stratum keeps rate 1.0, and
+    strata missing from the target get rate 0."""
+    from collections import Counter
+
+    from level_mapreduce_spark.operators.text import (
+        mixture_rates,
+        sample_by_key,
+    )
+
+    target = {"en": 0.5, "fr": 0.5}
+    rates = mixture_rates(docs, target)
+    assert rates["fr"] == 1.0  # fr is scarcer relative to a 50% share
+    assert 0 < rates["en"] < 1
+    assert rates.get("de") == 0.0  # not in the target mixture
+    kept = Counter(
+        r["lang"]
+        for r in sample_by_key(docs, rates, default_rate=0.0)
+        .where("sampled")
+        .collect()
+    )
+    assert set(kept) <= {"en", "fr"}
+    frac_en = kept["en"] / sum(kept.values())
+    assert abs(frac_en - 0.5) < 0.12, kept
+
+
 def test_dedup_lines_first_occurrence(spark):
     """Repeated lines collapse to their first occurrence, order
     preserved; unique documents pass through untouched."""
