@@ -370,6 +370,69 @@ class MapIndex:
             down.update(feed, assume_unique=True)
         return feed
 
+    def delete_range(
+        self,
+        start: str | None = None,
+        end: str | None = None,
+        key: str | None = None,
+    ) -> int:
+        """Range delete — the LSM range-tombstone analog and the
+        retention/TTL primitive (e.g. expire the old buckets of a
+        stored continuous aggregate): tombstone every document with a
+        live emit in ``[start, end)`` (or under exactly ``key``).
+        Returns the number of docs tombstoned.
+
+        Cost: one key-pruned range scan to find the doomed doc keys +
+        one tombstone epoch — no segment rewrite; space is reclaimed
+        at the next :meth:`compact`. NOTE a doc is tombstoned WHOLE:
+        if it also emits keys outside the range, those die too (this
+        engine's tombstones are per-doc, reference index.js:187-205 —
+        documented narrowing; re-``update()`` the doc to re-emit the
+        surviving keys).
+
+        Downstream chained indexes receive the standard empty-emit
+        change feed before this returns. The doomed key set is
+        materialized (persisted) BEFORE the tombstones are written —
+        a lazy re-evaluation after the write would see its own
+        deletions and propagate an empty feed.
+        """
+        self._recover_swap()
+        doomed = (
+            self.scan(start=start, end=end, key=key)
+            .select(DOC_KEY)
+            .distinct()
+            .persist()
+        )
+        try:
+            n = doomed.count()  # force materialization pre-write
+            if not n:
+                return 0
+            epochs = _list_epochs(self.spark, self.segments_path)
+            epoch = (max(epochs) + 1) if epochs else 1
+            (
+                doomed.withColumn("epoch", F.lit(epoch).cast("int"))
+                .write.mode("append")
+                .partitionBy("epoch")
+                .parquet(self.tombstones_path)
+            )
+            self._tomb_bytes_cache = None
+            self.compaction_due = (
+                epoch >= AUTO_COMPACT_EPOCHS
+                or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+            )
+            if self.compaction_due and self.auto_compact:
+                self.compact()  # refreshes views itself
+            else:
+                self._refresh_views()
+            # downstream propagation consumes the feed eagerly (their
+            # update() writes are actions) while ``doomed`` is pinned
+            feed = self.changes_feed(doomed)
+            for down in self._downstreams:
+                down.update(feed, assume_unique=True)
+            return n
+        finally:
+            doomed.unpersist()
+
     def changes_feed(
         self, keys: DataFrame, broadcast_keys: bool | None = None
     ) -> DataFrame:

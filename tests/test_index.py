@@ -243,7 +243,43 @@ def test_get_meta(spark, store):
     assert idx.get_meta("d1") == []
 
 
-def test_scan_keys_values_raw_passthroughs(spark, store):
+def test_delete_range_retention(spark, store):
+    """Range tombstones: docs emitting in [start, end) die (whole-doc,
+    per the documented tombstone granularity), the deletion cascades
+    to piped downstream indexes as empty-emit feeds, survivors stay,
+    and compact() reclaims the space with the same live rows."""
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    docs = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "b", 2.0), ("d3", "c", 3.0), ("d4", "d", 4.0)],
+        "doc_key string, k string, v double",
+    )
+    a = MapIndex(spark, "ret_a", mapper, store)
+    b_mapper = ExprMapper(
+        F.transform(
+            F.col("value"),
+            lambda p: F.struct(
+                F.concat(F.lit("x_"), p["index_key"]).alias("index_key"),
+                p["value"].alias("value"),
+            ),
+        ),
+        value_type=T.DoubleType(),
+    )
+    b = MapIndex(spark, "ret_b", b_mapper, store)
+    a.pipe(b)
+    a.build(docs)
+    assert b.count() == 4
+    # expire keys [a, c) -> d1, d2 die everywhere
+    assert a.delete_range(start="a", end="c") == 2
+    assert sorted(
+        r["index_key"] for r in a.read().select("index_key").collect()
+    ) == ["c", "d"]
+    assert sorted(
+        r["index_key"] for r in b.read().select("index_key").collect()
+    ) == ["x_c", "x_d"]
+    # empty range is a no-op
+    assert a.delete_range(start="y", end="z") == 0
+    a.compact()
+    assert a.count() == 2 and a.get("c") == [3.0]
     """The remaining levelup read-stream opts (reference forwards opts
     verbatim, index.js:124-137): keys-only stream, values-only stream,
     and the raw undecoded record with its composite storage key."""

@@ -137,6 +137,20 @@ def test_sketch_index_incremental_equals_full(spark, sf_dir, tmp_path):
         sketch_index_estimate(inc, "1901", "1902").first()["n_users_est"]
         == 0
     )
+    # retention: expire the older half of the buckets (delete_range =
+    # the continuous aggregate's TTL) — the expired range reads 0,
+    # the surviving range still matches the from-scratch index
+    keys = sorted(
+        r["index_key"]
+        for r in inc.read().select("index_key").distinct().collect()
+    )
+    cut = keys[len(keys) // 2]
+    assert inc.delete_range(start="0", end=cut) > 0
+    assert sketch_index_estimate(inc, "0", cut).first()["n_users_est"] == 0
+    assert (
+        sketch_index_estimate(inc, cut, "9999").first()["n_users_est"]
+        == sketch_index_estimate(full, cut, "9999").first()["n_users_est"]
+    )
     # key pruning reaches the parquet scan
     plan = (
         inc.scan(start="2", end="3")
