@@ -25,21 +25,30 @@ def windowed_counts_stream(
     events: DataFrame,
     watermark: str = "30 minutes",
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling event-time windows per event_type:
-    (ws, event_type, n, total) — the streaming form of
-    ``operators.events.windowed_counts`` (same output schema; ``ws``
-    is the window start).
+    """Streaming tumbling — or, with ``slide``, hopping — event-time
+    windows per event_type: (ws, event_type, n, total) — the
+    streaming form of ``operators.events.windowed_counts`` /
+    ``sliding_counts`` (same output schema; ``ws`` is the window
+    start).
 
     In append output mode a window emits exactly once, when the
     watermark passes its end — the exactly-once-per-window contract a
     downstream MapIndex ``update()`` wants (each emitted row becomes
-    part of one micro-batch epoch).
+    part of one micro-batch epoch). With ``slide``, live state holds
+    ``window/slide`` overlapping windows per key until the watermark
+    passes each — still rate-independent, scaled by that ratio.
     """
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(
-            F.window("ts", window).alias("_w"),
+            w.alias("_w"),
             F.col("event_type"),
         )
         .agg(

@@ -110,6 +110,30 @@ def test_stream_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
         for r in windowed_counts(events).collect()
     }
     assert got == want and want
+    # hopping form: the streaming slide variant converges to the batch
+    # sliding_counts operator the same way
+    from level_mapreduce_spark.operators.events import sliding_counts
+
+    out_s = windowed_counts_stream(stream, slide="15 minutes")
+    qs = (
+        out_s.writeStream.format("memory")
+        .queryName("wc_slide_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wm_slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(120)
+    assert not qs.isActive
+    got_s = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM wc_slide_stream").collect()
+    }
+    want_s = {
+        (r["ws"], r["event_type"]): (r["n"], r["total"])
+        for r in sliding_counts(events).collect()
+    }
+    assert got_s == want_s and len(want_s) > len(want)
 
 
 def test_stateful_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
