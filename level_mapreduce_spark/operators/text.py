@@ -171,24 +171,40 @@ def quality_filter(
     docs: DataFrame,
     min_tokens: int = 25,
     min_stop_ratio: float = 0.02,
+    max_word_len: int = 50,
+    min_alpha_ratio: float = 0.6,
 ) -> DataFrame:
     """The quality-scoring DECISION operator: per-doc keep/drop from
-    length + stopword-density gates (the standard C4/Gopher-style
-    heuristic filters, reduced to the signals this corpus supports).
-    Returns (doc_id, n_tokens, stop_ratio, keep) — narrow transform,
-    no shuffle, trivially 100 TB-parallel."""
+    the Gopher-style heuristic gates (Rae et al. 2021 §A.1.1, the
+    signals this corpus supports): token count, stopword density, the
+    longest-word cap (a giant "word" is markup/binary junk), and the
+    alphabetic-word fraction (Gopher requires 80% of words to carry an
+    alphabetic character; default relaxed to 0.6). Returns
+    (doc_id, n_tokens, stop_ratio, max_word, alpha_ratio, keep) —
+    narrow transform, no shuffle, trivially 100 TB-parallel."""
     docs = docs.withColumn("_toks", tokens_expr("text"))
     toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
     stop_ratio = F.round(
         _count_in(toks, STOPWORDS["en"]) / F.size(toks), 6
     )
+    max_word = F.coalesce(
+        F.array_max(F.transform(toks, lambda t: F.length(t))), F.lit(0)
+    ).cast("long")
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks), 6
+    )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
+        max_word.alias("max_word"),
+        alpha_ratio.alias("alpha_ratio"),
         (
-            (n_tokens >= min_tokens) & (stop_ratio >= min_stop_ratio)
+            (n_tokens >= min_tokens)
+            & (stop_ratio >= min_stop_ratio)
+            & (max_word <= max_word_len)
+            & (alpha_ratio >= min_alpha_ratio)
         ).alias("keep"),
     )
 

@@ -615,9 +615,10 @@ def q_text_profile(spark, sf_dir):
         F.lit("quality").alias("variant"),
         "doc_id",
         F.col("n_tokens").alias("n1"),
-        *[zero.alias(c) for c in ("n2", "n3", "n4", "n5", "n6")],
+        F.col("max_word").alias("n2"),
+        *[zero.alias(c) for c in ("n3", "n4", "n5", "n6")],
         F.col("stop_ratio").alias("r1"),
-        F.lit(0.0).alias("r2"),
+        F.col("alpha_ratio").alias("r2"),
         F.lit("").alias("s1"),
         F.col("keep").alias("b1"),
     )
@@ -1331,6 +1332,11 @@ def _text_profile_sql() -> str:
     case += "ELSE 'und' END"
     stop = f"len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a')))"
     z5 = ", ".join(f"CAST(0 AS BIGINT) AS n{i}" for i in range(2, 7))
+    z4 = ", ".join(f"CAST(0 AS BIGINT) AS n{i}" for i in range(3, 7))
+    max_word = (
+        f"coalesce(list_max(list_transform({_TOKS}, t -> length(t))), 0)"
+    )
+    alpha = f"round(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) / len({_TOKS}), 6)"
     return f"""
       SELECT 'stats' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
              CAST(length(text) AS BIGINT) AS n1,
@@ -1353,9 +1359,13 @@ def _text_profile_sql() -> str:
       FROM documents
       UNION ALL
       SELECT 'quality', CAST(doc_id AS BIGINT),
-             CAST(len({_TOKS}) AS BIGINT), {z5},
-             round({stop} / len({_TOKS}), 6), 0.0, '',
-             (len({_TOKS}) >= 25 AND round({stop} / len({_TOKS}), 6) >= 0.02)
+             CAST(len({_TOKS}) AS BIGINT),
+             CAST({max_word} AS BIGINT), {z4},
+             round({stop} / len({_TOKS}), 6), {alpha}, '',
+             (len({_TOKS}) >= 25
+              AND round({stop} / len({_TOKS}), 6) >= 0.02
+              AND {max_word} <= 50
+              AND {alpha} >= 0.6)
       FROM documents
     """
 

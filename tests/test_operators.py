@@ -621,6 +621,31 @@ def test_mixture_rates_water_filling(spark, docs):
     assert abs(frac_en - 0.5) < 0.12, kept
 
 
+def test_quality_filter_gopher_gates(spark):
+    """Each Gopher gate rejects independently: too short, stopword-
+    free, a giant junk 'word', and a symbol-dominated doc all drop;
+    ordinary prose passes."""
+    from level_mapreduce_spark.operators.text import quality_filter
+
+    prose = ("the quick brown fox jumps over the lazy dog and runs on " * 5)
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "short text only"),                      # < min_tokens
+            (3, ("zebra quokka lorikeet wombat dingo " * 10)),  # no stopwords
+            (4, prose + " " + "x" * 80),                 # junk mega-word
+            (5, ("$$$ 123 %%% 456 ### 789 " * 10) + "the of"),  # low alpha
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["keep"]
+    assert not rows[3]["keep"] and rows[3]["stop_ratio"] == 0.0
+    assert not rows[4]["keep"] and rows[4]["max_word"] == 80
+    assert not rows[5]["keep"] and rows[5]["alpha_ratio"] < 0.6
+
+
 def test_dedup_lines_first_occurrence(spark):
     """Repeated lines collapse to their first occurrence, order
     preserved; unique documents pass through untouched."""
