@@ -311,6 +311,34 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         repeat=1,
     )
 
+    # KLL quantile + theta set-algebra rollups: one pass to sketch,
+    # then any-range answers off KB-sized merges (no raw re-scan)
+    from level_mapreduce_spark.operators.sketches import (
+        quantiles_between,
+        theta_user_sketches,
+        user_overlap,
+        value_quantile_sketches,
+    )
+
+    kll_hours = value_quantile_sketches(events).persist()
+    theta_hours = theta_user_sketches(events).persist()
+    tb = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = tb["lo"] + (tb["hi"] - tb["lo"]) / 2
+    timed(
+        "kll_quantile_rollup",
+        lambda: materialize(
+            quantiles_between(kll_hours, "1900-01-01", "9999-01-01")
+        ),
+    )
+    timed(
+        "theta_retention",
+        lambda: materialize(
+            user_overlap(theta_hours, "1900-01-01", mid, mid, "9999-01-01")
+        ),
+    )
+    kll_hours.unpersist()
+    theta_hours.unpersist()
+
 
 if __name__ == "__main__":
     main()

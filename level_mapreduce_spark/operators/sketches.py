@@ -122,21 +122,42 @@ def _sketch_mapper():
     )
 
 
+# per-kind (base-level builder, pairwise merge fn) — union/merge is
+# associative+commutative for all three, which is exactly what lets
+# replace-on-update compose with sketch merge below
+_SKETCH_KINDS = {
+    "hll": (lambda ev, b: user_sketches(ev, b), lambda a, b: F.hll_union(a, b)),
+    "theta": (
+        lambda ev, b: theta_user_sketches(ev, b),
+        lambda a, b: F.theta_union(a, b),
+    ),
+    "kll": (
+        lambda ev, b: value_quantile_sketches(ev, b),
+        lambda a, b: F.kll_sketch_merge_double(a, b),
+    ),
+}
+
+
 def build_sketch_index(
     spark,
     events: DataFrame,
     store: str,
     name: str = "user_sketches",
     bucket: str = "1 hour",
+    kind: str = "hll",
 ):
     """Materialize the bucket->sketch continuous aggregate as a
     MapIndex: ``index_key = <iso bucket start>|<event_type>`` (sorts
     chronologically, so time ranges are contiguous key ranges),
-    value = HLL binary."""
+    value = sketch binary. ``kind`` picks the sketch family: ``hll``
+    (distinct users), ``theta`` (distinct users + set algebra),
+    ``kll`` (value quantiles)."""
     from level_mapreduce_spark.engine.index import MapIndex
 
+    base, _ = _SKETCH_KINDS[kind]
     idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
-    idx.build(_bucket_docs(user_sketches(events, bucket)), assume_unique=True)
+    idx.build(_bucket_docs(base(events, bucket)), assume_unique=True)
+    idx.sketch_kind = kind
     return idx
 
 
@@ -144,15 +165,18 @@ def update_sketch_index(
     idx,
     new_events: DataFrame,
     bucket: str = "1 hour",
+    kind: str | None = None,
 ) -> None:
     """Fold a new batch of events into the stored aggregate in
     O(affected buckets): sketch the batch, UNION with the stored
     sketches of the touched buckets (read through the index — a
     key-pruned lookup, not a scan), and overwrite only those keys.
-    Replace-on-update composes with sketch merge because hll_union is
-    associative: stored ∪ batch is the new stored value.
+    Replace-on-update composes with sketch merge because the merge
+    (hll_union / theta_union / kll_sketch_merge) is associative:
+    stored ∪ batch is the new stored value.
     """
-    part = _bucket_docs(user_sketches(new_events, bucket)).persist()
+    base, merge = _SKETCH_KINDS[kind or getattr(idx, "sketch_kind", "hll")]
+    part = _bucket_docs(base(new_events, bucket)).persist()
     # read back ONLY the touched key range (a batch covers a narrow,
     # recent time window; bucket keys are chronological) — a pruned
     # index scan, not a full read. Two driver-side scalars, bounded.
@@ -170,7 +194,7 @@ def update_sketch_index(
         "bucket_key",
         F.when(
             F.col("_old").isNotNull(),
-            F.hll_union(F.col("sketch"), F.col("_old")),
+            merge(F.col("sketch"), F.col("_old")),
         )
         .otherwise(F.col("sketch"))
         .alias("sketch"),
@@ -206,4 +230,201 @@ def sketch_index_estimate(
             F.hll_sketch_estimate(F.hll_union_agg("value")).cast("long"),
             F.lit(0),  # empty range -> 0, not a NULL union estimate
         ).alias("n_users_est")
+    )
+
+
+def sketch_index_quantiles(
+    idx,
+    start: str,
+    end: str,
+    ranks: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Any-range value quantiles off a ``kind='kll'`` sketch index:
+    key-pruned scan of the covered buckets, one KLL merge, one
+    ``q_<rank>`` column per requested rank."""
+    merged = idx.scan(start=start, end=end).agg(
+        F.kll_merge_agg_double("value").alias("_merged")
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("_merged"), F.lit(r)).alias(
+                f"q_{str(r).replace('0.', '')}"
+            )
+            for r in ranks
+        ]
+    )
+
+
+def sketch_index_overlap(
+    idx,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> DataFrame:
+    """Retention/churn between two key ranges off a ``kind='theta'``
+    sketch index — same output as :func:`user_overlap`, but each side
+    is a pushed-down index range scan instead of a ws filter."""
+    a = idx.scan(start=a_start, end=a_end).agg(
+        F.theta_union_agg("value").alias("_a")
+    )
+    b = idx.scan(start=b_start, end=b_end).agg(
+        F.theta_union_agg("value").alias("_b")
+    )
+    est = lambda c: F.coalesce(  # noqa: E731
+        F.theta_sketch_estimate(c).cast("long"), F.lit(0)
+    )
+    return a.crossJoin(b).select(
+        est(F.col("_a")).alias("a_users"),
+        est(F.col("_b")).alias("b_users"),
+        est(F.theta_intersection(F.col("_a"), F.col("_b"))).alias("both"),
+        est(F.theta_difference(F.col("_a"), F.col("_b"))).alias("only_a"),
+        est(F.theta_difference(F.col("_b"), F.col("_a"))).alias("only_b"),
+    )
+
+
+# ------------------------------------------------------------ quantiles
+# Same continuous-aggregate shape, different sketch: KLL quantile
+# sketches (Apache DataSketches, JVM-side in Spark 4) make any-range
+# percentiles O(buckets) instead of an O(range) raw re-scan per query.
+# percentile_approx answers ONE fixed grouping per pass; a stored KLL
+# rollup answers every (range, rank) after one pass, and hour->day
+# cascades merge losslessly exactly like the HLL path above.
+
+
+def value_quantile_sketches(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    value_col: str = "value",
+    k: int | None = None,
+) -> DataFrame:
+    """One KLL(double) sketch of ``value_col`` per (time bucket,
+    event_type): the stored base level for any-range quantiles.
+
+    One shuffle on the (bucket, type) key with map-side partial
+    sketches; output is O(buckets x types) rows of ~KB binaries.
+    """
+    agg = (
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), k)
+        if k is not None
+        else F.kll_sketch_agg_double(F.col(value_col).cast("double"))
+    )
+    return (
+        events.groupBy(F.window("ts", bucket).alias("_w"), F.col("event_type"))
+        .agg(agg.alias("sketch"))
+        .select(F.col("_w.start").alias("ws"), "event_type", "sketch")
+    )
+
+
+def rollup_quantile_sketches(
+    sketches: DataFrame,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Cascade level for quantiles: merge fine-bucket KLL sketches
+    into coarse buckets without rescanning events. Schema-stable, so
+    levels chain (hour -> day -> month)."""
+    return (
+        sketches.groupBy(F.window("ws", bucket).alias("_w"), F.col("event_type"))
+        .agg(F.kll_merge_agg_double("sketch").alias("sketch"))
+        .select(F.col("_w.start").alias("ws"), "event_type", "sketch")
+    )
+
+
+def quantiles_between(
+    sketches: DataFrame,
+    start,
+    end,
+    ranks: tuple[float, ...] = (0.5, 0.9, 0.99),
+    by_type: bool = False,
+) -> DataFrame:
+    """Estimate quantiles of ``value`` over ``[start, end)`` by
+    merging the covered buckets' KLL sketches — O(buckets in range).
+
+    Returns one ``q_<rank>`` double column per requested rank (dots
+    stripped: ``q_50``, ``q_90``, ``q_99``). Empty ranges produce no
+    rows in the grouped form and a single all-NULL row globally (a
+    quantile of nothing has no value to coalesce to — unlike the
+    count-0 convention above)."""
+    lo = start if isinstance(start, Column) else F.lit(start).cast("timestamp")
+    hi = end if isinstance(end, Column) else F.lit(end).cast("timestamp")
+    in_range = sketches.where((F.col("ws") >= lo) & (F.col("ws") < hi))
+    keys = ["event_type"] if by_type else []
+    agg = in_range.groupBy(*keys).agg(
+        F.kll_merge_agg_double("sketch").alias("_merged")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("_merged"), F.lit(r)).alias(
+            f"q_{str(r).replace('0.', '')}"
+        )
+        for r in ranks
+    ]
+    return agg.select(*keys, *cols)
+
+
+# ------------------------------------------------------------ set algebra
+# Theta sketches add what HLL cannot: INTERSECTION and DIFFERENCE.
+# "users active in both week 1 and week 2" (retention) or "in A but
+# not B" (churn) over exact distincts is a full self-join of raw
+# events; over stored theta rollups it is an O(buckets) merge of KB
+# binaries. Union is exact-mergeable like HLL; intersection/difference
+# compose on the merged range sketches.
+
+
+def theta_user_sketches(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    lg_nom_entries: int | None = None,
+) -> DataFrame:
+    """One theta sketch of distinct ``user_id`` per (time bucket,
+    event_type) — the stored base level for range set algebra.
+    Same shape/cost as :func:`user_sketches`."""
+    col = F.col("user_id").cast("long")
+    agg = (
+        F.theta_sketch_agg(col, lg_nom_entries)
+        if lg_nom_entries is not None
+        else F.theta_sketch_agg(col)
+    )
+    return (
+        events.groupBy(F.window("ts", bucket).alias("_w"), F.col("event_type"))
+        .agg(agg.alias("sketch"))
+        .select(F.col("_w.start").alias("ws"), "event_type", "sketch")
+    )
+
+
+def _theta_range_union(sketches: DataFrame, start, end, alias: str) -> DataFrame:
+    lo = start if isinstance(start, Column) else F.lit(start).cast("timestamp")
+    hi = end if isinstance(end, Column) else F.lit(end).cast("timestamp")
+    return (
+        sketches.where((F.col("ws") >= lo) & (F.col("ws") < hi))
+        .agg(F.theta_union_agg("sketch").alias(alias))
+    )
+
+
+def user_overlap(
+    sketches: DataFrame,
+    a_start,
+    a_end,
+    b_start,
+    b_end,
+) -> DataFrame:
+    """Retention/churn between two time ranges off stored theta
+    sketches: one row ``(a_users, b_users, both, only_a, only_b)``.
+
+    ``both`` estimates ``|A ∩ B|`` (users active in both ranges —
+    retention), ``only_a`` estimates ``|A \\ B|`` (churned). Each
+    side is an O(buckets) union; the set ops run on the two merged
+    sketches (a 1x1 broadcast cross join — two driver-sized rows,
+    not a data join). Empty ranges estimate 0 via the empty-sketch
+    coalesce."""
+    a = _theta_range_union(sketches, a_start, a_end, "_a")
+    b = _theta_range_union(sketches, b_start, b_end, "_b")
+    est = lambda c: F.coalesce(  # noqa: E731
+        F.theta_sketch_estimate(c).cast("long"), F.lit(0)
+    )
+    return a.crossJoin(b).select(
+        est(F.col("_a")).alias("a_users"),
+        est(F.col("_b")).alias("b_users"),
+        est(F.theta_intersection(F.col("_a"), F.col("_b"))).alias("both"),
+        est(F.theta_difference(F.col("_a"), F.col("_b"))).alias("only_a"),
+        est(F.theta_difference(F.col("_b"), F.col("_a"))).alias("only_b"),
     )

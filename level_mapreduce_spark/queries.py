@@ -1047,31 +1047,70 @@ def _sketch_index(spark: SparkSession, sf_dir: str) -> MapIndex:
 
 
 def q_sketch_range_estimate(spark, sf_dir):
-    """Range distinct-count estimates served straight off the stored
-    sketch index — a pushed-down key-range scan over a few KB of HLL
-    sketches, never a raw-event scan. Rows-only by design (HLL
-    internals are implementation-specific; pytest bounds the relative
-    error against exact distinct counts): three ranges — everything,
-    and each half of the time span — so key-range pruning, the
-    incremental fold, and sketch mergeability are all on the hash
-    path's row counts."""
+    """Range estimates served straight off stored sketch indexes —
+    pushed-down key-range scans over a few KB of sketches, never a
+    raw-event scan. Rows-only by design (DataSketches internals are
+    implementation-specific; pytest bounds every estimate against its
+    exact twin). Tagged union over the three sketch families:
+
+    - HLL distinct users ("all"/"lo_half"/"hi_half" — key pruning,
+      the incremental fold, and mergeability on the row-count path)
+    - KLL value quantiles ("kll_p50"/"kll_p99" as integer cents)
+    - theta set algebra ("theta_both"/"theta_only_lo": users active
+      in both halves of the time span / only the first — retention
+      and churn off the stored aggregate)
+    """
     idx = _sketch_index(spark, sf_dir)
-    b = load_table(spark, sf_dir, "events").agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).first()
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     mid_key = (b["lo"] + (b["hi"] - b["lo"]) / 2).strftime(
         "%Y-%m-%dT%H:%M:%S"
     )
     from level_mapreduce_spark.operators import sketches as sk
 
+    kidx = _cached(
+        spark,
+        sf_dir,
+        "kll_sketches",
+        lambda: sk.build_sketch_index(
+            spark,
+            events,
+            _store(),
+            name=f"kll_{abs(hash(sf_dir)) % 10**8}",
+            kind="kll",
+        ),
+    )
+    tidx = _cached(
+        spark,
+        sf_dir,
+        "theta_sketches",
+        lambda: sk.build_sketch_index(
+            spark,
+            events,
+            _store(),
+            name=f"theta_{abs(hash(sf_dir)) % 10**8}",
+            kind="theta",
+        ),
+    )
+    q = sk.sketch_index_quantiles(kidx, "0", "~", ranks=(0.5, 0.99))
+    ov = sk.sketch_index_overlap(tidx, "0", mid_key, mid_key, "~")
     parts = [
-        ("all", sk.sketch_index_estimate(idx, "0", "~")),
-        ("lo_half", sk.sketch_index_estimate(idx, "0", mid_key)),
-        ("hi_half", sk.sketch_index_estimate(idx, mid_key, "~")),
+        ("all", sk.sketch_index_estimate(idx, "0", "~").select(
+            F.col("n_users_est").alias("est"))),
+        ("lo_half", sk.sketch_index_estimate(idx, "0", mid_key).select(
+            F.col("n_users_est").alias("est"))),
+        ("hi_half", sk.sketch_index_estimate(idx, mid_key, "~").select(
+            F.col("n_users_est").alias("est"))),
+        ("kll_p50", q.select(
+            (F.col("q_5") * 100).cast("long").alias("est"))),
+        ("kll_p99", q.select(
+            (F.col("q_99") * 100).cast("long").alias("est"))),
+        ("theta_both", ov.select(F.col("both").alias("est"))),
+        ("theta_only_lo", ov.select(F.col("only_a").alias("est"))),
     ]
     out = None
     for tag, df in parts:
-        tagged = df.select(F.lit(tag).alias("variant"), "n_users_est")
+        tagged = df.select(F.lit(tag).alias("variant"), "est")
         out = tagged if out is None else out.unionByName(tagged)
     return out
 

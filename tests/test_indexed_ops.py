@@ -159,3 +159,69 @@ def test_sketch_index_incremental_equals_full(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "index_key" in plan
+
+
+def test_sketch_index_kll_and_theta_kinds(spark, sf_dir, tmp_path):
+    """The kll and theta kinds of the stored continuous aggregate:
+    incremental fold equals from-scratch build (merge associativity
+    through the replace-on-update path), quantile and overlap readers
+    answer off the index, and estimates track exact rescans."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.sketches import (
+        build_sketch_index,
+        sketch_index_overlap,
+        sketch_index_quantiles,
+        update_sketch_index,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.select(
+        F.unix_micros(F.percentile_approx("ts", 0.5, 10000)).alias("us")
+    ).first()["us"]
+    first = events.where(F.unix_micros("ts") <= mid)
+    second = events.where(F.unix_micros("ts") > mid)
+
+    # --- kll: any-range quantiles ---------------------------------
+    inc = build_sketch_index(
+        spark, first, str(tmp_path / "kll_inc"), name="kll_inc", kind="kll"
+    )
+    update_sketch_index(inc, second)  # kind remembered on the index
+    full = build_sketch_index(
+        spark, events, str(tmp_path / "kll_full"), name="kll_full", kind="kll"
+    )
+    qi = sketch_index_quantiles(inc, "0", "9999").first()
+    qf = sketch_index_quantiles(full, "0", "9999").first()
+    total = events.count()
+
+    def emp_rank(v: float) -> float:
+        # KLL guarantees rank error, not value error — compare ranks
+        return events.where(F.col("value") <= v).count() / total
+
+    for a, b, want_rank in zip(qi, qf, (0.5, 0.9, 0.99)):
+        assert abs(emp_rank(a) - emp_rank(b)) < 0.05, (a, b)  # inc ≈ full
+        assert abs(emp_rank(a) - want_rank) < 0.04, (a, want_rank)
+
+    # --- theta: range set algebra off the index -------------------
+    tidx = build_sketch_index(
+        spark, events, str(tmp_path / "th"), name="th_idx", kind="theta"
+    )
+    keys = sorted(
+        r["index_key"]
+        for r in tidx.read().select("index_key").distinct().collect()
+    )
+    cut = keys[len(keys) // 2].split("|")[0]
+    got = sketch_index_overlap(tidx, "0", cut, cut, "9999").first()
+    cut_ts = F.to_timestamp(F.lit(cut.replace("T", " ")))
+    a_set = events.where(F.col("ts") < cut_ts).select("user_id").distinct()
+    b_set = events.where(F.col("ts") >= cut_ts).select("user_id").distinct()
+    exact_a, exact_b = a_set.count(), b_set.count()
+    exact_both = a_set.intersect(b_set).count()
+    assert abs(got["a_users"] - exact_a) / max(exact_a, 1) < 0.05
+    assert abs(got["b_users"] - exact_b) / max(exact_b, 1) < 0.05
+    assert abs(got["both"] - exact_both) / max(exact_both, 1) < 0.15
+    # identity: only_a + both ≈ a_users (difference/intersection split)
+    assert abs(got["only_a"] + got["both"] - got["a_users"]) <= max(
+        5, 0.1 * got["a_users"]
+    )

@@ -538,6 +538,95 @@ def test_sketch_rollup_distinct_users(spark, sf_dir):
     hours.unpersist()
 
 
+def test_kll_quantile_rollup(spark, sf_dir):
+    """KLL quantile rollup: any-range quantile estimates off merged
+    hour sketches track the exact percentiles, and the day-level
+    cascade merged from hour sketches answers like sketches built
+    from raw events (merge losslessness)."""
+    from level_mapreduce_spark.operators.sketches import (
+        quantiles_between,
+        rollup_quantile_sketches,
+        value_quantile_sketches,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").persist()
+    total = events.count()
+
+    def emp_rank(v: float) -> float:
+        # empirical rank of a value in the exact distribution — KLL
+        # guarantees RANK error (~1.65% at default k), not value
+        # error, so assertions compare ranks, not values
+        return events.where(F.col("value") <= v).count() / total
+
+    hours = value_quantile_sketches(events).persist()
+    est = quantiles_between(hours, "1900-01-01", "9999-01-01").first()
+    for got, want_rank in zip(
+        (est["q_5"], est["q_9"], est["q_99"]), (0.5, 0.9, 0.99)
+    ):
+        assert abs(emp_rank(got) - want_rank) < 0.04, (got, want_rank)
+    # per-type grouped form returns one row per event_type
+    n_types = events.select("event_type").distinct().count()
+    assert (
+        quantiles_between(
+            hours, "1900-01-01", "9999-01-01", by_type=True
+        ).count()
+        == n_types
+    )
+    # cascade: day-from-hours ranks == day-from-raw ranks (merge
+    # preserves the rank guarantee; the sketches themselves differ)
+    day_a = rollup_quantile_sketches(hours, "1 day")
+    day_b = value_quantile_sketches(events, "1 day")
+    qa = quantiles_between(day_a, "1900-01-01", "9999-01-01").first()
+    qb = quantiles_between(day_b, "1900-01-01", "9999-01-01").first()
+    for a, b in zip(qa, qb):
+        assert abs(emp_rank(a) - emp_rank(b)) < 0.05, (a, b)
+    hours.unpersist()
+    events.unpersist()
+
+
+def test_theta_overlap_retention(spark, sf_dir):
+    """Theta set algebra off stored sketches: |A∩B| (retention) and
+    |A\\B| (churn) between the two halves of the time range track the
+    exact distinct-set answers; identities |A| ≈ both + only_a hold
+    within sketch error."""
+    from level_mapreduce_spark.operators.sketches import (
+        theta_user_sketches,
+        user_overlap,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    # align the split to an hour-bucket boundary so bucket-granularity
+    # range selection agrees exactly with the ts split below
+    mid = (b["lo"] + (b["hi"] - b["lo"]) / 2).replace(
+        minute=0, second=0, microsecond=0
+    )
+    hours = theta_user_sketches(events)
+    got = user_overlap(hours, "1900-01-01", mid, mid, "9999-01-01").first()
+
+    a_set = events.where(F.col("ts") < mid).select("user_id").distinct()
+    b_set = events.where(F.col("ts") >= mid).select("user_id").distinct()
+    exact_a = a_set.count()
+    exact_b = b_set.count()
+    exact_both = a_set.intersect(b_set).count()
+    exact_only_a = exact_a - exact_both
+
+    # theta union is near-exact at this cardinality; intersection
+    # error compounds — allow a wider bound
+    assert abs(got["a_users"] - exact_a) / exact_a < 0.05
+    assert abs(got["b_users"] - exact_b) / exact_b < 0.05
+    assert abs(got["both"] - exact_both) / max(exact_both, 1) < 0.15
+    assert abs(got["only_a"] - exact_only_a) / max(exact_only_a, 1) < 0.15
+    # empty A range: estimates coalesce to 0, intersection with B is 0
+    empty = user_overlap(
+        hours, "1900-01-01", "1900-01-02", mid, "9999-01-01"
+    ).first()
+    assert empty["a_users"] == 0 and empty["both"] == 0
+    assert abs(empty["b_users"] - exact_b) / exact_b < 0.05
+
+
 def test_contamination_check(spark, docs):
     """Planted benchmark text inside one training doc is detected with
     the right overlap count; clean docs produce no rows; the probe
