@@ -180,6 +180,37 @@ def salted_join(
     return l_s.join(r_s, [*keys, "_salt"], how).drop("_salt")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    within: str = "30 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Keyed interval join: every right row with the same ``on`` key
+    and ``left.ts <= right.ts <= left.ts + within`` (e.g. every
+    purchase within 30 minutes after a click — attribution with ALL
+    matches, where :func:`asof_join` keeps exactly one).
+
+    With the equi-key present this plans as a sort-merge join (one
+    shuffle per side on ``on``) carrying the interval bound as a
+    post-join filter — never a nested-loop theta join. The batch twin
+    of :func:`..streaming.joins.interval_join_stream`; both converge
+    to the same rows on a closed input.
+    """
+    rcols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
+    )
+    cond = (
+        (F.col(f"{right_prefix}{ts}") >= F.col(ts))
+        & (F.col(f"{right_prefix}{ts}") <= F.col(ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(r, on=on).where(cond)
+
+
 def topk_per_key(
     df: DataFrame,
     keys: str | list[str],

@@ -801,11 +801,19 @@ def q_set_except(spark, sf_dir):
 
 
 def q_asof_join(spark, sf_dir):
-    """As-of join (absent from both the reference and native Spark):
-    each click joined to the user's most recent purchase at-or-before
-    it. One shuffle per side — the sort-based union plan, not a range
-    explosion."""
-    from level_mapreduce_spark.operators.joins import asof_join
+    """Temporal joins (absent from both the reference and native
+    Spark), tagged union of two variants:
+
+    - ``asof``: each click joined to the user's most recent purchase
+      at-or-before it — one shuffle per side via the sort-based union
+      plan, not a range explosion.
+    - ``interval``: every purchase within 30 minutes AFTER a click by
+      the same user (all matches, not just one) — plans as an
+      equi-join on user_id carrying the time bound as a filter. The
+      batch twin of the stream-stream watermarked join
+      (streaming/joins.py), which converges to these same rows.
+    """
+    from level_mapreduce_spark.operators.joins import asof_join, interval_join
 
     events = load_table(spark, sf_dir, "events")
     clicks = events.where(F.col("event_type") == "click")
@@ -813,12 +821,25 @@ def q_asof_join(spark, sf_dir):
         "user_id", "ts", "event_id", "value"
     )
     j = asof_join(clicks, purchases, on="user_id", ts="ts", right_prefix="p_")
-    return j.select(
+    a = j.select(
+        F.lit("asof").alias("variant"),
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
         F.col("p_event_id").cast("long").alias("p_event_id"),
         F.col("p_value").alias("p_value"),
     )
+    ij = interval_join(
+        clicks, purchases, on="user_id", ts="ts",
+        within="30 minutes", right_prefix="p_",
+    )
+    b = ij.select(
+        F.lit("interval").alias("variant"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("p_event_id").cast("long").alias("p_event_id"),
+        F.col("p_value").alias("p_value"),
+    )
+    return a.unionByName(b)
 
 
 def q_range_join(spark, sf_dir):
@@ -1770,13 +1791,24 @@ ORACLES: dict[str, str] = {
       SELECT 'salted', * FROM j
     """,
     "asof_join": """
-      SELECT CAST(c.event_id AS BIGINT) AS event_id,
+      SELECT 'asof' AS variant,
+             CAST(c.event_id AS BIGINT) AS event_id,
              CAST(c.user_id AS BIGINT) AS user_id,
              CAST(p.event_id AS BIGINT) AS p_event_id,
              p.value AS p_value
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND p.ts <= c.ts
+      UNION ALL
+      SELECT 'interval',
+             CAST(c.event_id AS BIGINT),
+             CAST(c.user_id AS BIGINT),
+             CAST(p.event_id AS BIGINT),
+             p.value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
     """,
     "range_join": """
       WITH bands AS (

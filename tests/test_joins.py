@@ -163,3 +163,31 @@ def test_topk_per_key_plans_window_group_limit(spark):
         assert sorted(scores, reverse=True) == top3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_interval_join_all_matches_and_plan(spark):
+    """interval_join keeps EVERY right row inside the window (where
+    asof keeps one), drops rows outside it, and plans as an equi-join
+    (sort-merge or hash on the key) — never a nested loop."""
+    from level_mapreduce_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", 1), ("u2", "2024-01-01 10:00:00", 2)],
+        "user_id string, ts string, click_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:05:00", 10),  # in window
+            ("u1", "2024-01-01 10:25:00", 11),  # in window (2nd match)
+            ("u1", "2024-01-01 10:45:00", 12),  # outside 30 min
+            ("u1", "2024-01-01 09:55:00", 13),  # before the click
+            ("u2", "2024-01-01 10:30:00", 14),  # boundary: inclusive
+        ],
+        "user_id string, ts string, purchase_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = interval_join(left, right, on="user_id", ts="ts", within="30 minutes")
+    got = sorted((r["click_id"], r["r_purchase_id"]) for r in out.collect())
+    assert got == [(1, 10), (1, 11), (2, 14)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -336,3 +336,62 @@ def test_stream_sketches_continuous_aggregate(spark, sf_dir, tmp_path):
     lk = {r["index_key"] for r in live.read().select("index_key").collect()}
     fk = {r["index_key"] for r in full.read().select("index_key").collect()}
     assert lk == fk and lk
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked interval join (click -> purchases
+    within 30 min) replayed over the closed events table converges to
+    the batch interval_join twin exactly."""
+    import os
+    import shutil
+
+    from level_mapreduce_spark.operators.joins import interval_join
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.joins import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ssj_src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+        )
+        return clicks, purchases
+
+    s_clicks, s_purch = split(stream_table(spark, str(src), sf_dir, "events"))
+    out = interval_join_stream(
+        s_clicks, s_purch, on="user_id", ts="ts", within="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    b_clicks, b_purch = split(events)
+    want = {
+        (r["click_id"], r["r_purchase_id"])
+        for r in interval_join(
+            b_clicks, b_purch, on="user_id", ts="ts", within="30 minutes"
+        ).collect()
+    }
+    got = {
+        (r["click_id"], r["r_purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_stream").collect()
+    }
+    assert got == want and want
+    # schema parity between the twins
+    assert (
+        spark.sql("SELECT * FROM ssj_stream").columns
+        == interval_join(b_clicks, b_purch, on="user_id", ts="ts").columns
+    )
