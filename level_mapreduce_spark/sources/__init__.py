@@ -1,3 +1,4 @@
+from level_mapreduce_spark.sources.bucketed import drop_bucketed, write_bucketed
 from level_mapreduce_spark.sources.tables import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "drop_bucketed", "load_table", "load_tables", "write_bucketed"]
