@@ -258,6 +258,7 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     from level_mapreduce_spark.operators.events import (
         funnel_stages,
+        session_aggregates,
         sessionize,
         sliding_counts,
         windowed_counts,
@@ -266,6 +267,10 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     events = load_table(spark, sf_dir, "events")
     timed("events_window", lambda: materialize(windowed_counts(events)))
     timed("events_sessionize", lambda: materialize(sessionize(events)))
+    timed(
+        "events_session_native",
+        lambda: materialize(session_aggregates(events)),
+    )
     timed("events_funnel", lambda: materialize(funnel_stages(events)))
     timed("events_sliding", lambda: materialize(sliding_counts(events)))
 

@@ -106,6 +106,43 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-session aggregates via Spark's native ``session_window``
+    (the declarative dual of :func:`sessionize`'s per-event labels):
+    one row per (user, session) with start/end bounds, event count,
+    and exact decimal value total.
+
+    ``session_window`` is a first-class groupBy key — Catalyst plans
+    the gap-merge itself (one shuffle on user_id, sessions merged
+    within partitions), and the SAME expression runs on a watermarked
+    stream with state evicted when the watermark passes a session's
+    close (streaming/windows.py::session_aggregates_stream). Session
+    boundaries agree with :func:`sessionize` for equal gaps: an event
+    exactly ``gap`` after the previous one starts a new session there
+    (``>`` on the lag) and extends the window here (session end is
+    last_ts + gap, exclusive), so the twins are asserted against each
+    other in pytest with that half-open convention in mind.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("_w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     stages: tuple[str, ...] = ("view", "click", "purchase"),

@@ -955,22 +955,36 @@ def q_events_running(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Gap sessionization BOTH ways in one tagged union: the batch
-    window-function operator AND the applyInPandasWithState streaming
+    """Gap sessionization THREE ways in one tagged union: the batch
+    window-function operator, the applyInPandasWithState streaming
     operator (events replayed as an availableNow file stream into a
-    memory sink) — the streaming path is hash-checked against the same
-    SQL oracle, not just pytest-converged."""
-    batch = ev.sessionize(load_table(spark, sf_dir, "events"))
+    memory sink — hash-checked against the same SQL oracle, not just
+    pytest-converged), and Spark's native ``session_window`` aggregate
+    reshaped to the union schema (event_id := session start micros,
+    session_id := event count; the oracle recomputes both via the
+    islands rewrite with the ``>=`` boundary session_window uses)."""
+    events = load_table(spark, sf_dir, "events")
+    batch = ev.sessionize(events)
     stream = _sessionize_via_stream(spark, sf_dir)
-    return batch.select(
-        F.lit("batch").alias("variant"), "event_id", "user_id", "session_id"
-    ).unionByName(
-        stream.select(
-            F.lit("stream").alias("variant"),
-            "event_id",
-            "user_id",
-            "session_id",
+    native = ev.session_aggregates(events).select(
+        F.lit("native").alias("variant"),
+        F.unix_micros("session_start").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("session_id"),
+    )
+    return (
+        batch.select(
+            F.lit("batch").alias("variant"), "event_id", "user_id", "session_id"
         )
+        .unionByName(
+            stream.select(
+                F.lit("stream").alias("variant"),
+                "event_id",
+                "user_id",
+                "session_id",
+            )
+        )
+        .unionByName(native)
     )
 
 
@@ -1941,6 +1955,26 @@ ORACLES: dict[str, str] = {
       SELECT 'batch' AS variant, * FROM sess
       UNION ALL
       SELECT 'stream', * FROM sess
+      UNION ALL
+      SELECT 'native',
+             CAST(epoch_us(min(ts)) AS BIGINT),
+             CAST(user_id AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM (
+        SELECT user_id, ts,
+               sum(new_s) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+          FROM events
+        )
+      )
+      GROUP BY user_id, sid
     """,
     "chunk_dedup": f"""
       WITH t AS (

@@ -62,3 +62,26 @@ def windowed_counts_stream(
             "total",
         )
     )
+
+
+def session_aggregates_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows via the native ``session_window``
+    groupBy key — the same logical aggregation as
+    ``operators.events.session_aggregates`` (same output schema).
+
+    State: one open session per active user, merged as events arrive,
+    emitted (append mode) and evicted once the watermark passes the
+    session close — bounded by ACTIVE users in the gap+watermark
+    horizon, not by stream lifetime. This is the declarative twin of
+    the ``applyInPandasWithState`` sessionizer in ``stateful.py``:
+    prefer this one unless per-event custom state logic is needed.
+    """
+    from level_mapreduce_spark.operators.events import session_aggregates
+
+    return session_aggregates(
+        events.withWatermark("ts", watermark), gap
+    )

@@ -850,3 +850,37 @@ def test_sample_by_key_stratified(spark, docs):
         ).select("doc_id", "sampled").collect()
     }
     assert again == {r["doc_id"]: r["sampled"] for r in rows}
+
+
+def test_session_aggregates_agrees_with_sessionize(spark, sf_dir):
+    """The native session_window aggregate and the window-function
+    sessionizer are twins: same per-user session counts, and summed
+    per-session event counts cover every event."""
+    from level_mapreduce_spark.operators.events import (
+        session_aggregates,
+        sessionize,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    agg = session_aggregates(events).persist()
+    a = {
+        r["user_id"]: r["n_sessions"]
+        for r in agg.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .collect()
+    }
+    b = {
+        r["user_id"]: r["n_sessions"]
+        for r in sessionize(events)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert a == b and a
+    # every event lands in exactly one session
+    assert agg.agg(F.sum("n")).first()[0] == events.count()
+    # session bounds are consistent: start <= end - and the end is
+    # start-of-last-event + gap, so strictly greater
+    assert agg.where(F.col("session_end") <= F.col("session_start")).count() == 0
+    agg.unpersist()

@@ -395,3 +395,67 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         spark.sql("SELECT * FROM ssj_stream").columns
         == interval_join(b_clicks, b_purch, on="user_id", ts="ts").columns
     )
+
+
+def test_stream_session_window_aggregates(spark, sf_dir, tmp_path):
+    """Native session_window on a watermarked stream converges to the
+    batch session_aggregates twin exactly. Append mode only emits a
+    session once the watermark passes its close, so the replay stages
+    two far-future sentinel events AFTER the real data (one file per
+    micro-batch) to drive the watermark past every real session —
+    the standard closed-stream flush pattern."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    from level_mapreduce_spark.operators.events import session_aggregates
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.windows import session_aggregates_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "00.parquet")
+
+    # sentinel rows in the RAW on-disk schema (ts may be nanos-bigint
+    # or us-ntz depending on testdata generation)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = raw.agg(F.max("ts")).first()[0]
+    now = _time.time()
+    for i in (1, 2):
+        if dict(raw.dtypes)["ts"] == "bigint":
+            ts_lit = F.lit(mx + i * 86400 * 10**9)
+        else:
+            ts_lit = F.lit(mx + timedelta(days=i)).cast(dict(raw.dtypes)["ts"])
+        sent = raw.limit(1).withColumn("ts", ts_lit).withColumn(
+            "user_id", F.lit(-1).cast(dict(raw.dtypes)["user_id"])
+        )
+        d = str(tmp_path / f"_sent{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(d)
+        (pf,) = glob.glob(f"{d}/part-*.parquet")
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(pf, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    out = session_aggregates_stream(stream_table(spark, str(src), sf_dir, "events"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessagg_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sessagg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM sessagg_stream WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {tuple(r) for r in session_aggregates(events).collect()}
+    assert got == want and want
