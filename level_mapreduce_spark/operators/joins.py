@@ -187,28 +187,34 @@ def interval_join(
     ts: str = "ts",
     within: str = "30 minutes",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Keyed interval join: every right row with the same ``on`` key
     and ``left.ts <= right.ts <= left.ts + within`` (e.g. every
     purchase within 30 minutes after a click — attribution with ALL
-    matches, where :func:`asof_join` keeps exactly one).
+    matches, where :func:`asof_join` keeps exactly one). ``how``:
+    ``inner`` or ``left`` (unmatched left rows keep null right
+    columns).
 
     With the equi-key present this plans as a sort-merge join (one
-    shuffle per side on ``on``) carrying the interval bound as a
-    post-join filter — never a nested-loop theta join. The batch twin
-    of :func:`..streaming.joins.interval_join_stream`; both converge
-    to the same rows on a closed input.
+    shuffle per side on ``on``) carrying the interval bound inside
+    the join — never a nested-loop theta join. The batch twin of
+    :func:`..streaming.joins.interval_join_stream`; both converge to
+    the same rows on a closed input.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
     rcols = [c for c in right.columns if c != on]
     r = right.select(
-        F.col(on),
+        F.col(on).alias(f"{right_prefix}{on}"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
     )
     cond = (
-        (F.col(f"{right_prefix}{ts}") >= F.col(ts))
+        (F.col(f"{right_prefix}{on}") == F.col(on))
+        & (F.col(f"{right_prefix}{ts}") >= F.col(ts))
         & (F.col(f"{right_prefix}{ts}") <= F.col(ts) + F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, on=on).where(cond)
+    return left.join(r, cond, how).drop(f"{right_prefix}{on}")
 
 
 def topk_per_key(

@@ -38,6 +38,7 @@ def interval_join_stream(
     within: str = "30 minutes",
     watermark: str = "1 hour",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming keyed interval join: each right event matches every
     left event with the same ``on`` key at most ``within`` before it.
@@ -45,9 +46,17 @@ def interval_join_stream(
     Both inputs must be streaming DataFrames with event-time column
     ``ts``. Output schema matches the batch
     :func:`..operators.joins.interval_join`: all left columns plus
-    right columns prefixed ``right_prefix``. Inner join only — the
-    append-mode output every sink accepts.
+    right columns prefixed ``right_prefix``.
+
+    ``how``: ``inner`` (default) or ``leftOuter`` — the outer form
+    emits an unmatched left row (right columns null) only once the
+    watermark proves no match can still arrive, so null-matches are
+    late by the watermark delay but never wrong (no retraction).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"interval_join_stream supports inner/leftOuter, got {how!r}"
+        )
     rcols = [c for c in right.columns if c != on]
     l_w = left.withWatermark(ts, watermark)
     # rename BEFORE declaring the watermark — declaring it twice
@@ -64,7 +73,7 @@ def interval_join_stream(
             <= F.col(f"l.{ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    joined = l_w.alias("l").join(r_w.alias("r"), cond, "inner")
+    joined = l_w.alias("l").join(r_w.alias("r"), cond, how)
     out = [F.col(f"l.{c}") for c in left.columns]
     out += [F.col(f"r.{right_prefix}{c}") for c in rcols]
     return joined.select(*out)

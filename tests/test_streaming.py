@@ -459,3 +459,67 @@ def test_stream_session_window_aggregates(spark, sf_dir, tmp_path):
     }
     want = {tuple(r) for r in session_aggregates(events).collect()}
     assert got == want and want
+
+
+def test_stream_stream_interval_join_left_outer(spark, sf_dir, tmp_path):
+    """leftOuter stream-stream join: matched rows agree with inner,
+    and unmatched clicks appear exactly once with null right columns,
+    converging to the batch left interval_join."""
+    import os
+    import shutil
+
+    from level_mapreduce_spark.operators.joins import interval_join
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.joins import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ssjo_src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    s_clicks, s_purch = split(stream_table(spark, str(src), sf_dir, "events"))
+    out = interval_join_stream(
+        s_clicks, s_purch, on="user_id", ts="ts",
+        within="30 minutes", how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjo_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssjo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    b_clicks, b_purch = split(events)
+    want = {
+        (r["click_id"], r["r_purchase_id"])
+        for r in interval_join(
+            b_clicks, b_purch, on="user_id", ts="ts",
+            within="30 minutes", how="left",
+        ).collect()
+    }
+    got_rows = spark.sql("SELECT * FROM ssjo_stream").collect()
+    got = {(r["click_id"], r["r_purchase_id"]) for r in got_rows}
+    # the batch left join emits every unmatched click; the streaming
+    # outer only emits a null-match once the watermark PROVES no
+    # match — clicks in the final watermark horizon stay unproven, so
+    # streaming ⊆ batch, matched pairs agree exactly, and every
+    # missing row is an unmatched click near the end of the stream
+    matched_want = {p for p in want if p[1] is not None}
+    matched_got = {p for p in got if p[1] is not None}
+    assert matched_got == matched_want
+    assert got <= want
+    missing = want - got
+    assert all(p[1] is None for p in missing)
