@@ -756,6 +756,40 @@ class MapIndex:
             fs.rename(old, seg_path)
         self._tomb_bytes_cache = None
 
+    def stats(self) -> dict:
+        """Storage observability: the numbers an operator watches to
+        schedule :meth:`compact` and size reads (the LSM equivalent of
+        table-level stats; the reference exposes nothing — LevelDB
+        hides its levels). All come from file listings, no data scan:
+
+        - ``epochs`` — live segment epochs (read amplification: every
+          read unions them)
+        - ``segment_files`` / ``segment_bytes`` — parquet file count
+          and on-disk size of the segment store
+        - ``tombstone_epochs`` / ``tombstone_bytes`` — pending delete
+          markers folded away by the next compact
+        - ``compaction_due`` — the maintenance flag update() sets when
+          thresholds are crossed with ``auto_compact=False``
+        """
+        seg_epochs = _list_epochs(self.spark, self.segments_path)
+        tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
+        fs, path, _ = _hadoop_fs(self.spark, self.segments_path)
+        n_files = 0
+        if fs.exists(path):
+            it = fs.listFiles(path, True)
+            while it.hasNext():
+                f = it.next()
+                if f.getPath().getName().startswith("part-"):
+                    n_files += 1
+        return {
+            "epochs": seg_epochs,
+            "segment_files": n_files,
+            "segment_bytes": _path_bytes(self.spark, self.segments_path),
+            "tombstone_epochs": tomb_epochs,
+            "tombstone_bytes": self._tomb_bytes(),
+            "compaction_due": self.compaction_due,
+        }
+
     def compact(self) -> "MapIndex":
         """Fold all epochs + tombstones into a single segment set — the
         LSM merge step (run by ``update()`` past the epoch/tombstone

@@ -356,3 +356,36 @@ def test_sql_view_over_index(spark, store):
     # leave the view pointing at vanished files
     idx.compact()
     assert spark.sql(f"SELECT count(*) n FROM {view}").first()["n"] == 3
+
+
+def test_stats_tracks_lsm_lifecycle(spark, store):
+    """stats() reflects the store through build -> update -> compact:
+    epochs/tombstones accumulate under auto_compact=False and fold to
+    a single epoch with zero tombstones after compact()."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark import ExprMapper, MapIndex
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"k{i % 3}", float(i)) for i in range(30)],
+        "doc_key string, k string, v double",
+    )
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    idx = MapIndex(spark, "stats_idx", mapper, store, auto_compact=False)
+    idx.build(docs)
+    s0 = idx.stats()
+    assert s0["epochs"] == [0]
+    assert s0["segment_files"] > 0 and s0["segment_bytes"] > 0
+    assert s0["tombstone_epochs"] == [] and s0["tombstone_bytes"] == 0
+
+    idx.update(docs.limit(5).withColumn("v", F.col("v") + 1))
+    s1 = idx.stats()
+    assert len(s1["epochs"]) == 2  # base + one update epoch
+    assert s1["tombstone_epochs"]  # overwrite leaves delete markers
+
+    idx.compact()
+    s2 = idx.stats()
+    assert len(s2["epochs"]) == 1
+    assert s2["tombstone_epochs"] == [] and s2["tombstone_bytes"] == 0
+    assert not s2["compaction_due"]

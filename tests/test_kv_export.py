@@ -103,3 +103,45 @@ def test_seq_last_wins_and_tombstone(spark, store, tmp_path):
         for r in idx.read().collect()
     }
     assert got == {("x", 2.0, "a"), ("z", 9.0, "c")}
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """JSONL ingestion: parseable lines come back typed and intact,
+    malformed lines land in the quarantine channel verbatim, and a
+    documents round-trip through write_jsonl/read_jsonl is lossless."""
+    import json
+    import os
+
+    from level_mapreduce_spark.sources.jsonl import read_jsonl, write_jsonl
+    from level_mapreduce_spark.sources.tables import load_table
+
+    src = tmp_path / "docs_jsonl"
+    os.makedirs(src)
+    good_lines = [
+        {"doc_id": 1, "text": "hello world", "lang": "en",
+         "source": "web", "n_chars": 11},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr",
+         "source": "web", "n_chars": 7},
+    ]
+    with open(src / "part-000.jsonl", "w") as f:
+        for d in good_lines:
+            f.write(json.dumps(d) + "\n")
+        f.write('{"doc_id": 3, "text": "truncated...\n')      # malformed
+        f.write("not json at all\n")                           # malformed
+    good, bad = read_jsonl(spark, str(src))
+    assert {r["doc_id"]: r["text"] for r in good.collect()} == {
+        1: "hello world", 2: "bonjour"
+    }
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and "not json at all" in raws
+
+    # round-trip the real documents table
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_out")
+    write_jsonl(docs, out, n_files=2)
+    back, bad2 = read_jsonl(spark, out)
+    assert bad2.count() == 0
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in back.collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert a == b
