@@ -472,8 +472,18 @@ class MapIndex:
         self._tomb_bytes_cache = (sig, n)
         return n
 
-    def read(self) -> DataFrame:
+    def read(self, as_of_epoch: int | None = None) -> DataFrame:
         """Live index rows: segments minus tombstoned generations.
+
+        ``as_of_epoch`` time-travels: rows as they stood after that
+        epoch committed, reconstructed by ignoring later segments and
+        later tombstones — snapshot reads of any retained epoch (a
+        partition-pruned filter, no extra IO). The travel horizon is
+        the last :meth:`compact`, which folds history into a single
+        epoch; ``stats()['epochs']`` lists the valid points. The
+        reference has no counterpart (LevelDB exposes no snapshots
+        across its API, index.js:113) — this falls out of the epoch
+        design for free.
 
         The tombstone side is normally tiny relative to the index (one
         row per ever-changed doc since last compact), so it broadcasts
@@ -488,11 +498,20 @@ class MapIndex:
                 "epoch"
             )
         segs = self.spark.read.parquet(self.segments_path)
+        if as_of_epoch is not None:
+            segs = segs.where(F.col("epoch") <= as_of_epoch)
         tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
+        if as_of_epoch is not None:
+            tomb_epochs = [e for e in tomb_epochs if e <= as_of_epoch]
         if not tomb_epochs:
             return segs.drop("epoch")
         tombs = (
             self.spark.read.parquet(self.tombstones_path)
+            .where(
+                F.col("epoch") <= as_of_epoch
+                if as_of_epoch is not None
+                else F.lit(True)
+            )
             .groupBy(DOC_KEY)
             .agg(F.max("epoch").alias("tomb_epoch"))
         )

@@ -795,3 +795,75 @@ def sample_by_key(
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return docs.withColumn("sampled", keep)
+
+
+def hashed_features(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: token counts hashed
+    into a fixed ``dim``-dimensional dense ``array<float>`` — document
+    embeddings with NO model, NO vocabulary, NO Python. Identical
+    texts vectorize identically, near-duplicate texts land nearby in
+    cosine space, so the output plugs straight into the embedding
+    stack (``similarity.brute_topk`` / ``cosine_neardup_pairs_lsh`` /
+    the ANN indexes) as ``(vec_id, embedding)``.
+
+    Plan: explode tokens -> count per (doc, xxhash64(token) mod dim)
+    (map-side partial agg shrinks the shuffle to <= dim rows per doc)
+    -> assemble the dense vector per doc with map_from_entries + a
+    sequence transform (HOF over a dim-length array, not per-token) ->
+    optional L2 normalization. Two small shuffles, all JVM.
+
+    At 100 TB: output is O(docs x dim) floats regardless of text
+    volume; ``dim`` trades hash-collision noise against width (64-256
+    is the usual corpus-dedup range).
+    """
+    toks = tokens_expr(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("vec_id"), F.explode(toks).alias("_tok")
+    )
+    counted = exploded.groupBy(
+        "vec_id",
+        F.pmod(F.xxhash64("_tok"), F.lit(dim)).cast("int").alias("_b"),
+    ).agg(F.count("*").alias("_n"))
+    assembled = (
+        counted.groupBy("vec_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_b", "_n"))
+            ).alias("_m")
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double"),
+            ).alias("_v"),
+        )
+    )
+    if not normalize:
+        return assembled.select(
+            "vec_id", F.col("_v").cast("array<float>").alias("embedding")
+        )
+    # stage the norm as a column: inlined into the transform lambda it
+    # would re-evaluate the O(dim) aggregate PER ELEMENT (staging trap
+    # #1); the > 0 guard both handles all-zero vectors and gives the
+    # second textual reference that pins the producer Project against
+    # CollapseProject (staging.py module docstring)
+    staged = assembled.withColumn(
+        "_norm",
+        F.sqrt(
+            F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+    vec = F.when(
+        F.col("_norm") > 0,
+        F.transform(F.col("_v"), lambda x: x / F.col("_norm")),
+    ).otherwise(F.col("_v"))
+    return staged.select(
+        "vec_id", vec.cast("array<float>").alias("embedding")
+    )

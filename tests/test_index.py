@@ -389,3 +389,57 @@ def test_stats_tracks_lsm_lifecycle(spark, store):
     assert len(s2["epochs"]) == 1
     assert s2["tombstone_epochs"] == [] and s2["tombstone_bytes"] == 0
     assert not s2["compaction_due"]
+
+
+def test_time_travel_read_as_of_epoch(spark, store):
+    """read(as_of_epoch=N) reconstructs the index exactly as it stood
+    after epoch N committed: pre-overwrite values, pre-delete rows,
+    and epoch boundaries listed by stats(). Compaction folds history
+    and closes the travel window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark import ExprMapper, MapIndex
+
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    idx = MapIndex(spark, "tt_idx", mapper, store, auto_compact=False)
+    v0 = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "b", 2.0), ("d3", "c", 3.0)],
+        "doc_key string, k string, v double",
+    )
+    idx.build(v0)
+
+    def snapshot(as_of=None):
+        return {
+            r["index_key"]: r["value"]
+            for r in idx.read(as_of_epoch=as_of).collect()
+        }
+
+    # epoch 1: overwrite d1; epoch 2: delete d2
+    idx.update(
+        spark.createDataFrame(
+            [("d1", "a", 10.0)], "doc_key string, k string, v double"
+        )
+    )
+    idx.update(
+        spark.createDataFrame(
+            [("d2", None, None, True)],
+            "doc_key string, k string, v double, deleted boolean",
+        )
+    )
+    assert snapshot() == {"a": 10.0, "c": 3.0}            # live
+    assert snapshot(as_of=0) == {"a": 1.0, "b": 2.0, "c": 3.0}
+    assert snapshot(as_of=1) == {"a": 10.0, "b": 2.0, "c": 3.0}
+    assert snapshot(as_of=2) == snapshot()
+    # epoch 2 was delete-only: it exists as a tombstone epoch, and no
+    # segment partition was written for it
+    s = idx.stats()
+    assert s["epochs"] == [0, 1] and 2 in s["tombstone_epochs"]
+
+    # compact folds history: live answer unchanged, old epochs gone
+    idx.compact()
+    assert snapshot() == {"a": 10.0, "c": 3.0}
+    assert snapshot(as_of=0) == {}                        # window closed
+    folded = idx.stats()["epochs"]
+    assert len(folded) == 1                              # single epoch left
+    assert snapshot(as_of=folded[0]) == snapshot()

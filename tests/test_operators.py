@@ -884,3 +884,43 @@ def test_session_aggregates_agrees_with_sessionize(spark, sf_dir):
     # start-of-last-event + gap, so strictly greater
     assert agg.where(F.col("session_end") <= F.col("session_start")).count() == 0
     agg.unpersist()
+
+
+def test_hashed_features_vectorizer(spark, docs):
+    """Feature hashing: identical texts vectorize identically (cosine
+    1), vectors are unit-norm, the output schema plugs into the
+    embedding similarity stack, and the plan stays JVM-side."""
+    from level_mapreduce_spark.operators.similarity import brute_topk
+    from level_mapreduce_spark.operators.text import hashed_features
+
+    base = docs.limit(40)
+    clone = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    vecs = hashed_features(base.unionByName(clone), dim=64).persist()
+    rows = {r["vec_id"]: list(r["embedding"]) for r in vecs.collect()}
+    # clones vectorize identically to their source
+    matched = 0
+    for vid, v in rows.items():
+        if vid >= 100000 and any(x != 0 for x in v):
+            assert v == rows[vid - 100000]
+            matched += 1
+    assert matched >= 4
+    # unit norm (non-empty docs)
+    for v in rows.values():
+        n = sum(x * x for x in v) ** 0.5
+        if n:
+            assert abs(n - 1.0) < 1e-5
+    # plugs into the ANN stack: the clone's nearest neighbor by cosine
+    # is its source (or itself-distance ties), found by brute_topk
+    probe_id = next(v for v in rows if v >= 100000)
+    probe = rows[probe_id]
+    top = [r["vec_id"] for r in brute_topk(vecs, probe, k=2).collect()]
+    assert set(top) == {probe_id, probe_id - 100000}
+    # JVM-only plan
+    plan = (
+        hashed_features(base)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    vecs.unpersist()
