@@ -157,6 +157,10 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     from level_mapreduce_spark.operators.similarity import probe_vector
 
     timed("dedup_exact", lambda: materialize(exact_dedup(docs)))
+
+    from level_mapreduce_spark.operators.text import hashed_features
+
+    timed("hashed_features", lambda: materialize(hashed_features(docs)))
     def minhash_cold():
         # drop the operator's persisted staging first so every repeat
         # measures the full recompute (warm JIT, cold cache)
@@ -256,6 +260,19 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     timed("asof_join", asof)
 
+    def interval():
+        from level_mapreduce_spark.operators.joins import interval_join
+
+        clicks = events_tbl.where(F.col("event_type") == "click")
+        purchases = events_tbl.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        materialize(
+            interval_join(clicks, purchases, on="user_id", ts="ts")
+        )
+
+    timed("interval_join", interval)
+
     from level_mapreduce_spark.operators.events import (
         funnel_stages,
         session_aggregates,
@@ -343,6 +360,22 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     )
     kll_hours.unpersist()
     theta_hours.unpersist()
+
+    # multi-column layout: one z-order relayout of events (write cost
+    # is the price of every later multi-dimension pruned scan)
+    import os as _os
+
+    from level_mapreduce_spark.functions.zorder import zorder_write
+
+    timed(
+        "zorder_write",
+        lambda: zorder_write(
+            events.select("event_id", "user_id", "value"),
+            ["user_id", "value"],
+            _os.path.join(store, "z_events"),
+        ),
+        repeat=1,
+    )
 
 
 if __name__ == "__main__":

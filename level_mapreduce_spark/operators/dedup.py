@@ -569,3 +569,71 @@ def decontaminate(
         docs["doc_id"].cast("long") == bad["doc_id"],
         "left_anti",
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int = 100_000,
+) -> DataFrame:
+    """Edit-distance near-dup pairs for SHORT strings (titles, names,
+    URLs — the entity-resolution regime where token MinHash is too
+    coarse): ``(id_a, id_b, dist)`` with ``levenshtein <= max_dist``.
+
+    Scale shape mirrors the MinHash path: candidates come from a
+    positional q-gram inverted index (explode grams -> self-join on
+    the gram key), pre-filtered by length compatibility
+    (``abs(len_a - len_b) <= max_dist`` — a necessary condition), and
+    every candidate is verified with the exact JVM ``levenshtein`` —
+    precision 1.0 by construction, never an all-pairs compare.
+
+    ``max_gram_freq`` drops stopword-grade grams from the index (the
+    hot-bucket cap): a pair is missed only if EVERY shared gram is
+    that common, and strings within edit distance d of length L share
+    >= L - q + 1 - d*q grams — for near-identical short strings
+    essentially their whole gram set, so recall loss needs the entire
+    string to be built from ubiquitous grams. Candidate volume is then
+    bounded by gram-frequency² sums, not corpus².
+    """
+    s = F.lower(F.col(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(1))),
+        lambda i: s.substr(i, F.lit(q)),
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        s.alias("_s"),
+        F.length(s).alias("_len"),
+        F.explode(F.array_distinct(grams)).alias("_g"),
+    )
+    hot = base.groupBy("_g").count().where(F.col("count") > max_gram_freq)
+    pruned = base.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+    a = pruned.select(
+        F.col("_g"),
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_len").alias("_la"),
+    )
+    b = pruned.select(
+        F.col("_g"),
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_len").alias("_lb"),
+    )
+    cands = (
+        a.join(b, "_g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .select("id_a", "id_b", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

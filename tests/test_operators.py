@@ -924,3 +924,38 @@ def test_hashed_features_vectorizer(spark, docs):
     )
     assert "EvalPython" not in plan
     vecs.unpersist()
+
+
+def test_edit_distance_pairs(spark):
+    """q-gram blocked + levenshtein-verified fuzzy pairs: typo'd
+    twins found with their exact distances, unrelated titles absent,
+    length-incompatible strings never verified, plan stays JVM-side
+    with no cartesian product."""
+    from level_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    titles = spark.createDataFrame(
+        [
+            (1, "the matrix"),
+            (2, "the martix"),        # transposition: dist 2
+            (3, "the matrix!"),       # insertion: dist 1
+            (4, "completely different film"),
+            (5, "an unrelated documentary"),
+            (6, "xx"),                # short + length-incompatible
+        ],
+        "doc_id long, text string",
+    )
+    out = edit_distance_pairs(titles, max_dist=2)
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    # 2-3 is dist 3 (transposition counts 2 + the '!' insertion) —
+    # correctly OVER max_dist and absent
+    assert got == {(1, 2): 2, (1, 3): 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # hot-gram cap: a corpus where every string is one ubiquitous gram
+    # repeated loses those grams from the index (documented trade)
+    monotone = spark.createDataFrame(
+        [(i, "aaaa") for i in range(10)], "doc_id long, text string"
+    )
+    assert edit_distance_pairs(monotone, max_gram_freq=5).count() == 0
