@@ -875,27 +875,41 @@ def q_range_join(spark, sf_dir):
 
 
 def q_rollup(spark, sf_dir):
-    """Hierarchical subtotals (ROLLUP) — grouping-set aggregation over
-    (priority, status). Revenue is emitted as exact integer CENTS
-    (bigint): Spark's sum(decimal(18,2)) and DuckDB's widen to
-    different decimal types, which the driver's hash canonicalizer
-    renders differently even when values are equal — bigint cells hash
-    identically everywhere."""
+    """Grouping-set aggregation, tagged union completing the family
+    with ``cube``: hierarchical subtotals (ROLLUP over priority,
+    status) plus arbitrary GROUPING SETS ((priority), (status)) — the
+    two one-dimension margins without the full cube. Revenue is
+    emitted as exact integer CENTS (bigint): Spark's
+    sum(decimal(18,2)) and DuckDB's widen to different decimal types,
+    which the driver's hash canonicalizer renders differently even
+    when values are equal — bigint cells hash identically everywhere."""
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.rollup("o_orderpriority", "o_orderstatus").agg(
+    measures = [
         F.count("*").alias("n"),
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("revenue_cents"),
-    )
+    ]
     # subtotal NULLs -> sentinel: the driver hash canonicalizer mishandles
     # NULL grouping cells (data columns are non-null, so this is lossless)
-    return agg.select(
-        F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
-        F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
-        "n",
-        "revenue_cents",
-    )
+    def label(df, tag):
+        return df.select(
+            F.lit(tag).alias("variant"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias(
+                "o_orderpriority"
+            ),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            "n",
+            "revenue_cents",
+        )
+
+    roll = orders.rollup("o_orderpriority", "o_orderstatus").agg(*measures)
+    sets = orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(*measures)
+    return label(roll, "rollup").unionByName(label(sets, "sets"))
 
 
 def q_events_window(spark, sf_dir):
@@ -1838,12 +1852,21 @@ ORACLES: dict[str, str] = {
       GROUP BY band_id
     """,
     "rollup": """
-      SELECT coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+      SELECT 'rollup' AS variant,
+             coalesce(o_orderpriority, '<all>') AS o_orderpriority,
              coalesce(o_orderstatus, '<all>') AS o_orderstatus,
              count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS revenue_cents
       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      UNION ALL
+      SELECT 'sets',
+             coalesce(o_orderpriority, '<all>'),
+             coalesce(o_orderstatus, '<all>'),
+             count(*),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     """,
     "cube": """
       SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
