@@ -44,10 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. ``dedup_simhash``,
-    ``ann_lsh_ivf``, ``multimodal_features``, ``events_approx_users``,
+    ``ann_lsh_ivf``, ``multimodal_features``,
     ``sketch_range_estimate``, and ``neardup_cosine_blocked`` are
     intentionally absent (hash-function / k-means bucketing,
-    byte-level decode, HLL internals, BLAS summation order not
-    expressible in DuckDB SQL) → driver records the rows-only check;
-    their semantics vs the exact operators are asserted in pytest."""
+    byte-level decode, DataSketches HLL/KLL/theta internals, BLAS
+    summation order not expressible in DuckDB SQL) → driver records
+    the rows-only check; their semantics vs the exact operators are
+    asserted in pytest."""
     return dict(_q.ORACLES)

@@ -1059,8 +1059,23 @@ def _replay_events_stream(
     return spark.table(query_name)
 
 
-def q_events_approx_users(spark, sf_dir):
-    return ev.approx_distinct_users(load_table(spark, sf_dir, "events"))
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs over 40-char document prefixes
+    (the short-string entity-resolution regime): the q-gram-blocked +
+    levenshtein-verified operator against DuckDB's exact all-pairs
+    levenshtein join — recall equality with brute force IS the check
+    (blocking is provably complete here: 40-char strings within
+    distance 3 share >= 33 of their 39 bigrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id"),
+        F.substring(F.lower(F.col("text")), 1, 40).alias("text"),
+    )
+    from level_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(titles, max_dist=3).select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
 
 
 def q_events_quantiles(spark, sf_dir):
@@ -1161,7 +1176,14 @@ def q_sketch_range_estimate(spark, sf_dir):
     for tag, df in parts:
         tagged = df.select(F.lit(tag).alias("variant"), "est")
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+    # HLL++ approx_count_distinct per event_type (the fourth sketch
+    # family here — folded from its own former registry slot; pytest
+    # bounds its error against the exact distinct_users twin)
+    approx = ev.approx_distinct_users(events).select(
+        F.concat(F.lit("approx_"), F.col("event_type")).alias("variant"),
+        F.col("approx_users").cast("long").alias("est"),
+    )
+    return out.unionByName(approx)
 
 
 def q_cube(spark, sf_dir):
@@ -1339,7 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "events_running": q_events_running,
     "events_sessionize": q_events_sessionize,
-    "events_approx_users": q_events_approx_users,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "events_quantiles": q_events_quantiles,
     "events_distinct_users": q_events_distinct_users,
     "sketch_range_estimate": q_sketch_range_estimate,
@@ -2080,8 +2102,20 @@ ORACLES: dict[str, str] = {
       FROM b
     """,
     # dedup_simhash, ann_lsh_ivf: hash-function/bucketing/k-means not
-    # expressible in DuckDB SQL; events_approx_users: HLL estimates are
-    # implementation-specific; neardup_cosine_blocked: BLAS summation
-    # order shifts 6dp rounding; multimodal_features: binary decode
-    # -> rows-only checks; pytest covers their semantics.
+    # expressible in DuckDB SQL; sketch_range_estimate: DataSketches
+    # HLL/KLL/theta internals are implementation-specific;
+    # neardup_cosine_blocked: BLAS summation order shifts 6dp
+    # rounding; multimodal_features: binary decode -> rows-only
+    # checks; pytest covers their semantics.
+    "fuzzy_pairs": """
+      WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               substr(lower(text), 1, 40) AS s
+        FROM documents
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM t a JOIN t b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 3
+    """,
 }
