@@ -186,6 +186,26 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     probe = probe_vector(emb, 0)
     timed("ann_topk", lambda: materialize(brute_topk(emb, probe, k=10)))
 
+    # PQ: one-time train+encode (32x compression), then ADC search
+    from level_mapreduce_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    pq_state = {}
+
+    def pq_build():
+        books = train_pq(emb)
+        pq_state["books"] = books
+        pq_state["codes"] = pq_encode(emb, books).persist()
+        pq_state["codes"].count()
+
+    timed("pq_train_encode", pq_build, repeat=1)
+    timed(
+        "pq_topk",
+        lambda: materialize(
+            pq_topk(pq_state["codes"], pq_state["books"], probe, k=10)
+        ),
+    )
+    pq_state["codes"].unpersist()
+
     from level_mapreduce_spark.operators.indexed import build_band_index
     from level_mapreduce_spark.operators.joins import asof_join
 

@@ -1,0 +1,174 @@
+"""Product quantization (PQ) approximate nearest neighbor — Jégou,
+Douze & Schmid, TPAMI'11 (the FAISS ``PQ``/``IVFPQ`` family): the
+memory-bound scale path for embedding search.
+
+Brute-force cosine/L2 over 100 TB of float32 embeddings is
+IO-dominated: every query rescans 4·dim bytes per vector. PQ splits
+each vector into ``m`` subspaces, k-means-quantizes each subspace to
+one of ``k`` centroids, and stores only the ``m`` centroid ids — for
+dim=64, m=8, k<=256 that is 8 bytes per vector instead of 256, a 32x
+scan-volume cut. Queries never decode: an asymmetric-distance (ADC)
+lookup table of probe-to-centroid distances per subspace turns each
+candidate's distance into ``m`` table gathers + adds.
+
+Division of labor (same stance as the blocked-BLAS near-dup path —
+dense linear algebra is the sanctioned Arrow hot path):
+
+- **train** — driver-side numpy k-means per subspace on a bounded
+  deterministic sample (codebooks for billion-vector corpora train on
+  ~1M samples; the collect is O(max_train), never O(corpus));
+- **encode** — one ``mapInPandas`` pass, vectorized argmin per
+  subspace per Arrow batch; output is O(corpus · m) small ints;
+- **search** — LUT built driver-side (m·k floats), ADC scored per
+  batch with numpy ``take``; each partition emits only its local
+  top-k, the global top-k is a tiny shuffle (the distributed-top-k
+  shape of ``knn_join``).
+
+Compose with the IVF coarse quantizer (``ivf.py``) for IVFPQ: route
+the probe to ``nprobe`` inverted lists, ADC-score only those codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 64,
+    max_train: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list:
+    """Per-subspace k-means codebooks, shape (m, k, dim/m), trained on
+    a deterministic sample (numpy Lloyd iterations, init = first k
+    sample rows by vec_id — same scheme as ``ivf.train_centroids``)."""
+    import numpy as np
+
+    total = embeddings.count()
+    frac = min(1.0, (max_train * 1.2) / max(total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .orderBy("vec_id")
+        .limit(max_train)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    kk = min(k, len(x))
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[:kk].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                sel = assign == c
+                if sel.any():
+                    cents[c] = xs[sel].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
+    """Encode every vector to its ``m`` subspace centroid ids:
+    ``(vec_id, codes array<int>)``. One Arrow pass, argmin vectorized
+    per batch; zero shuffle."""
+    import numpy as np
+
+    books = [np.array(b) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
+                # within the argmin, so score = c² - 2x·c
+                dots = xs @ books[j].T
+                c2 = (books[j] ** 2).sum(axis=1)
+                codes[:, j] = (c2[None, :] - 2 * dots).argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"),
+                 "codes": list(codes)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, out_schema
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    probe: list,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over PQ codes: ``(vec_id, adc_dist)``, ascending
+    approximate squared-L2 distance to ``probe``.
+
+    The lookup table (m x k floats) rides the closure; scoring is
+    ``m`` numpy gathers + a row sum per batch, each partition emits
+    its local top-k, and the global ``orderBy(limit)`` plans as
+    distributed top-k (TakeOrderedAndProject) over
+    O(partitions x k) rows — never a global sort.
+    """
+    import numpy as np
+
+    books = [np.array(b) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    p = np.array(probe, dtype=np.float64)
+    lut = np.stack(
+        [
+            ((books[j] - p[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            dist = np.zeros(len(c))
+            for j in range(m):
+                dist += lut[j].take(c[:, j])
+            top = np.argsort(dist)[:k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].iloc[top].astype("int64"),
+                    "adc_dist": dist[top],
+                }
+            )
+
+    return (
+        codes.mapInPandas(score, out_schema)
+        .orderBy("adc_dist")
+        .limit(k)
+    )
