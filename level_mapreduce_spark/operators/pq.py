@@ -172,3 +172,46 @@ def pq_topk(
         .orderBy("adc_dist")
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    pq_codebooks: list,
+    centroids: list,
+    probe: list,
+    k: int = 10,
+    nprobe: int = 4,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFPQ: the IVF coarse quantizer routes the probe to ``nprobe``
+    inverted lists, and ADC scores ONLY those lists' PQ codes — the
+    two-level FAISS composition. Per-query cost drops from
+    O(corpus · m) gathers to O(corpus · m · nprobe / n_centroids),
+    and the scan reads 8-byte codes, not float vectors: the plan for
+    billions of embeddings.
+
+    ``codes`` (from :func:`pq_encode` joined with the coarse
+    assignment) is recomputed here when not supplied; at scale you
+    store it once — ideally as a MapIndex keyed by list id, making
+    each probe a pushed-down key lookup (``indexed.build_ivf_index``
+    stores exactly that for the exact-rerank variant).
+    """
+    from level_mapreduce_spark.operators.ivf import assign_expr
+
+    def score(c):
+        dot = sum(p * v for p, v in zip(probe, c))
+        return dot - sum(v * v for v in c) / 2.0
+
+    ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
+    wanted = [int(w) for w in ranked[: max(1, nprobe)]]
+    if codes is None:
+        assigned = embeddings.withColumn(
+            "_list",
+            assign_expr(F.col("embedding").cast("array<double>"), centroids),
+        )
+        codes = pq_encode(
+            assigned.where(F.col("_list").isin(wanted)), pq_codebooks
+        )
+    else:
+        codes = codes.where(F.col("_list").isin(wanted))
+    return pq_topk(codes.select("vec_id", "codes"), pq_codebooks, probe, k=k)

@@ -86,3 +86,21 @@ def test_pq_topk_plan_is_distributed_topk(pq_setup):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_composition(spark, pq_setup):
+    """IVFPQ: ADC over only the probed inverted lists still recovers
+    the probe vector itself and a healthy share of full-PQ's answer
+    set (the composition can only lose what list-pruning drops)."""
+    from level_mapreduce_spark.operators.ivf import train_centroids
+    from level_mapreduce_spark.operators.pq import ivfpq_topk
+
+    emb, books, codes, x, ids = pq_setup
+    cents = train_centroids(emb, n_centroids=8)
+    full = {r["vec_id"] for r in pq_topk(codes, books, list(x[1]), k=10).collect()}
+    got = ivfpq_topk(
+        emb, books, cents, list(x[1]), k=10, nprobe=4
+    ).collect()
+    got_ids = {r["vec_id"] for r in got}
+    assert ids[1] in got_ids                  # self survives routing
+    assert len(got_ids & full) >= 5, (got_ids, full)
