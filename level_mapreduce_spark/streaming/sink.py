@@ -68,16 +68,23 @@ def stream_sketches_into(
     processing_time: str | None = None,
 ) -> StreamingQuery:
     """Live continuous aggregate: fold each micro-batch of raw events
-    into a bucket->HLL sketch index (see ``operators.sketches``).
+    into a bucket->sketch index (see ``operators.sketches``; the
+    index's ``kind`` — hll/theta/kll — is remembered from
+    ``build_sketch_index`` and drives the fold).
 
     Each micro-batch costs O(buckets touched by the batch): sketch the
     batch, read back the touched key range through the pruned index
-    scan, union, overwrite. Distinct-user range queries stay answerable
-    mid-stream off the index (``sketch_index_estimate``) — the
-    hypertable "continuous aggregate" behavior on the engine's own
-    storage. Retried micro-batches re-fold the same events into the
-    stored sketch; HLL union is idempotent for duplicate inserts, so
-    replays converge.
+    scan, union, overwrite. Range queries stay answerable mid-stream
+    off the index (``sketch_index_estimate`` / ``_quantiles`` /
+    ``_overlap``) — the hypertable "continuous aggregate" behavior on
+    the engine's own storage.
+
+    Replay semantics: retried micro-batches re-fold the same events.
+    HLL and theta unions are idempotent for duplicate inserts, so
+    replays converge exactly; KLL merge is NOT (duplicates re-weight
+    ranks slightly) — for kll indexes a replayed batch perturbs
+    quantiles within sketch error, acceptable for monitoring but not
+    for exact replay convergence guarantees.
     """
     from level_mapreduce_spark.operators.sketches import update_sketch_index
 
