@@ -333,3 +333,89 @@ def ann_topk_from_index(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_mapper(
+    centroids: list[list[float]], codebooks: list
+) -> ExprMapper:
+    """Map fn emitting one (list_id, pq_codes) pair per vector: the
+    stored IVFPQ cell — coarse list id as the sorted index key, the
+    8-byte PQ code vector as the value. Both the routing assignment
+    and the code quantization are pure Column HOFs (the engine's
+    write-path rule), so incremental ``update()`` re-encodes ONLY
+    changed vectors against the frozen codebooks."""
+    from level_mapreduce_spark.operators.ivf import assign_expr
+    from level_mapreduce_spark.operators.pq import pq_assign_expr
+
+    return ExprMapper(
+        F.array(
+            F.struct(
+                F.col("_list").cast("string").alias("index_key"),
+                F.col("_codes").alias("value"),
+            )
+        ),
+        value_type=T.ArrayType(T.IntegerType()),
+        stages={
+            "_list": assign_expr(
+                F.col("embedding").cast("array<double>"), centroids
+            ),
+            "_codes": pq_assign_expr(
+                F.col("embedding").cast("array<double>"), codebooks
+            ),
+        },
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    store: str,
+    name: str = "ivfpq_cells",
+    n_centroids: int = 8,
+    m: int = 8,
+    k: int = 64,
+    seed: int = 42,
+):
+    """Train both quantizer levels on a bounded sample, store every
+    vector's (list_id -> codes) cell as a MapIndex: the on-disk IVFPQ
+    structure. Probes become pushed-down key lookups over 8-byte
+    codes; maintenance is O(changed vectors) through ``update()``.
+    Returns (index, centroids, codebooks)."""
+    from level_mapreduce_spark.operators.ivf import train_centroids
+    from level_mapreduce_spark.operators.pq import train_pq
+
+    centroids = train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
+    books = train_pq(embeddings, m=m, k=k, seed=seed)
+    idx = MapIndex(
+        spark, name, ivfpq_mapper(centroids, books), store, doc_key="vec_id"
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
+    return idx, centroids, books
+
+
+def ivfpq_topk_from_index(
+    idx: MapIndex,
+    centroids: list[list[float]],
+    codebooks: list,
+    probe: list,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve an IVFPQ probe off the stored index: rank centroids
+    driver-side, key-lookup the nprobe nearest lists (an In filter on
+    the sorted index key — pushed to the parquet scan), ADC-score
+    only those cells' codes."""
+    from level_mapreduce_spark.operators.pq import pq_topk
+
+    def score(c):
+        dot = sum(p * v for p, v in zip(probe, c))
+        return dot - sum(v * v for v in c) / 2.0
+
+    ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
+    wanted = [str(j) for j in ranked[: max(1, nprobe)]]
+    cells = idx.read().where(F.col("index_key").isin(wanted)).select(
+        F.col("doc_key").cast("long").alias("vec_id"),
+        F.col("value").alias("codes"),
+    )
+    return pq_topk(cells, codebooks, probe, k=k)

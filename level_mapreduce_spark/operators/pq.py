@@ -215,3 +215,28 @@ def ivfpq_topk(
     else:
         codes = codes.where(F.col("_list").isin(wanted))
     return pq_topk(codes.select("vec_id", "codes"), pq_codebooks, probe, k=k)
+
+
+def pq_assign_expr(vec, codebooks: list):
+    """PQ codes as a pure Column expression: per subspace, the
+    nearest-centroid id via the same HOF argmin as ``ivf.assign_expr``
+    over the sliced vector — ``array<int>`` out, all JVM, no Arrow.
+
+    The Column form exists so PQ codes can live inside a MapIndex map
+    fn (``indexed.build_ivfpq_index``) — the engine's write path is
+    pure Column expressions. For bulk one-off encodes the Arrow
+    :func:`pq_encode` path batches better; both produce identical
+    codes (tested).
+    """
+    from level_mapreduce_spark.operators.ivf import assign_expr
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            assign_expr(
+                F.slice(vec, j * dsub + 1, dsub), codebooks[j]
+            )
+            for j in range(m)
+        ]
+    )

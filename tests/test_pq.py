@@ -104,3 +104,73 @@ def test_ivfpq_composition(spark, pq_setup):
     got_ids = {r["vec_id"] for r in got}
     assert ids[1] in got_ids                  # self survives routing
     assert len(got_ids & full) >= 5, (got_ids, full)
+
+
+def test_column_encoder_matches_arrow_encoder(spark, pq_setup):
+    """The pure-Column pq_assign_expr and the Arrow pq_encode produce
+    identical codes for every vector."""
+    from level_mapreduce_spark.operators.pq import pq_assign_expr
+
+    emb, books, codes, x, ids = pq_setup
+    col_codes = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            pq_assign_expr(
+                F.col("embedding").cast("array<double>"), books
+            ).alias("c"),
+        ).collect()
+    }
+    arrow_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert col_codes == arrow_codes
+
+
+def test_ivfpq_index_roundtrip_and_incremental(spark, sf_dir, tmp_path, pq_setup):
+    """The stored IVFPQ index serves the same answers as the inline
+    composition, the list lookup pushes to the parquet scan, and an
+    incremental update of a planted duplicate makes it findable
+    without any rebuild."""
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+    from level_mapreduce_spark.operators.pq import ivfpq_topk
+
+    emb, _, _, x, ids = pq_setup
+    idx, cents, books = build_ivfpq_index(
+        spark, emb, str(tmp_path / "ivfpq"), n_centroids=8
+    )
+    stored = ivfpq_topk_from_index(
+        idx, cents, books, list(x[2]), k=10, nprobe=4
+    ).collect()
+    inline = ivfpq_topk(
+        emb, books, cents, list(x[2]), k=10, nprobe=4
+    ).collect()
+    assert {r["vec_id"] for r in stored} == {r["vec_id"] for r in inline}
+    for s, i in zip(
+        sorted(stored, key=lambda r: r["vec_id"]),
+        sorted(inline, key=lambda r: r["vec_id"]),
+    ):
+        assert abs(s["adc_dist"] - i["adc_dist"]) < 1e-9
+
+    # key lookup reaches the scan
+    plan = (
+        idx.read()
+        .where(F.col("index_key").isin(["0", "1"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(index_key" in plan
+
+    # incremental: a planted duplicate arrives via update(), becomes
+    # the probe's nearest stored neighbor alongside its source
+    dup = emb.where(F.col("vec_id") == int(ids[2])).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    idx.update(dup, assume_unique=True)
+    after = ivfpq_topk_from_index(
+        idx, cents, books, list(x[2]), k=3, nprobe=4
+    ).collect()
+    top_ids = {r["vec_id"] for r in after}
+    assert {int(ids[2]), int(ids[2]) + 900000} <= top_ids
