@@ -1289,19 +1289,41 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh_ivf(spark, sf_dir):
-    """Both approximate-ANN paths in one tagged union (merged entry —
-    the driver scores 50 registry entries; rows-only: sign-LSH
-    bucketing and k-means assignment are not SQL-expressible; recall
-    vs brute force asserted in pytest for each)."""
+    """All three approximate-ANN paths in one tagged union (merged
+    entry — the driver scores 50 registry entries; rows-only:
+    sign-LSH bucketing, k-means assignment, and PQ quantization are
+    not SQL-expressible; recall vs brute force asserted in pytest for
+    each): multiprobe sign-LSH, IVF coarse-quantizer with exact
+    rerank, and IVFPQ (coarse routing + 8-byte-code ADC scoring —
+    ``score`` is the approximate squared-L2 ADC distance there, the
+    cosine similarity for the other two)."""
     from level_mapreduce_spark.operators import ivf as iv
+    from level_mapreduce_spark.operators.pq import ivfpq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
     lsh = sim.lsh_topk(emb, probe, k=10)
     cents = iv.train_centroids(emb)
     ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+    books = train_pq(emb)
+    pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
+    out = lsh.select(
+        F.lit("lsh").alias("method"),
+        "vec_id",
+        F.col("sim").alias("score"),
+    ).unionByName(
+        ivf.select(
+            F.lit("ivf").alias("method"),
+            "vec_id",
+            F.col("sim").alias("score"),
+        )
+    )
+    return out.unionByName(
+        pq.select(
+            F.lit("ivfpq").alias("method"),
+            "vec_id",
+            F.round("adc_dist", 6).alias("score"),
+        )
     )
 
 
