@@ -119,3 +119,43 @@ def test_full_corpus_pipeline_composes(spark, docs):
 
     # the funnel narrowed monotonically and kept real data
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+
+
+def test_text_to_stored_ann_pipeline(spark, docs, tmp_path):
+    """Model-free semantic-dedup composition: documents vectorize via
+    the hashing trick, the vectors build a stored IVFPQ index, and
+    probing with a planted near-duplicate's vector surfaces its
+    source — text in, compressed stored ANN out, no Python UDF in the
+    vectorize path and 8-byte codes in the store."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+    from level_mapreduce_spark.operators.text import hashed_features
+
+    base = docs.limit(60)
+    # planted near-duplicate: same text with a tiny suffix tweak
+    dup = base.limit(1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(dup)
+    vecs = hashed_features(corpus, dim=64).persist()
+    assert vecs.count() == 61
+
+    idx, cents, books = build_ivfpq_index(
+        spark, vecs, str(tmp_path / "text_ann"), n_centroids=4
+    )
+    src_id = base.limit(1).collect()[0]["doc_id"]
+    probe = [
+        float(v)
+        for v in vecs.where(F.col("vec_id") == src_id + 500000)
+        .collect()[0]["embedding"]
+    ]
+    top = ivfpq_topk_from_index(idx, cents, books, probe, k=3, nprobe=2)
+    top_ids = {r["vec_id"] for r in top.collect()}
+    assert {src_id, src_id + 500000} <= top_ids
+    vecs.unpersist()
