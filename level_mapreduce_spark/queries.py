@@ -951,10 +951,14 @@ def q_events_window(spark, sf_dir):
 
 
 def q_events_running(spark, sf_dir):
-    """Per-user sequencing BOTH ways in one tagged union: running
-    event numbers (window function) and ordered-funnel progression
-    (view → click → purchase greedy subsequence fold) — the funnel's
-    per-user stage rides the ``rn`` slot."""
+    """Per-user sequencing plus semi-structured extraction in one
+    tagged union: running event numbers (window function),
+    ordered-funnel progression (view → click → purchase greedy
+    subsequence fold — the per-user stage rides the ``rn`` slot), and
+    per-event JSON field extraction from the ``props`` column
+    (``get_json_object`` vs DuckDB's ``->>`` — the scalar
+    JSON-function surface, hash-checked row by row in the ``rn``
+    slot)."""
     events = load_table(spark, sf_dir, "events")
     run = ev.running_number(events).select(
         F.lit("run").alias("variant"), "event_id", "user_id", "rn"
@@ -965,7 +969,13 @@ def q_events_running(spark, sf_dir):
         "user_id",
         F.col("stage").alias("rn"),
     )
-    return run.unionByName(fun)
+    props = events.select(
+        F.lit("props").alias("variant"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("rn"),
+    )
+    return run.unionByName(fun).unionByName(props)
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -2001,6 +2011,11 @@ ORACLES: dict[str, str] = {
       LEFT JOIN s1 USING (user_id)
       LEFT JOIN s2 USING (user_id)
       LEFT JOIN s3 USING (user_id)
+      UNION ALL
+      SELECT 'props', CAST(event_id AS BIGINT),
+             CAST(user_id AS BIGINT),
+             CAST(props->>'k' AS BIGINT)
+      FROM events
     """,
     "events_sessionize": """
       WITH flagged AS (
