@@ -224,3 +224,29 @@ def distinct_users(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users")
     )
+
+
+def rolling_user_value(
+    events: DataFrame, window_us: int = 3_600_000_000
+) -> DataFrame:
+    """Trailing time-window aggregate per user: for every event, the
+    sum of that user's ``value`` over the preceding hour (inclusive)
+    — the RANGE-frame window family (``rangeBetween`` over event-time
+    micros), complementing the ROWS-frame running number.
+
+    One shuffle on user_id; the frame is evaluated by Catalyst's
+    sliding window-frame machinery per partition (no self-join, no
+    explode). Cents-int output for cross-engine hash stability."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-window_us, 0)
+    )
+    # decimal-then-scale: a bare double*100 truncates (7.72*100 ->
+    # 771.999...), the decimal cast is exact
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum(cents).over(w).alias("trailing_cents"),
+    )

@@ -975,7 +975,13 @@ def q_events_running(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"),
         F.get_json_object("props", "$.k").cast("long").alias("rn"),
     )
-    return run.unionByName(fun).unionByName(props)
+    roll = ev.rolling_user_value(events).select(
+        F.lit("rolling").alias("variant"),
+        "event_id",
+        "user_id",
+        F.col("trailing_cents").alias("rn"),
+    )
+    return run.unionByName(fun).unionByName(props).unionByName(roll)
 
 
 def q_events_sessionize(spark, sf_dir):
@@ -2015,6 +2021,13 @@ ORACLES: dict[str, str] = {
       SELECT 'props', CAST(event_id AS BIGINT),
              CAST(user_id AS BIGINT),
              CAST(props->>'k' AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'rolling', CAST(event_id AS BIGINT),
+             CAST(user_id AS BIGINT),
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       FROM events
     """,
     "events_sessionize": """

@@ -959,3 +959,26 @@ def test_edit_distance_pairs(spark):
         [(i, "aaaa") for i in range(10)], "doc_id long, text string"
     )
     assert edit_distance_pairs(monotone, max_gram_freq=5).count() == 0
+
+
+def test_rolling_user_value_range_frame(spark):
+    """Trailing-hour RANGE frame: events within the window sum, an
+    event exactly at the boundary is included, older ones fall out,
+    and users don't mix."""
+    from level_mapreduce_spark.operators.events import rolling_user_value
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, 1.00),
+        (2, "2024-01-01 10:30:00", 1, 2.00),
+        (3, "2024-01-01 11:00:00", 1, 4.00),   # 10:00 still in range
+        (4, "2024-01-01 11:30:01", 1, 8.00),   # 10:30 just expired
+        (5, "2024-01-01 10:15:00", 2, 16.00),  # other user, isolated
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["trailing_cents"]
+        for r in rolling_user_value(events).collect()
+    }
+    assert got == {1: 100, 2: 300, 3: 700, 4: 1200, 5: 1600}
