@@ -821,6 +821,10 @@ def hashed_features(
     At 100 TB: output is O(docs x dim) floats regardless of text
     volume; ``dim`` trades hash-collision noise against width (64-256
     is the usual corpus-dedup range).
+
+    Documents with zero tokens (empty/whitespace text) produce NO
+    output row — there is nothing to embed; left-join the result back
+    to the corpus if presence matters downstream.
     """
     toks = tokens_expr(F.col(text_col))
     exploded = docs.select(
