@@ -295,6 +295,7 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     from level_mapreduce_spark.operators.events import (
         funnel_stages,
+        rolling_user_value,
         session_aggregates,
         sessionize,
         sliding_counts,
@@ -307,6 +308,10 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     timed(
         "events_session_native",
         lambda: materialize(session_aggregates(events)),
+    )
+    timed(
+        "events_rolling",
+        lambda: materialize(rolling_user_value(events)),
     )
     timed("events_funnel", lambda: materialize(funnel_stages(events)))
     timed("events_sliding", lambda: materialize(sliding_counts(events)))
