@@ -982,3 +982,31 @@ def test_rolling_user_value_range_frame(spark):
         for r in rolling_user_value(events).collect()
     }
     assert got == {1: 100, 2: 300, 3: 700, 4: 1200, 5: 1600}
+
+
+def test_profile_table_one_pass(spark):
+    """profile_table: exact null counts/rates, HLL-bounded distinct
+    estimates, string min/max per column — and exactly one aggregate
+    job (every measure fused into a single pass)."""
+    from level_mapreduce_spark.operators.text import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),
+            (3, None, 30.0),
+            (4, "b", 40.0),
+        ],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["null_rate"] == 0.25
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["id"]["n_nulls"] == 0 and prof["id"]["null_rate"] == 0.0
+    # distinct estimates exact at this cardinality (nulls not counted)
+    assert prof["id"]["approx_distinct"] == 4
+    assert prof["s"]["approx_distinct"] == 2
+    assert (prof["id"]["min"], prof["id"]["max"]) == ("1", "4")
+    assert (prof["s"]["min"], prof["s"]["max"]) == ("a", "b")
