@@ -82,6 +82,11 @@ def zorder_write(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
     ).first()
+    if stats[f"_lo_{cols[0]}"] is None:
+        # empty input (or all-null layout column): nothing to cluster;
+        # write as-is rather than crash on None bounds
+        df.write.mode("overwrite").parquet(path)
+        return
     scaled = [
         z_scale(F.col(c), stats[f"_lo_{c}"], stats[f"_hi_{c}"], bits)
         for c in cols

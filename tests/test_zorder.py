@@ -124,3 +124,14 @@ def test_z_value_interleave_is_morton(spark):
     assert out[(0, 3)] == 0b1010
     assert out[(1, 1)] == 0b0011
     assert out[(2, 2)] == 0b1100
+
+
+def test_zorder_empty_input(spark, tmp_path):
+    """Empty input writes an empty (readable) dataset instead of
+    crashing on undefined min/max bounds."""
+    from level_mapreduce_spark.functions.zorder import zorder_write
+
+    empty = spark.createDataFrame([], "a long, b double")
+    out = str(tmp_path / "z_empty")
+    zorder_write(empty, ["a", "b"], out)
+    assert spark.read.parquet(out).count() == 0
