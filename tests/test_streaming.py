@@ -523,3 +523,51 @@ def test_stream_stream_interval_join_left_outer(spark, sf_dir, tmp_path):
     assert got <= want
     missing = want - got
     assert all(p[1] is None for p in missing)
+
+
+def test_stream_theta_sketches_live_overlap(spark, sf_dir, tmp_path):
+    """The streaming sketch sink folds THETA sketches too (the kind
+    rides the index): replaying all events into an empty theta index
+    converges its stored set-algebra answers to the batch-built
+    index's exactly."""
+    import os
+    import shutil
+
+    from level_mapreduce_spark.operators.sketches import (
+        _sketch_mapper,
+        build_sketch_index,
+        sketch_index_overlap,
+    )
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.sink import stream_sketches_into
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "th_src"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    live = MapIndex(
+        spark, "th_live", _sketch_mapper(), str(tmp_path / "th_store"),
+        doc_key="bucket_key",
+    )
+    live.build(spark.createDataFrame([], "bucket_key string, sketch binary"))
+    live.sketch_kind = "theta"  # what build_sketch_index(kind=...) sets
+    q = stream_sketches_into(
+        live, stream_table(spark, str(src), sf_dir, "events"),
+        str(tmp_path / "th_ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    full = build_sketch_index(
+        spark, events, str(tmp_path / "th_full"), name="th_full", kind="theta"
+    )
+    keys = sorted(
+        r["index_key"]
+        for r in full.read().select("index_key").distinct().collect()
+    )
+    cut = keys[len(keys) // 2].split("|")[0]
+    a = sketch_index_overlap(live, "0", cut, cut, "~").first()
+    b = sketch_index_overlap(full, "0", cut, cut, "~").first()
+    assert tuple(a) == tuple(b) and a["a_users"] > 0
