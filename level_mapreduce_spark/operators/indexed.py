@@ -336,17 +336,39 @@ def ann_topk_from_index(
 
 
 def ivfpq_mapper(
-    centroids: list[list[float]], codebooks: list
+    centroids: list[list[float]], codebooks: list, residual: bool = False
 ) -> ExprMapper:
     """Map fn emitting one (list_id, pq_codes) pair per vector: the
     stored IVFPQ cell — coarse list id as the sorted index key, the
     8-byte PQ code vector as the value. Both the routing assignment
     and the code quantization are pure Column HOFs (the engine's
     write-path rule), so incremental ``update()`` re-encodes ONLY
-    changed vectors against the frozen codebooks."""
+    changed vectors against the frozen codebooks.
+
+    ``residual=True`` quantizes ``x - centroid(x)`` instead of ``x``
+    (the standard FAISS IVFPQ encoding — pair with codebooks from
+    ``pq.train_pq_residual`` and the per-list-LUT scorer)."""
     from level_mapreduce_spark.operators.ivf import assign_expr
     from level_mapreduce_spark.operators.pq import pq_assign_expr
 
+    stages = {
+        "_list": assign_expr(
+            F.col("embedding").cast("array<double>"), centroids
+        ),
+    }
+    if residual:
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+        )
+        stages["_res"] = F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cents_lit, F.col("_list") + 1),
+            lambda x, c: x - c,
+        )
+        code_src = F.col("_res")
+    else:
+        code_src = F.col("embedding").cast("array<double>")
+    stages["_codes"] = pq_assign_expr(code_src, codebooks)
     return ExprMapper(
         F.array(
             F.struct(
@@ -355,14 +377,7 @@ def ivfpq_mapper(
             )
         ),
         value_type=T.ArrayType(T.IntegerType()),
-        stages={
-            "_list": assign_expr(
-                F.col("embedding").cast("array<double>"), centroids
-            ),
-            "_codes": pq_assign_expr(
-                F.col("embedding").cast("array<double>"), codebooks
-            ),
-        },
+        stages=stages,
     )
 
 
@@ -375,6 +390,7 @@ def build_ivfpq_index(
     m: int = 8,
     k: int = 64,
     seed: int = 42,
+    residual: bool = False,
 ):
     """Train both quantizer levels on a bounded sample, store every
     vector's (list_id -> codes) cell as a MapIndex: the on-disk IVFPQ
@@ -382,13 +398,23 @@ def build_ivfpq_index(
     codes; maintenance is O(changed vectors) through ``update()``.
     Returns (index, centroids, codebooks)."""
     from level_mapreduce_spark.operators.ivf import train_centroids
-    from level_mapreduce_spark.operators.pq import train_pq
+    from level_mapreduce_spark.operators.pq import train_pq, train_pq_residual
 
     centroids = train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
-    books = train_pq(embeddings, m=m, k=k, seed=seed)
+    if residual:
+        books = train_pq_residual(
+            embeddings, centroids, m=m, k=k, seed=seed
+        )
+    else:
+        books = train_pq(embeddings, m=m, k=k, seed=seed)
     idx = MapIndex(
-        spark, name, ivfpq_mapper(centroids, books), store, doc_key="vec_id"
+        spark,
+        name,
+        ivfpq_mapper(centroids, books, residual=residual),
+        store,
+        doc_key="vec_id",
     )
+    idx.ivfpq_residual = residual
     n_part = spark.sparkContext.defaultParallelism
     idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
     return idx, centroids, books
@@ -406,15 +432,41 @@ def ivfpq_topk_from_index(
     driver-side, key-lookup the nprobe nearest lists (an In filter on
     the sorted index key — pushed to the parquet scan), ADC-score
     only those cells' codes."""
-    from level_mapreduce_spark.operators.pq import pq_topk
+    import numpy as np
+
+    from level_mapreduce_spark.operators.pq import pq_topk, pq_topk_lists
 
     def score(c):
         dot = sum(p * v for p, v in zip(probe, c))
         return dot - sum(v * v for v in c) / 2.0
 
     ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
-    wanted = [str(j) for j in ranked[: max(1, nprobe)]]
-    cells = idx.read().where(F.col("index_key").isin(wanted)).select(
+    wanted = ranked[: max(1, nprobe)]
+    wanted_keys = [str(j) for j in wanted]
+    if getattr(idx, "ivfpq_residual", False):
+        # residual encoding: per-list LUTs from the residual probe
+        books = [np.array(b) for b in codebooks]
+        m = len(books)
+        dsub = books[0].shape[1]
+        p = np.array(probe, dtype=np.float64)
+        luts = {}
+        for lid in wanted:
+            rp = p - np.array(centroids[lid])
+            luts[lid] = np.stack(
+                [
+                    ((books[j] - rp[j * dsub : (j + 1) * dsub]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+        cells = idx.read().where(F.col("index_key").isin(wanted_keys)).select(
+            F.col("doc_key").cast("long").alias("vec_id"),
+            F.col("value").alias("codes"),
+            F.col("index_key").cast("int").alias("_list"),
+        )
+        return pq_topk_lists(cells, codebooks, luts, k=k)
+    cells = idx.read().where(F.col("index_key").isin(wanted_keys)).select(
         F.col("doc_key").cast("long").alias("vec_id"),
         F.col("value").alias("codes"),
     )

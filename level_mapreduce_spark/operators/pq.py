@@ -240,3 +240,101 @@ def pq_assign_expr(vec, codebooks: list):
             for j in range(m)
         ]
     )
+
+
+def train_pq_residual(
+    embeddings: DataFrame,
+    centroids: list,
+    m: int = 8,
+    k: int = 64,
+    max_train: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list:
+    """Codebooks trained on COARSE RESIDUALS ``x - centroid(x)`` —
+    the standard IVFPQ encoding (FAISS ``IVFPQ``): residuals have far
+    less variance than raw vectors once the coarse quantizer explains
+    cluster structure, so the same code budget buys finer cells.
+    Same sampling/init scheme as :func:`train_pq`."""
+    import numpy as np
+
+    total = embeddings.count()
+    frac = min(1.0, (max_train * 1.2) / max(total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .orderBy("vec_id")
+        .limit(max_train)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
+    cents = np.array(centroids)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    res = x - cents[d2.argmin(axis=1)]
+    d = res.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    kk = min(k, len(res))
+    books = []
+    for j in range(m):
+        xs = res[:, j * dsub : (j + 1) * dsub]
+        cb = xs[:kk].copy()
+        for _ in range(iters):
+            dd = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = dd.argmin(axis=1)
+            for c in range(kk):
+                sel = assign == c
+                if sel.any():
+                    cb[c] = xs[sel].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cb])
+    return books
+
+
+def pq_topk_lists(
+    cells: DataFrame,
+    codebooks: list,
+    luts: dict,
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k with PER-LIST lookup tables — the residual-IVFPQ
+    scorer: each candidate's distance uses the LUT of ITS coarse list
+    (built from the residual probe ``p - centroid_list``). ``cells``
+    carries (vec_id, codes, _list); scoring is one fancy-indexed
+    gather per subspace per batch, then the same local-top-k →
+    distributed-top-k shape as :func:`pq_topk`."""
+    import numpy as np
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    max_list = max(luts)
+    lut_arr = np.full((max_list + 1, m, kk), np.inf)
+    for lid, t in luts.items():
+        lut_arr[lid] = t
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            lists = pdf["_list"].to_numpy().astype(np.int64)
+            dist = np.zeros(len(c))
+            for j in range(m):
+                dist += lut_arr[lists, j, c[:, j]]
+            top = np.argsort(dist)[:k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].iloc[top].astype("int64"),
+                    "adc_dist": dist[top],
+                }
+            )
+
+    return (
+        cells.mapInPandas(score, out_schema).orderBy("adc_dist").limit(k)
+    )
