@@ -1010,3 +1010,82 @@ def test_profile_table_one_pass(spark):
     assert prof["s"]["approx_distinct"] == 2
     assert (prof["id"]["min"], prof["id"]["max"]) == ("1", "4")
     assert (prof["s"]["min"], prof["s"]["max"]) == ("a", "b")
+
+
+def _brute_lev_pairs(strings, max_dist):
+    """Reference implementation: all-pairs python levenshtein."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = {}
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            d = lev(strings[i].lower(), strings[j].lower())
+            if d <= max_dist:
+                out[(i, j)] = d
+    return out
+
+
+def test_edit_distance_pairs_blocking_complete_property(spark):
+    """Property (hypothesis): over random word-like strings and their
+    random single/double mutations, the q-gram-blocked operator finds
+    EXACTLY the brute-force levenshtein<=2 pair set with exact
+    distances — blocking never loses a pair (strings here are long
+    enough that the shared-gram bound holds)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from level_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    alphabet = "abcdefgh"
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        base = data.draw(
+            st.lists(
+                st.text(alphabet, min_size=8, max_size=14),
+                min_size=4,
+                max_size=8,
+                unique=True,
+            )
+        )
+        strings = list(base)
+        # mutate a few: substitution, insertion, or deletion
+        for s in base[:3]:
+            kind = data.draw(st.sampled_from(["sub", "ins", "del"]))
+            pos = data.draw(st.integers(0, len(s) - 1))
+            ch = data.draw(st.sampled_from(alphabet))
+            if kind == "sub":
+                t = s[:pos] + ch + s[pos + 1 :]
+            elif kind == "ins":
+                t = s[:pos] + ch + s[pos:]
+            else:
+                t = s[:pos] + s[pos + 1 :]
+            strings.append(t)
+        df = spark.createDataFrame(
+            list(enumerate(strings)), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(df, max_dist=2).collect()
+        }
+        want = _brute_lev_pairs(strings, 2)
+        assert got == want
+
+    run()
