@@ -119,11 +119,12 @@ def session_aggregates(
     within partitions), and the SAME expression runs on a watermarked
     stream with state evicted when the watermark passes a session's
     close (streaming/windows.py::session_aggregates_stream). Session
-    boundaries agree with :func:`sessionize` for equal gaps: an event
-    exactly ``gap`` after the previous one starts a new session there
-    (``>`` on the lag) and extends the window here (session end is
-    last_ts + gap, exclusive), so the twins are asserted against each
-    other in pytest with that half-open convention in mind.
+    boundaries agree with :func:`sessionize` for equal gaps, including
+    at the boundary itself: an event exactly ``gap`` after the previous
+    one MERGES into the same session in both (verified on pyspark
+    4.1.2 — session_window treats the window end ``last_ts + gap`` as
+    inclusive for the merge, and sessionize splits only on a
+    strictly-greater lag), so only ``diff > gap`` starts a new session.
     """
     return (
         events.groupBy(

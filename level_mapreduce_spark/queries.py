@@ -992,7 +992,9 @@ def q_events_sessionize(spark, sf_dir):
     pytest-converged), and Spark's native ``session_window`` aggregate
     reshaped to the union schema (event_id := session start micros,
     session_id := event count; the oracle recomputes both via the
-    islands rewrite with the ``>=`` boundary session_window uses)."""
+    islands rewrite with the ``>`` boundary session_window uses —
+    verified on pyspark 4.1.2: two events exactly ``gap`` apart merge
+    into ONE session, so only a strictly-greater gap splits)."""
     events = load_table(spark, sf_dir, "events")
     batch = ev.sessionize(events)
     stream = _sessionize_via_stream(spark, sf_dir)
@@ -2025,9 +2027,15 @@ ORACLES: dict[str, str] = {
       UNION ALL
       SELECT 'rolling', CAST(event_id AS BIGINT),
              CAST(user_id AS BIGINT),
-             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             -- DuckDB's windowed sum(BIGINT) returns HUGEINT; without the
+             -- outer CAST the UNION ALL widens the whole rn column and the
+             -- driver hashes HUGEINT != BIGINT even for equal values (same
+             -- class as the decimal-cents rule: any DuckDB window/agg over
+             -- BIGINT needs an explicit BIGINT cast).
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT)
       FROM events
     """,
     "events_sessionize": """
@@ -2065,7 +2073,7 @@ ORACLES: dict[str, str] = {
           SELECT user_id, event_id, ts,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
-                      ) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+                      ) > 1800000000 THEN 1 ELSE 0 END AS new_s
           FROM events
         )
       )
