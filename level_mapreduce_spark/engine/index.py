@@ -34,6 +34,7 @@ Spark design (SURVEY.md §7):
 
 from __future__ import annotations
 
+import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -172,6 +173,45 @@ class MapIndex:
     @property
     def tombstones_path(self) -> str:
         return posixpath.join(self.root, _TOMBSTONES)
+
+    # ------------------------------------------------------------- sidecar
+
+    def put_sidecar(self, obj: dict, name: str = "meta.json") -> None:
+        """Persist small index metadata (IVFPQ codebooks/centroids +
+        residual flag, sketch kind, ...) as JSON under ``root`` — the
+        piece that makes a stored index servable by a FRESH session
+        without retraining (build job and serve job are different
+        processes at scale). Goes through the Hadoop FS API so it works
+        on HDFS/object stores, and create-then-rename so readers never
+        see a torn file. Sidecars sit beside ``segments/`` and survive
+        :meth:`compact`'s directory swap untouched."""
+        path = posixpath.join(self.root, name)
+        fs, hpath, jvm = _hadoop_fs(self.spark, path)
+        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
+        fs.rename(tmp, hpath)
+
+    def get_sidecar(self, name: str = "meta.json") -> dict | None:
+        """Read a :meth:`put_sidecar` JSON blob back; ``None`` if the
+        index has none (driver-side metadata read, no Spark job)."""
+        path = posixpath.join(self.root, name)
+        fs, hpath, jvm = _hadoop_fs(self.spark, path)
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
 
     # ------------------------------------------------------------- schemas
 
@@ -314,6 +354,21 @@ class MapIndex:
 
     # -------------------------------------------------------------- update
 
+    def _next_epoch(self) -> int:
+        """Next write epoch = 1 + max over BOTH segment and tombstone
+        epochs. A deleted-only batch (update of all-tombstones, or
+        :meth:`delete_range`) appends no segment partition, so counting
+        segment epochs alone would reuse the same epoch number for
+        consecutive pure-delete batches — still read-correct (strict
+        ``seg.epoch < tomb_epoch`` compare) but it merges distinct
+        operations into one time-travel point. Counting the union keeps
+        every committed batch a distinct ``as_of_epoch`` snapshot.
+        """
+        epochs = _list_epochs(self.spark, self.segments_path) + _list_epochs(
+            self.spark, self.tombstones_path
+        )
+        return (max(epochs) + 1) if epochs else 1
+
     def update(
         self, changes: DataFrame, assume_unique: bool = False
     ) -> DataFrame:
@@ -335,8 +390,7 @@ class MapIndex:
         the reference pushes to piped indexes (index.js:244, 250-253).
         """
         self._recover_swap()
-        epochs = _list_epochs(self.spark, self.segments_path)
-        epoch = (max(epochs) + 1) if epochs else 1
+        epoch = self._next_epoch()
         changes = self._normalize_changes(changes, assume_unique=assume_unique)
 
         live = changes.where(~F.col("deleted"))
@@ -407,8 +461,7 @@ class MapIndex:
             n = doomed.count()  # force materialization pre-write
             if not n:
                 return 0
-            epochs = _list_epochs(self.spark, self.segments_path)
-            epoch = (max(epochs) + 1) if epochs else 1
+            epoch = self._next_epoch()
             (
                 doomed.withColumn("epoch", F.lit(epoch).cast("int"))
                 .write.mode("append")

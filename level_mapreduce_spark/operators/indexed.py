@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level_mapreduce_spark.engine.index import MapIndex
-from level_mapreduce_spark.engine.mapper import ExprMapper
+from level_mapreduce_spark.engine.mapper import ExprMapper, pairs_type
 from level_mapreduce_spark.operators.dedup import (
     band_keys,
     minhash_from_hashes,
@@ -396,7 +396,13 @@ def build_ivfpq_index(
     vector's (list_id -> codes) cell as a MapIndex: the on-disk IVFPQ
     structure. Probes become pushed-down key lookups over 8-byte
     codes; maintenance is O(changed vectors) through ``update()``.
-    Returns (index, centroids, codebooks)."""
+
+    The trained centroids, codebooks, and the residual-encoding flag
+    are persisted as a JSON sidecar under ``idx.root`` — at 100 TB
+    build and serve are different jobs, so a fresh session must be
+    able to probe (and incrementally update) the stored cells without
+    retraining: see :func:`load_ivfpq_index`. Returns
+    (index, centroids, codebooks)."""
     from level_mapreduce_spark.operators.ivf import train_centroids
     from level_mapreduce_spark.operators.pq import train_pq, train_pq_residual
 
@@ -415,8 +421,58 @@ def build_ivfpq_index(
         doc_key="vec_id",
     )
     idx.ivfpq_residual = residual
+    idx.put_sidecar(
+        {
+            "type": "ivfpq",
+            "residual": residual,
+            "centroids": centroids,
+            "codebooks": [
+                [list(map(float, row)) for row in b] for b in books
+            ],
+        },
+        name=_IVFPQ_SIDECAR,
+    )
     n_part = spark.sparkContext.defaultParallelism
     idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
+    return idx, centroids, books
+
+
+_IVFPQ_SIDECAR = "ivfpq.json"
+
+
+def load_ivfpq_index(spark: SparkSession, store: str, name: str = "ivfpq_cells"):
+    """Reopen a stored IVFPQ index in a fresh session: reconstruct the
+    mapper (so ``update()`` keeps encoding against the SAME frozen
+    codebooks) and the probe metadata from the sidecar written by
+    :func:`build_ivfpq_index` — no retraining, no data scan. Returns
+    (index, centroids, codebooks), the same triple build returns."""
+    probe_idx = MapIndex(
+        spark,
+        name,
+        ExprMapper(
+            F.array().cast(pairs_type(T.ArrayType(T.IntegerType()))),
+            value_type=T.ArrayType(T.IntegerType()),
+        ),
+        store,
+        doc_key="vec_id",
+    )
+    meta = probe_idx.get_sidecar(name=_IVFPQ_SIDECAR)
+    if meta is None or meta.get("type") != "ivfpq":
+        raise ValueError(
+            f"no IVFPQ sidecar at {probe_idx.root}/{_IVFPQ_SIDECAR}; "
+            "was this index built by build_ivfpq_index?"
+        )
+    centroids = meta["centroids"]
+    books = meta["codebooks"]
+    residual = bool(meta["residual"])
+    idx = MapIndex(
+        spark,
+        name,
+        ivfpq_mapper(centroids, books, residual=residual),
+        store,
+        doc_key="vec_id",
+    )
+    idx.ivfpq_residual = residual
     return idx, centroids, books
 
 
@@ -431,7 +487,13 @@ def ivfpq_topk_from_index(
     """Serve an IVFPQ probe off the stored index: rank centroids
     driver-side, key-lookup the nprobe nearest lists (an In filter on
     the sorted index key — pushed to the parquet scan), ADC-score
-    only those cells' codes."""
+    only those cells' codes.
+
+    The residual-encoding flag is resolved from the handle if build/
+    load set it, else from the persisted sidecar — scoring residual
+    codes with the raw-probe LUT returns silently wrong neighbors, so
+    an index with neither source of truth is refused rather than
+    defaulted."""
     import numpy as np
 
     from level_mapreduce_spark.operators.pq import pq_topk, pq_topk_lists
@@ -440,10 +502,22 @@ def ivfpq_topk_from_index(
         dot = sum(p * v for p, v in zip(probe, c))
         return dot - sum(v * v for v in c) / 2.0
 
+    residual = getattr(idx, "ivfpq_residual", None)
+    if residual is None:
+        meta = idx.get_sidecar(name=_IVFPQ_SIDECAR)
+        if meta is None or "residual" not in meta:
+            raise ValueError(
+                f"cannot tell whether {idx.name} stores residual or raw "
+                "PQ codes: handle has no ivfpq_residual attribute and "
+                f"no {_IVFPQ_SIDECAR} sidecar exists — reopen it with "
+                "load_ivfpq_index()"
+            )
+        residual = bool(meta["residual"])
+        idx.ivfpq_residual = residual
     ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
     wanted = ranked[: max(1, nprobe)]
     wanted_keys = [str(j) for j in wanted]
-    if getattr(idx, "ivfpq_residual", False):
+    if residual:
         # residual encoding: per-list LUTs from the residual probe
         books = [np.array(b) for b in codebooks]
         m = len(books)

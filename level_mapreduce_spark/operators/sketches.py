@@ -156,8 +156,29 @@ def build_sketch_index(
 
     base, _ = _SKETCH_KINDS[kind]
     idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
+    # persist the kind beside the segments: sketches of different
+    # families are mutually un-mergeable binaries, and a fresh session
+    # reopening the store must fold batches with the SAME merge fn
+    idx.put_sidecar({"type": "sketch", "kind": kind}, name="sketch.json")
     idx.build(_bucket_docs(base(events, bucket)), assume_unique=True)
     idx.sketch_kind = kind
+    return idx
+
+
+def load_sketch_index(spark, store: str, name: str = "user_sketches"):
+    """Reopen a stored sketch aggregate in a fresh session, recovering
+    the sketch family from the sidecar so later
+    :func:`update_sketch_index` folds use the right merge fn."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
+    meta = idx.get_sidecar(name="sketch.json")
+    if meta is None or meta.get("kind") not in _SKETCH_KINDS:
+        raise ValueError(
+            f"no sketch sidecar under {idx.root}; was this index built "
+            "by build_sketch_index?"
+        )
+    idx.sketch_kind = meta["kind"]
     return idx
 
 
@@ -175,7 +196,20 @@ def update_sketch_index(
     (hll_union / theta_union / kll_sketch_merge) is associative:
     stored ∪ batch is the new stored value.
     """
-    base, merge = _SKETCH_KINDS[kind or getattr(idx, "sketch_kind", "hll")]
+    if kind is None:
+        kind = getattr(idx, "sketch_kind", None)
+    if kind is None:
+        meta = idx.get_sidecar(name="sketch.json")
+        kind = meta["kind"] if meta else None
+    if kind not in _SKETCH_KINDS:
+        # folding a batch with the wrong merge fn corrupts or rejects
+        # the stored binaries — refuse rather than default to hll
+        raise ValueError(
+            f"unknown sketch kind {kind!r} for {idx.name}: pass kind= "
+            "or reopen the index with load_sketch_index()"
+        )
+    idx.sketch_kind = kind
+    base, merge = _SKETCH_KINDS[kind]
     part = _bucket_docs(base(new_events, bucket)).persist()
     # read back ONLY the touched key range (a batch covers a narrow,
     # recent time window; bucket keys are chronological) — a pruned

@@ -105,8 +105,11 @@ def _multi_emit_index(spark: SparkSession, sf_dir: str) -> MapIndex:
 
 
 def _tombstone_index(spark: SparkSession, sf_dir: str) -> MapIndex:
-    """Build, then tombstone-delete every 'F'-status order
-    (reference index.js:187-205)."""
+    """Build (epoch 0), tombstone-delete every 'F'-status order
+    (epoch 1, reference index.js:187-205), then range-delete the
+    ['4','6') key range (epoch 2) — the LSM extensions layered on the
+    reference's per-doc tombstone. q_tombstone time-travels back
+    through all three states."""
 
     def build():
         orders = load_table(spark, sf_dir, "orders")
@@ -122,6 +125,10 @@ def _tombstone_index(spark: SparkSession, sf_dir: str) -> MapIndex:
             "deleted", F.lit(True)
         )
         idx.update(dels, assume_unique=True)
+        # range-tombstone the '4-NOT SPECIFIED' / '5-LOW' priorities
+        # (every order emits exactly one key, so doc-granularity ==
+        # key-granularity here)
+        idx.delete_range(start="4", end="6")
         return idx
 
     return _cached(spark, sf_dir, "orders_tomb", build)
@@ -501,8 +508,31 @@ def q_get_meta(spark, sf_dir):
 
 
 def q_tombstone(spark, sf_dir):
-    """Operator #4: tombstone delete."""
-    return _tombstone_index(spark, sf_dir).read().select("index_key", "value")
+    """Operator #4: tombstone delete (reference index.js:187-205) plus
+    the two LSM extensions layered on it, as one tagged union:
+
+    - ``current``: live rows after the 'F' tombstones AND a
+      ``delete_range('4','6')`` range-tombstone (the retention/TTL
+      primitive — engine/index.py::delete_range).
+    - ``asof_tombstone``: ``read(as_of_epoch=1)`` time-travel to the
+      post-'F'-delete / pre-range-delete snapshot.
+    - ``asof_build``: ``read(as_of_epoch=0)`` time-travel to the
+      initial build — proves later tombstones don't leak backwards.
+
+    Every variant is a partition-pruned epoch filter over the same
+    stored segments; all three are oracle-exact in SQL."""
+    idx = _tombstone_index(spark, sf_dir)
+
+    def tag(df, v):
+        return df.select(
+            F.lit(v).alias("variant"), "index_key", "value"
+        )
+
+    return (
+        tag(idx.read(), "current")
+        .unionByName(tag(idx.read(as_of_epoch=1), "asof_tombstone"))
+        .unionByName(tag(idx.read(as_of_epoch=0), "asof_build"))
+    )
 
 
 def q_overwrite(spark, sf_dir):
@@ -1641,8 +1671,15 @@ ORACLES: dict[str, str] = {
       FROM orders WHERE o_totalprice < 50000.0
     """,
     "tombstone": """
-      SELECT o_orderpriority AS index_key, o_totalprice AS value
+      SELECT 'current' AS variant, o_orderpriority AS index_key,
+             o_totalprice AS value
+      FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority < '4'
+      UNION ALL
+      SELECT 'asof_tombstone', o_orderpriority, o_totalprice
       FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT 'asof_build', o_orderpriority, o_totalprice
+      FROM orders
     """,
     "overwrite": """
       SELECT o_orderpriority AS index_key,

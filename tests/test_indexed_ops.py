@@ -225,3 +225,54 @@ def test_sketch_index_kll_and_theta_kinds(spark, sf_dir, tmp_path):
     assert abs(got["only_a"] + got["both"] - got["a_users"]) <= max(
         5, 0.1 * got["a_users"]
     )
+
+
+def test_sketch_index_reload_recovers_kind(spark, sf_dir, tmp_path):
+    """A fresh handle opened with load_sketch_index recovers the
+    sketch family from the persisted sidecar, so incremental folds in
+    a new session use the right merge fn (kll batches folded with
+    hll_union would corrupt the stored binaries); a handle with no
+    discoverable kind is refused rather than defaulted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.sketches import (
+        _sketch_mapper,
+        build_sketch_index,
+        load_sketch_index,
+        sketch_index_quantiles,
+        update_sketch_index,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.select(
+        F.unix_micros(F.percentile_approx("ts", 0.5, 10000)).alias("us")
+    ).first()["us"]
+    first = events.where(F.unix_micros("ts") <= mid)
+    second = events.where(F.unix_micros("ts") > mid)
+
+    store = str(tmp_path / "kll_store")
+    build_sketch_index(spark, first, store, name="kll_rl", kind="kll")
+
+    # fresh handle: kind comes from the sidecar, fold still converges
+    reopened = load_sketch_index(spark, store, name="kll_rl")
+    assert reopened.sketch_kind == "kll"
+    update_sketch_index(reopened, second)
+    full = build_sketch_index(
+        spark, events, str(tmp_path / "kll_rl_full"), name="f", kind="kll"
+    )
+    qi = sketch_index_quantiles(reopened, "0", "9999").first()
+    qf = sketch_index_quantiles(full, "0", "9999").first()
+    assert list(qi) == pytest.approx(list(qf), rel=0.1)
+
+    # a bare handle with neither attribute nor sidecar must refuse
+    bare = MapIndex(
+        spark, "kll_rl", _sketch_mapper(), store, doc_key="bucket_key"
+    )
+    import os
+
+    os.remove(os.path.join(store, "kll_rl", "sketch.json"))
+    with pytest.raises(ValueError, match="sketch kind"):
+        update_sketch_index(bare, second)

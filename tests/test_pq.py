@@ -219,3 +219,107 @@ def test_residual_ivfpq_index(spark, tmp_path, pq_setup):
     ).collect()
     top_ids = {r["vec_id"] for r in top}
     assert {int(ids[4]), int(ids[4]) + 800000} <= top_ids
+
+
+def test_ivfpq_index_reload_serves_without_retraining(
+    spark, tmp_path, pq_setup
+):
+    """A FRESH handle opened with load_ivfpq_index serves probes
+    bit-identically to the builder's handle using only the persisted
+    sidecar (centroids + codebooks + residual flag) — build job and
+    serve job are different processes at 100 TB. The residual flag
+    round-trips (the silent-raw-LUT bug class), and incremental
+    update() through the reloaded handle encodes against the SAME
+    frozen codebooks so a planted duplicate ties its source."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+        load_ivfpq_index,
+    )
+
+    emb, _, _, x, ids = pq_setup
+    store = str(tmp_path / "reload")
+    idx, cents, books = build_ivfpq_index(
+        spark, emb, store, n_centroids=8, residual=True
+    )
+    before = ivfpq_topk_from_index(
+        idx, cents, books, list(x[0]), k=10, nprobe=4
+    ).collect()
+
+    idx2, cents2, books2 = load_ivfpq_index(spark, store)
+    assert idx2.ivfpq_residual is True
+    assert np.allclose(np.array(cents2), np.array(cents))
+    assert np.allclose(
+        np.array([np.array(b) for b in books2]),
+        np.array([np.array(b) for b in books]),
+    )
+    after = ivfpq_topk_from_index(
+        idx2, cents2, books2, list(x[0]), k=10, nprobe=4
+    ).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in before] == [
+        (r["vec_id"], r["adc_dist"]) for r in after
+    ]
+
+    # maintenance through the reloaded handle: same frozen codebooks
+    dup = emb.where(F.col("vec_id") == int(ids[1])).select(
+        (F.col("vec_id") + 850000).alias("vec_id"), "embedding", "label"
+    )
+    idx2.update(dup, assume_unique=True)
+    top = ivfpq_topk_from_index(
+        idx2, cents2, books2, list(x[1]), k=3, nprobe=4
+    ).collect()
+    assert {int(ids[1]), int(ids[1]) + 850000} <= {
+        r["vec_id"] for r in top
+    }
+
+
+def test_ivfpq_residual_flag_never_silently_defaults(
+    spark, tmp_path, pq_setup
+):
+    """Serving a handle whose residual flag is unknowable (no
+    attribute, no sidecar) is refused — scoring residual codes with
+    the raw-probe LUT would return silently wrong neighbors."""
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_mapper,
+        ivfpq_topk_from_index,
+    )
+
+    emb, _, _, x, ids = pq_setup
+    store = str(tmp_path / "noflag")
+    idx, cents, books = build_ivfpq_index(
+        spark, emb, store, n_centroids=8, residual=True
+    )
+    # a bare handle on the same store: no attr, but the sidecar
+    # resolves the flag -> same answers as the builder's handle
+    bare = MapIndex(
+        spark,
+        "ivfpq_cells",
+        ivfpq_mapper(cents, books, residual=True),
+        store,
+        doc_key="vec_id",
+    )
+    got = ivfpq_topk_from_index(
+        bare, cents, books, list(x[3]), k=5, nprobe=4
+    ).collect()
+    want = ivfpq_topk_from_index(
+        idx, cents, books, list(x[3]), k=5, nprobe=4
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+    # destroy the sidecar -> the serve path must refuse, not default
+    import os
+
+    os.remove(os.path.join(store, "ivfpq_cells", "ivfpq.json"))
+    bare2 = MapIndex(
+        spark,
+        "ivfpq_cells",
+        ivfpq_mapper(cents, books, residual=True),
+        store,
+        doc_key="vec_id",
+    )
+    with pytest.raises(ValueError, match="residual or raw"):
+        ivfpq_topk_from_index(bare2, cents, books, list(x[3]), k=5)
