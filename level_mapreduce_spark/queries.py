@@ -703,11 +703,18 @@ def q_split_contamination(spark, sf_dir):
     """Training-corpus governance in one tagged union: deterministic
     train/val/test split counts, stratified downsampling counts
     (keep 35% of 'en', 80% of 'zh', all else — the mixture-rebalance
-    primitive), and benchmark-contamination pairs (which docs share a
-    word 8-gram with a probe set = every 100th document). The split
-    and sample use the md5 hash variant — engine-portable, so the
-    exact per-doc assignments are oracle-checked, not just
-    proportions."""
+    primitive), benchmark-contamination pairs (which docs share a
+    word 8-gram with a probe set = every 100th document), the
+    decontamination REMOVAL step (surviving doc ids after anti-joining
+    the contaminated set), water-filling mixture rates (emitted as
+    exact integer ratios ``rate = n1/n2`` — no float-rounding hash
+    hazard), and the one-pass table profile (null counts + min/max per
+    column; approx_distinct is sketch-backed so it stays out of the
+    hash). The split and sample use the md5 hash variant —
+    engine-portable, so the exact per-doc assignments are
+    oracle-checked, not just proportions."""
+    import math
+
     docs = _docs(spark, sf_dir)
     split_rows = (
         tx.split_dataset(docs, hash_fn="md5")
@@ -740,7 +747,63 @@ def q_split_contamination(spark, sf_dir):
         F.col("probe_id").alias("n1"),
         F.col("n_overlap").alias("n2"),
     )
-    return split_rows.unionByName(sample_rows).unionByName(contam_rows)
+    decon_rows = dd.decontaminate(docs, probes, k=8).select(
+        F.lit("decon").alias("variant"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+    )
+    # mixture_rates: emit each stratum's keep-rate as the exact
+    # rational n1/n2 = min(w_s*n_b, w_b*n_s) / (w_b*n_s) — rates[s] is
+    # a float, but scaling by the integer denominator and rounding
+    # recovers the integer numerator exactly (float error ~1e-12 vs a
+    # 0.5 rounding margin), so the hash never rides a float boundary.
+    target = {"en": 5.0, "zh": 3.0, "fr": 2.0}
+    rates = tx.mixture_rates(docs, target)
+    counts = {
+        r["k"]: r["n"]
+        for r in docs.groupBy(F.col("lang").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    binding = min(
+        (s for s in target if counts.get(s)),
+        key=lambda s: (counts[s] / target[s], s),
+    )
+    wb, nb = target[binding], counts[binding]
+    mix = [
+        (
+            "mixture",
+            s,
+            int(math.floor(rates[s] * wb * n + 0.5)) if s in target else 0,
+            int(wb * n) if s in target else 0,
+        )
+        for s, n in sorted(counts.items())
+    ]
+    mixture_rows = spark.createDataFrame(
+        mix, "variant string, k string, n1 long, n2 long"
+    )
+    # profile_table over a typed projection; min/max ride in the key
+    prof = tx.profile_table(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    profile_rows = prof.select(
+        F.lit("profile").alias("variant"),
+        F.concat_ws("|", "column", "min", "max").alias("k"),
+        F.col("n_nulls").alias("n1"),
+        F.col("n_rows").alias("n2"),
+    )
+    return (
+        split_rows.unionByName(sample_rows)
+        .unionByName(contam_rows)
+        .unionByName(decon_rows)
+        .unionByName(mixture_rows)
+        .unionByName(profile_rows)
+    )
 
 
 def q_pack_documents(spark, sf_dir):
@@ -839,9 +902,13 @@ def q_asof_join(spark, sf_dir):
       plan, not a range explosion.
     - ``interval``: every purchase within 30 minutes AFTER a click by
       the same user (all matches, not just one) — plans as an
-      equi-join on user_id carrying the time bound as a filter. The
-      batch twin of the stream-stream watermarked join
-      (streaming/joins.py), which converges to these same rows.
+      equi-join on user_id carrying the time bound as a filter.
+    - ``interval_stream``: the SAME semantics through the
+      stream-stream watermarked join (streaming/joins.py) — events
+      replayed as an availableNow file stream, both sides split from
+      it, state bounded by watermark+interval. On closed input it must
+      converge to the batch twin's exact rows, so it shares the
+      interval oracle.
     """
     from level_mapreduce_spark.operators.joins import asof_join, interval_join
 
@@ -869,7 +936,31 @@ def q_asof_join(spark, sf_dir):
         F.col("p_event_id").cast("long").alias("p_event_id"),
         F.col("p_value").alias("p_value"),
     )
-    return a.unionByName(b)
+
+    def stream_transform(ev_stream):
+        from level_mapreduce_spark.streaming.joins import interval_join_stream
+
+        s_clicks = ev_stream.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        s_purch = ev_stream.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return interval_join_stream(
+            s_clicks, s_purch, on="user_id", ts="ts",
+            within="30 minutes", right_prefix="p_",
+        )
+
+    c = _replay_events_stream(
+        spark, sf_dir, stream_transform, "lmr_interval_join_gate", "append"
+    ).select(
+        F.lit("interval_stream").alias("variant"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("p_event_id").cast("long").alias("p_event_id"),
+        F.col("p_value").alias("p_value"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_range_join(spark, sf_dir):
@@ -1795,6 +1886,15 @@ ORACLES: dict[str, str] = {
             THEN 'val'
           ELSE 'test' END AS k
         FROM documents
+      ),
+      cnt AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY lang),
+      tgt AS (
+        SELECT 'en' AS k, 5 AS w UNION ALL
+        SELECT 'zh', 3 UNION ALL SELECT 'fr', 2
+      ),
+      bind AS (
+        SELECT c.n, t.w FROM cnt c JOIN tgt t ON c.k = t.k
+        ORDER BY CAST(c.n AS DOUBLE) / t.w, c.k LIMIT 1
       )
       SELECT 'split' AS variant, k, count(*) AS n1,
              CAST(0 AS BIGINT) AS n2
@@ -1814,6 +1914,37 @@ ORACLES: dict[str, str] = {
              CAST(p.doc_id AS BIGINT), count(*)
       FROM sh d JOIN sh p ON d.s = p.s AND p.doc_id % 100 = 0
       GROUP BY d.doc_id, p.doc_id
+      UNION ALL
+      SELECT 'decon', CAST(doc_id AS VARCHAR),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM documents
+      WHERE doc_id NOT IN (
+        SELECT DISTINCT d.doc_id
+        FROM sh d JOIN sh p ON d.s = p.s AND p.doc_id % 100 = 0
+      )
+      UNION ALL
+      SELECT 'mixture', c.k,
+             CAST(CASE WHEN t.w IS NULL THEN 0
+                       ELSE least(t.w * b.n, b.w * c.n) END AS BIGINT),
+             CAST(CASE WHEN t.w IS NULL THEN 0
+                       ELSE b.w * c.n END AS BIGINT)
+      FROM cnt c LEFT JOIN tgt t ON c.k = t.k CROSS JOIN bind b
+      UNION ALL
+      SELECT 'profile',
+             'doc_id|' || CAST(min(doc_id) AS VARCHAR)
+               || '|' || CAST(max(doc_id) AS VARCHAR),
+             count(*) - count(doc_id), count(*)
+      FROM documents
+      UNION ALL
+      SELECT 'profile', 'lang|' || min(lang) || '|' || max(lang),
+             count(*) - count(lang), count(*)
+      FROM documents
+      UNION ALL
+      SELECT 'profile',
+             'n_chars|' || CAST(min(length(text)) AS VARCHAR)
+               || '|' || CAST(max(length(text)) AS VARCHAR),
+             count(*) - count(text), count(*)
+      FROM documents
     """,
     "ngram_counts": f"""
       WITH g AS (
@@ -1928,6 +2059,16 @@ ORACLES: dict[str, str] = {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       UNION ALL
       SELECT 'interval',
+             CAST(c.event_id AS BIGINT),
+             CAST(c.user_id AS BIGINT),
+             CAST(p.event_id AS BIGINT),
+             p.value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+      UNION ALL
+      SELECT 'interval_stream',
              CAST(c.event_id AS BIGINT),
              CAST(c.user_id AS BIGINT),
              CAST(p.event_id AS BIGINT),
