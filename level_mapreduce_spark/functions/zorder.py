@@ -48,20 +48,32 @@ def z_value(
     return out
 
 
-def z_scale(col: Column, lo: float, hi: float, bits: int = 12) -> Column:
+def z_scale(
+    col: Column, lo: float | None, hi: float | None, bits: int = 12
+) -> Column:
     """Min-max scale a numeric column to a ``bits``-bit integer rank
-    (the z_value input). Constant columns scale to 0."""
+    (the z_value input). Constant columns — including entirely-null
+    ones, whose min/max bounds are ``None`` — scale to 0, contributing
+    nothing to the interleave while the other dimensions still
+    cluster."""
+    if lo is None or hi is None:
+        return F.lit(0).cast("long")
     span = hi - lo
     if span <= 0:
         return F.lit(0).cast("long")
-    return F.least(
-        F.lit((1 << bits) - 1),
-        F.greatest(
-            F.lit(0),
-            ((col.cast("double") - F.lit(float(lo))) / F.lit(float(span)))
-            * ((1 << bits) - 1),
-        ),
-    ).cast("long")
+    # null VALUES rank 0 (not null): one null dimension would
+    # otherwise null the whole interleaved z-value for that row
+    return F.coalesce(
+        F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                ((col.cast("double") - F.lit(float(lo))) / F.lit(float(span)))
+                * ((1 << bits) - 1),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def zorder_write(
@@ -82,9 +94,11 @@ def zorder_write(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
     ).first()
-    if stats[f"_lo_{cols[0]}"] is None:
-        # empty input (or all-null layout column): nothing to cluster;
-        # write as-is rather than crash on None bounds
+    if all(stats[f"_lo_{c}"] is None for c in cols):
+        # empty input, or every layout column entirely null: nothing
+        # to cluster on — write as-is rather than crash on None bounds
+        # (a PARTIALLY-null column set still clusters below: all-null
+        # columns scale to the constant 0 rank)
         df.write.mode("overwrite").parquet(path)
         return
     scaled = [

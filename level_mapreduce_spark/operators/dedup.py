@@ -578,7 +578,8 @@ def edit_distance_pairs(
     max_dist: int = 2,
     q: int = 2,
     max_gram_freq: int = 100_000,
-) -> DataFrame:
+    return_hot_grams: bool = False,
+):
     """Edit-distance near-dup pairs for SHORT strings (titles, names,
     URLs — the entity-resolution regime where token MinHash is too
     coarse): ``(id_a, id_b, dist)`` with ``levenshtein <= max_dist``.
@@ -590,13 +591,30 @@ def edit_distance_pairs(
     every candidate is verified with the exact JVM ``levenshtein`` —
     precision 1.0 by construction, never an all-pairs compare.
 
-    ``max_gram_freq`` drops stopword-grade grams from the index (the
-    hot-bucket cap): a pair is missed only if EVERY shared gram is
-    that common, and strings within edit distance d of length L share
-    >= L - q + 1 - d*q grams — for near-identical short strings
-    essentially their whole gram set, so recall loss needs the entire
-    string to be built from ubiquitous grams. Candidate volume is then
-    bounded by gram-frequency² sums, not corpus².
+    **Recall preconditions** (Gravano-style q-gram count filtering —
+    blocking is provably complete only inside them):
+
+    - *Minimum length*: strings within edit distance d share
+      >= L - q + 1 - d*q distinct grams (L = max of the two lengths).
+      That bound is positive — a shared gram guaranteed — only for
+      ``L >= (max_dist + 1) * q``. Shorter strings (e.g. 'ab' vs 'cd'
+      at max_dist=2, q=2) can be within distance yet share no gram
+      and are silently missed; pre-filter or exact-compare the
+      sub-``(max_dist+1)*q`` stratum if it matters (it is tiny by
+      definition — at most corpus x that length band, and all-pairs
+      within the band is cheap because the strings are short).
+    - *Hot-gram cap*: ``max_gram_freq`` drops stopword-grade grams
+      from the index. A pair is missed only if EVERY shared gram is
+      that common — recall loss needs the entire string built from
+      ubiquitous grams (templated/boilerplate corpora are the risk).
+      Candidate volume is then bounded by gram-frequency² sums, not
+      corpus².
+
+    ``return_hot_grams=True`` returns ``(pairs, hot_grams)`` where
+    ``hot_grams`` is the lazily-computed ``(_g, count)`` frame of
+    dropped grams — count it (cheap: one aggregation over the gram
+    index) to make oracle/recall divergence diagnosable instead of
+    guessing whether the cap bit. Default returns just ``pairs``.
     """
     s = F.lower(F.col(col))
     grams = F.transform(
@@ -632,8 +650,11 @@ def edit_distance_pairs(
         .select("id_a", "id_b", "_sa", "_sb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    pairs = (
         cands.withColumn("dist", F.levenshtein("_sa", "_sb"))
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+    if return_hot_grams:
+        return pairs, hot
+    return pairs

@@ -1202,9 +1202,15 @@ def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs over 40-char document prefixes
     (the short-string entity-resolution regime): the q-gram-blocked +
     levenshtein-verified operator against DuckDB's exact all-pairs
-    levenshtein join — recall equality with brute force IS the check
-    (blocking is provably complete here: 40-char strings within
-    distance 3 share >= 33 of their 39 bigrams)."""
+    levenshtein join — recall equality with brute force IS the check.
+    Blocking is provably complete ON THIS INPUT because both
+    preconditions (edit_distance_pairs docstring) hold: every string
+    is 40 chars >= (max_dist+1)*q = 8, so pairs within distance 3
+    share >= 40-2+1-3*2 = 33 of their 39 bigrams; and no bigram can
+    cross the 100k hot cap since a gram appears in at most one
+    distinct-gram row per doc and the corpus has far fewer docs than
+    100k at gate scale (on bigger/templated corpora, check the
+    return_hot_grams diagnostic before trusting exact recall)."""
     docs = load_table(spark, sf_dir, "documents")
     titles = docs.select(
         F.col("doc_id"),

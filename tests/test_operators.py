@@ -954,11 +954,31 @@ def test_edit_distance_pairs(spark):
     assert "CartesianProduct" not in plan
 
     # hot-gram cap: a corpus where every string is one ubiquitous gram
-    # repeated loses those grams from the index (documented trade)
+    # repeated loses those grams from the index (documented trade) —
+    # and the diagnostic frame SAYS so instead of leaving the miss
+    # silent (return_hot_grams surfaces the dropped grams + counts)
     monotone = spark.createDataFrame(
         [(i, "aaaa") for i in range(10)], "doc_id long, text string"
     )
-    assert edit_distance_pairs(monotone, max_gram_freq=5).count() == 0
+    pairs, hot = edit_distance_pairs(
+        monotone, max_gram_freq=5, return_hot_grams=True
+    )
+    assert pairs.count() == 0
+    dropped = {r["_g"]: r["count"] for r in hot.collect()}
+    assert dropped == {"aa": 10}
+    # clean corpus: no grams dropped, diagnostic is empty
+    _, hot_clean = edit_distance_pairs(
+        titles, max_dist=2, return_hot_grams=True
+    )
+    assert hot_clean.count() == 0
+
+    # minimum-length precondition (documented): distance-2 pair of
+    # 2-char strings shares no bigram -> silently unblocked; the
+    # sub-(max_dist+1)*q stratum needs its own pass if it matters
+    shorts = spark.createDataFrame(
+        [(1, "ab"), (2, "cd")], "doc_id long, text string"
+    )
+    assert edit_distance_pairs(shorts, max_dist=2).count() == 0
 
 
 def test_rolling_user_value_range_frame(spark):

@@ -135,3 +135,27 @@ def test_zorder_empty_input(spark, tmp_path):
     out = str(tmp_path / "z_empty")
     zorder_write(empty, ["a", "b"], out)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_zorder_null_columns_and_values(spark, tmp_path):
+    """An entirely-null layout column scales to the constant 0 rank
+    (the OTHER dimensions still cluster — no crash, no write-as-is
+    fallback), null VALUES in a partially-null column rank 0 instead
+    of nulling the row's whole z-value, and an all-columns-null frame
+    takes the write-as-is path."""
+    rows = [(i, float(i % 7), None, None if i % 5 == 0 else float(i))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "a long, b double, c double, d double")
+
+    # second column entirely null: clusters on (a, d) anyway
+    out = str(tmp_path / "z_nullcol")
+    zorder_write(df, ["a", "c", "d"], out, n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    spans = per_file_spans(out, "a", 0, 399)
+    assert sum(spans) / len(spans) < 0.6, spans
+
+    # every layout column null: falls back to write-as-is
+    out2 = str(tmp_path / "z_allnull")
+    zorder_write(df, ["c"], out2)
+    assert spark.read.parquet(out2).count() == 400
