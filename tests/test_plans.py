@@ -12,7 +12,7 @@ from level_mapreduce_spark import queries as q
 PYTHON_PATH_QUERIES = {
     "query_map_variants",
     "query_filter_variants",
-    "group_finish",  # the arbitrary-Python finish_fn variant
+    "group_collect",  # carries the arbitrary-Python finish_fn variant
 }
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -221,6 +221,52 @@ def test_residual_ivfpq_index(spark, tmp_path, pq_setup):
     assert {int(ids[4]), int(ids[4]) + 800000} <= top_ids
 
 
+def test_ivfpq_recall_monotone_in_nprobe(spark, tmp_path, pq_setup):
+    """The nprobe knob buys recall monotonically (more inverted lists
+    scanned can only add candidates), self-recovery holds at every
+    setting, and full-probe recall clears a margined floor for BOTH
+    encodings — the pytest floor under the BASELINE.md sweep
+    (scripts/ivfpq_recall_sweep.py)."""
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_topk_from_index,
+    )
+
+    emb, _, _, x, ids = pq_setup
+    n_queries = 5
+    exact = {
+        i: set(ids[np.argsort(((x - x[i]) ** 2).sum(axis=1))[:10]])
+        for i in range(n_queries)
+    }
+    for residual in (False, True):
+        idx, cents, books = build_ivfpq_index(
+            spark,
+            emb,
+            str(tmp_path / f"sweep_{residual}"),
+            n_centroids=8,
+            residual=residual,
+        )
+        means = []
+        for nprobe in (1, 4, 8):
+            rec = []
+            for i in range(n_queries):
+                got = {
+                    r["vec_id"]
+                    for r in ivfpq_topk_from_index(
+                        idx, cents, books, list(x[i]), k=10, nprobe=nprobe
+                    ).collect()
+                }
+                assert ids[i] in got, (residual, nprobe, i)
+                rec.append(len(exact[i] & got) / 10)
+            means.append(sum(rec) / len(rec))
+        # monotone within noise (a single probe-set can wobble one
+        # notch; the sweep script's 20-query run is the clean curve)
+        assert means[0] <= means[2] + 0.1, (residual, means)
+        # full-probe (= whole-corpus ADC) floor, margined under the
+        # ~0.4-0.55 measured band for random vectors at 8 bytes
+        assert means[2] >= 0.3, (residual, means)
+
+
 def test_ivfpq_index_reload_serves_without_retraining(
     spark, tmp_path, pq_setup
 ):
