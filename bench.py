@@ -104,6 +104,14 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     )
     timed("update_1pct", lambda: idx.update(churn, assume_unique=True))
 
+    # snapshot read of the pre-churn epoch: a partition-pruned filter
+    # over the same segments — time travel must price like a read, not
+    # a reconstruction
+    timed(
+        "time_travel_read",
+        lambda: materialize(idx.read(as_of_epoch=0)),
+    )
+
     # chained propagation (2-stage pipe, reference replication scenario)
     from pyspark.sql import types as T
 
@@ -401,6 +409,13 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         ),
         repeat=1,
     )
+
+    # range tombstone (retention/TTL primitive): one key-pruned scan
+    # for the doomed keys + one tombstone epoch, no segment rewrite.
+    # LAST: it mutates bench_orders, and every earlier key must see
+    # the same data round over round.
+    timed("delete_range", lambda: idx.delete_range(start="4", end="6"),
+          repeat=1)
 
 
 if __name__ == "__main__":

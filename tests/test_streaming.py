@@ -283,7 +283,6 @@ def test_stream_sketches_continuous_aggregate(spark, sf_dir, tmp_path):
     from level_mapreduce_spark.operators.sketches import (
         build_sketch_index,
         sketch_index_estimate,
-        _sketch_mapper,
     )
     from level_mapreduce_spark.sources.tables import load_table, stream_table
     from level_mapreduce_spark.streaming.sink import stream_sketches_into
@@ -313,13 +312,17 @@ def test_stream_sketches_continuous_aggregate(spark, sf_dir, tmp_path):
         shutil.copy(pf, dst)
         os.utime(dst, (now + i * 10, now + i * 10))
 
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    live = MapIndex(
-        spark, "sk_live", _sketch_mapper(), str(tmp_path / "sk_store"),
-        doc_key="bucket_key",
+    # seed through build_sketch_index with an EMPTY corpus: the blessed
+    # path that persists the sketch kind (a hand-built bare MapIndex
+    # has no discoverable kind, and update_sketch_index refuses to
+    # default rather than fold with the wrong merge fn)
+    live = build_sketch_index(
+        spark,
+        events.limit(0),
+        str(tmp_path / "sk_store"),
+        name="sk_live",
+        kind="hll",
     )
-    live.build(spark.createDataFrame([], "bucket_key string, sketch binary"))
     stream = stream_table(spark, str(src), sf_dir, "events")
     q = stream_sketches_into(live, stream, str(tmp_path / "sk_ckpt"))
     q.awaitTermination(180)
