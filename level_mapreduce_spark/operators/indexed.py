@@ -81,6 +81,14 @@ def build_band_index(
     idx = MapIndex(
         spark, name, minhash_band_mapper(k, rows_per_band), store, doc_key="doc_id"
     )
+    # persist the signature params: an update() in a fresh session must
+    # band with the SAME shingle width and band geometry, or new docs'
+    # buckets silently never collide with stored ones
+    idx.put_sidecar(
+        {"type": "band", "k": k, "rows_per_band": rows_per_band},
+        name="band.json",
+    )
+    idx.band_k, idx.band_rows_per_band = k, rows_per_band
     # explicit partition count: the mapper is compute-bound on small
     # bytes, so an AQE-coalescible repartition(col) could serialize it
     n_part = spark.sparkContext.defaultParallelism
@@ -88,16 +96,50 @@ def build_band_index(
     return idx
 
 
+def load_band_index(
+    spark: SparkSession, store: str, name: str = "minhash_bands"
+) -> MapIndex:
+    """Reopen a stored band index with the persisted signature params
+    (shingle k, rows per band) — incremental update() and
+    lsh_pairs_from_index in a fresh session then use geometry that
+    matches the stored buckets."""
+    probe = MapIndex(
+        spark, name, minhash_band_mapper(), store, doc_key="doc_id"
+    )
+    meta = probe.get_sidecar(name="band.json")
+    if meta is None or meta.get("type") != "band":
+        raise ValueError(
+            f"no band sidecar under {probe.root}; was this index built "
+            "by build_band_index?"
+        )
+    idx = MapIndex(
+        spark,
+        name,
+        minhash_band_mapper(meta["k"], meta["rows_per_band"]),
+        store,
+        doc_key="doc_id",
+    )
+    idx.band_k, idx.band_rows_per_band = meta["k"], meta["rows_per_band"]
+    return idx
+
+
 def lsh_pairs_from_index(
     band_index: MapIndex,
     docs: DataFrame,
     threshold: float = 0.7,
-    k: int = 5,
+    k: int | None = None,
     max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs from a stored band index: candidates = self-join
     of the persisted buckets, verification = exact Jaccard on shingle
-    sets recomputed from the candidate docs only (not the corpus)."""
+    sets recomputed from the candidate docs only (not the corpus).
+    The verify shingle width ``k`` resolves from the handle/sidecar
+    (the width the signatures were built with) unless passed."""
+    if k is None:
+        k = getattr(band_index, "band_k", None)
+        if k is None:
+            meta = band_index.get_sidecar(name="band.json")
+            k = meta["k"] if meta else 5
     buckets = band_index.read().select(
         F.col("index_key").alias("bkey"), F.col("value").alias("doc_id")
     )
@@ -208,8 +250,33 @@ def build_ivf_index(
     idx = MapIndex(
         spark, name, ivf_mapper(centroids), store, doc_key="vec_id"
     )
+    idx.put_sidecar(
+        {"type": "ivf", "centroids": centroids}, name="ivf.json"
+    )
     n_part = spark.sparkContext.defaultParallelism
     idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
+    return idx, centroids
+
+
+def load_ivf_index(
+    spark: SparkSession, store: str, name: str = "ivf_lists"
+) -> tuple[MapIndex, list[list[float]]]:
+    """Reopen a stored IVF index with the persisted codebook: probes
+    and incremental assignment in a fresh session use the SAME frozen
+    centroids the stored lists were routed by."""
+    probe = MapIndex(
+        spark, name, ivf_mapper([[0.0]]), store, doc_key="vec_id"
+    )
+    meta = probe.get_sidecar(name="ivf.json")
+    if meta is None or meta.get("type") != "ivf":
+        raise ValueError(
+            f"no IVF sidecar under {probe.root}; was this index built "
+            "by build_ivf_index?"
+        )
+    centroids = meta["centroids"]
+    idx = MapIndex(
+        spark, name, ivf_mapper(centroids), store, doc_key="vec_id"
+    )
     return idx, centroids
 
 
@@ -288,7 +355,50 @@ def build_ann_index(
         store,
         doc_key="vec_id",
     )
+    # persist the hash geometry: hyperplanes are seed-deterministic,
+    # so (dim, n_bits, n_tables, seed) fully reconstructs the tables —
+    # a probe or update with different params addresses buckets the
+    # stored index never wrote
+    idx.put_sidecar(
+        {
+            "type": "ann_lsh",
+            "dim": dim,
+            "n_bits": n_bits,
+            "n_tables": n_tables,
+            "seed": seed,
+        },
+        name="ann.json",
+    )
+    idx.ann_params = (n_bits, n_tables, seed)
     idx.build(embeddings, assume_unique=True)
+    return idx
+
+
+def load_ann_index(
+    spark: SparkSession, store: str, name: str = "ann_buckets"
+) -> MapIndex:
+    """Reopen a stored sign-LSH bucket index with the persisted hash
+    geometry, so probes and incremental update() in a fresh session
+    address the same buckets."""
+    probe = MapIndex(
+        spark, name, ann_bucket_mapper(1), store, doc_key="vec_id"
+    )
+    meta = probe.get_sidecar(name="ann.json")
+    if meta is None or meta.get("type") != "ann_lsh":
+        raise ValueError(
+            f"no ANN sidecar under {probe.root}; was this index built "
+            "by build_ann_index?"
+        )
+    idx = MapIndex(
+        spark,
+        name,
+        ann_bucket_mapper(
+            meta["dim"], meta["n_bits"], meta["n_tables"], meta["seed"]
+        ),
+        store,
+        doc_key="vec_id",
+    )
+    idx.ann_params = (meta["n_bits"], meta["n_tables"], meta["seed"])
     return idx
 
 
@@ -297,13 +407,30 @@ def ann_topk_from_index(
     embeddings: DataFrame,
     probe: list[float],
     k: int = 10,
-    n_bits: int = 6,
-    n_tables: int = 8,
-    seed: int = 42,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
+    seed: int | None = None,
 ) -> DataFrame:
     """Probe the stored bucket index: candidate vec_ids come from a
     pushed-down key lookup over (table:bucket) keys within hamming
-    distance 1 of the probe's buckets; exact cosine rerank follows."""
+    distance 1 of the probe's buckets; exact cosine rerank follows.
+
+    Hash geometry resolves from the handle (set by build/load) or the
+    persisted sidecar unless explicitly passed — probing with the
+    wrong geometry addresses buckets the index never wrote and
+    silently returns near-empty candidates."""
+    if n_bits is None or n_tables is None or seed is None:
+        params = getattr(ann_index, "ann_params", None)
+        if params is None:
+            meta = ann_index.get_sidecar(name="ann.json")
+            if meta is None:
+                raise ValueError(
+                    f"cannot resolve hash geometry for {ann_index.name}: "
+                    "pass n_bits/n_tables/seed or reopen with "
+                    "load_ann_index()"
+                )
+            params = (meta["n_bits"], meta["n_tables"], meta["seed"])
+        n_bits, n_tables, seed = params
     wanted = []
     for t in range(n_tables):
         planes = hyperplanes(len(probe), n_bits=n_bits, seed=seed + 1000 * t)

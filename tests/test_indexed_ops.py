@@ -227,6 +227,95 @@ def test_sketch_index_kll_and_theta_kinds(spark, sf_dir, tmp_path):
     )
 
 
+def test_stored_index_reload_band_ivf_ann(spark, sf_dir, tmp_path):
+    """Every stored-index family reopens in a fresh handle from its
+    persisted sidecar and serves identically to the builder's handle —
+    build job and serve job are different processes at 100 TB:
+
+    - band index: signature geometry (k, rows_per_band) round-trips,
+      pairs from the reloaded handle equal the original's;
+    - IVF: the frozen centroids round-trip, probe answers match;
+    - sign-LSH ANN: hash geometry resolves from the sidecar, and a
+      geometry-less bare handle is refused rather than probing buckets
+      the index never wrote.
+    """
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.indexed import (
+        ann_bucket_mapper,
+        build_ann_index,
+        build_band_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+        load_ann_index,
+        load_band_index,
+        load_ivf_index,
+        lsh_pairs_from_index,
+    )
+    from level_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- band ------------------------------------------------------
+    store_b = str(tmp_path / "band_rl")
+    built = build_band_index(spark, docs, store_b, k=4, rows_per_band=1)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(built, docs).collect()
+    }
+    rl = load_band_index(spark, store_b)
+    assert (rl.band_k, rl.band_rows_per_band) == (4, 1)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(rl, docs).collect()
+    }
+    assert got == want
+
+    # --- ivf -------------------------------------------------------
+    store_i = str(tmp_path / "ivf_rl")
+    idx, cents = build_ivf_index(spark, emb, store_i, n_centroids=4)
+    probe = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    want_ids = [
+        r["vec_id"]
+        for r in ivf_topk_from_index(idx, cents, emb, probe).collect()
+    ]
+    idx2, cents2 = load_ivf_index(spark, store_i)
+    assert cents2 == [[float(v) for v in c] for c in cents]
+    got_ids = [
+        r["vec_id"]
+        for r in ivf_topk_from_index(idx2, cents2, emb, probe).collect()
+    ]
+    assert got_ids == want_ids
+
+    # --- sign-LSH ann ---------------------------------------------
+    store_a = str(tmp_path / "ann_rl")
+    built_a = build_ann_index(spark, emb, store_a, n_bits=4, n_tables=4)
+    want_a = [
+        r["vec_id"]
+        for r in ann_topk_from_index(built_a, emb, probe, k=5).collect()
+    ]
+    rl_a = load_ann_index(spark, store_a)
+    assert rl_a.ann_params == (4, 4, 42)
+    got_a = [
+        r["vec_id"]
+        for r in ann_topk_from_index(rl_a, emb, probe, k=5).collect()
+    ]
+    assert got_a == want_a
+    # bare handle, sidecar destroyed -> geometry unknowable -> refuse
+    import os as _os
+
+    _os.remove(_os.path.join(store_a, "ann_buckets", "ann.json"))
+    bare = MapIndex(
+        spark, "ann_buckets", ann_bucket_mapper(1), store_a, doc_key="vec_id"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash geometry"):
+        ann_topk_from_index(bare, emb, probe, k=5)
+
+
 def test_sketch_index_reload_recovers_kind(spark, sf_dir, tmp_path):
     """A fresh handle opened with load_sketch_index recovers the
     sketch family from the persisted sidecar, so incremental folds in
