@@ -1504,11 +1504,11 @@ def q_text_repetition(spark, sf_dir):
 
 
 _ZORDER_PATHS: dict[str, str] = {}
+_BUCKETED_TABLES: dict[str, DataFrame] = {}
 
 
 def q_zorder_layout(spark, sf_dir):
-    """Z-order (Morton-curve) data layout, gated two ways in one
-    tagged union:
+    """Data-layout primitives, gated three ways in one tagged union:
 
     - ``morton``: the bit interleave itself on a 16x16 integer grid —
       column i contributes bit b to output position b*k+i — against a
@@ -1520,13 +1520,21 @@ def q_zorder_layout(spark, sf_dir):
       nothing). The layout's file-skipping narrowness is
       footer-measured in pytest (test_zorder.py); the hash gates
       fidelity, which is what a relayout can silently break.
+    - ``bucketed``: events written hash-bucketed by user_id (the
+      shuffle-free-join layout; no-Exchange plans are asserted in
+      test_bucketed.py), then aggregated per user THROUGH the bucketed
+      read — counts and cent-sums must equal the source aggregation
+      (the bucketed write path loses/dups nothing either).
 
     Money rides as integer cents and the range filter applies to the
-    cents column on both sides (the decimal-cents oracle rule)."""
+    cents column on both sides (the decimal-cents oracle rule); the
+    per-user cent-sum is re-CAST to BIGINT in the oracle (DuckDB
+    sum(BIGINT) widens to HUGEINT — the events_running lesson)."""
     import os
     import tempfile
 
     from level_mapreduce_spark.functions.zorder import z_value, zorder_write
+    from level_mapreduce_spark.sources.bucketed import write_bucketed
 
     grid = spark.range(256).select(
         (F.col("id") % 16).alias("x"),
@@ -1560,7 +1568,34 @@ def q_zorder_layout(spark, sf_dir):
     roundtrip = back.where(
         F.col("b").between(100, 300) & F.col("c").between(1000, 5000)
     ).select(F.lit("roundtrip").alias("variant"), "a", "b", "c")
-    return morton.unionByName(roundtrip)
+
+    if sf_dir not in _BUCKETED_TABLES:
+        _BUCKETED_TABLES[sf_dir] = write_bucketed(
+            load_table(spark, sf_dir, "events").select("user_id", "value"),
+            f"lmr_gate_bucketed_{abs(hash(sf_dir)) % 10**8}",
+            "user_id",
+            8,
+            path=os.path.join(
+                tempfile.mkdtemp(prefix="lmr_bucketed_"), "events_b"
+            ),
+        )
+    bucketed = (
+        _BUCKETED_TABLES[sf_dir]
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .select(
+            F.lit("bucketed").alias("variant"),
+            F.col("user_id").cast("long").alias("a"),
+            F.col("n").alias("b"),
+            F.col("cents").alias("c"),
+        )
+    )
+    return morton.unionByName(roundtrip).unionByName(bucketed)
 
 
 # Exactly 50 entries: the driver scores the FIRST 50 registry entries
@@ -1843,6 +1878,11 @@ ORACLES: dict[str, str] = {
       WHERE CAST(user_id AS BIGINT) BETWEEN 100 AND 300
         AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
               BETWEEN 1000 AND 5000
+      UNION ALL
+      SELECT 'bucketed', CAST(user_id AS BIGINT), count(*),
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT)
+      FROM events GROUP BY user_id
     """,
     "query_map_variants": """
       SELECT 'expr' AS variant, o_orderpriority AS key,
