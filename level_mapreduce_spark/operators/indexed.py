@@ -603,6 +603,158 @@ def load_ivfpq_index(spark: SparkSession, store: str, name: str = "ivfpq_cells")
     return idx, centroids, books
 
 
+def _resolve_ivfpq_residual(idx: MapIndex) -> bool:
+    """Residual flag from the handle (set by build/load) or the
+    persisted sidecar — never a silent default: scoring residual codes
+    with a raw-probe LUT returns silently wrong neighbors."""
+    residual = getattr(idx, "ivfpq_residual", None)
+    if residual is None:
+        meta = idx.get_sidecar(name=_IVFPQ_SIDECAR)
+        if meta is None or "residual" not in meta:
+            raise ValueError(
+                f"cannot tell whether {idx.name} stores residual or raw "
+                "PQ codes: handle has no ivfpq_residual attribute and "
+                f"no {_IVFPQ_SIDECAR} sidecar exists — reopen it with "
+                "load_ivfpq_index()"
+            )
+        residual = bool(meta["residual"])
+        idx.ivfpq_residual = residual
+    return residual
+
+
+def ivfpq_knn_join(
+    idx: MapIndex,
+    centroids: list[list[float]],
+    codebooks: list,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Batched ANN over the stored IVFPQ index: top-k approximate
+    neighbors for EVERY probe row in one distributed plan —
+    ``(probe_id, vec_id, adc_dist)``. The batch dual of
+    :func:`ivfpq_topk_from_index` (which serves one probe per driver
+    call): embedding a 10⁶-probe workload as a driver loop is 10⁶
+    scheduler round-trips; here it is one join.
+
+    Plan (all JVM Column expressions — no Arrow, no Python):
+
+    1. route each probe to its ``nprobe`` best coarse lists with a
+       HOF argsort over the centroid literal (same ranking as the
+       single-probe path);
+    2. key-lookup ONLY the union of routed lists from the stored
+       cells (an In filter on the sorted index key — pushed to the
+       parquet scan; the driver collects at most n_centroids ids);
+    3. broadcast the routed probes against the cells on list id;
+    4. per (probe, code) ADC via codebook-literal gathers
+       (``element_at`` per subspace — array-of-array literals + HOFs,
+       never unrolled expression trees);
+    5. per-probe top-k through ``topk_per_key`` (WindowGroupLimit:
+       map-side truncation, never a global sort).
+
+    Residual encoding resolves from the handle/sidecar exactly like
+    the single-probe path; the residual probe is staged once per
+    (probe, list) BEFORE the cells join, not recomputed per pair.
+    """
+    from level_mapreduce_spark.operators.joins import topk_per_key
+
+    residual = _resolve_ivfpq_residual(idx)
+    n_cent = len(centroids)
+    nprobe = max(1, min(nprobe, n_cent))
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    emb = F.col("embedding").cast("array<double>")
+
+    def coarse_score(c):
+        dot = F.aggregate(
+            F.zip_with(emb, c, lambda x, cv: x * cv),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        c2 = F.aggregate(
+            F.transform(c, lambda cv: cv * cv), F.lit(0.0), lambda a, x: a + x
+        )
+        return dot - c2 / 2.0
+
+    ranked = F.array_sort(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                (-coarse_score(c)).alias("neg"), i.alias("lid")
+            ),
+        )
+    )
+    routed = probes.select(
+        F.col(probe_id),
+        emb.alias("_p"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, nprobe), lambda s: s["lid"])
+        ).alias("_list"),
+    )
+    if residual:
+        routed = routed.withColumn(
+            "_rp",
+            F.zip_with(
+                F.col("_p"),
+                F.element_at(cents_lit, F.col("_list") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+    else:
+        routed = routed.withColumn("_rp", F.col("_p"))
+
+    # bounded driver collect: at most n_centroids distinct list ids —
+    # keeps the In filter literal so it reaches PushedFilters
+    wanted_keys = sorted(
+        str(r["_list"]) for r in routed.select("_list").distinct().collect()
+    )
+    cells = idx.read().where(F.col("index_key").isin(wanted_keys)).select(
+        F.col("doc_key").cast("long").alias("vec_id"),
+        F.col("value").alias("_codes"),
+        F.col("index_key").cast("int").alias("_list"),
+    )
+    pairs = cells.join(F.broadcast(routed.drop("_p")), "_list")
+
+    books_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in cent])
+                    for cent in book
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+    def sub_dist(j: int):
+        cent = F.element_at(
+            F.element_at(books_lit, j + 1),
+            F.element_at(F.col("_codes"), j + 1) + 1,
+        )
+        diff = F.zip_with(
+            F.slice(F.col("_rp"), j * dsub + 1, dsub),
+            cent,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    adc = sub_dist(0)
+    for j in range(1, m):
+        adc = adc + sub_dist(j)
+    scored = pairs.withColumn("adc_dist", adc)
+    return topk_per_key(
+        scored,
+        probe_id,
+        [F.col("adc_dist").asc(), F.col("vec_id")],
+        k,
+    ).select(probe_id, "vec_id", "adc_dist")
+
+
 def ivfpq_topk_from_index(
     idx: MapIndex,
     centroids: list[list[float]],
@@ -629,18 +781,7 @@ def ivfpq_topk_from_index(
         dot = sum(p * v for p, v in zip(probe, c))
         return dot - sum(v * v for v in c) / 2.0
 
-    residual = getattr(idx, "ivfpq_residual", None)
-    if residual is None:
-        meta = idx.get_sidecar(name=_IVFPQ_SIDECAR)
-        if meta is None or "residual" not in meta:
-            raise ValueError(
-                f"cannot tell whether {idx.name} stores residual or raw "
-                "PQ codes: handle has no ivfpq_residual attribute and "
-                f"no {_IVFPQ_SIDECAR} sidecar exists — reopen it with "
-                "load_ivfpq_index()"
-            )
-        residual = bool(meta["residual"])
-        idx.ivfpq_residual = residual
+    residual = _resolve_ivfpq_residual(idx)
     ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
     wanted = ranked[: max(1, nprobe)]
     wanted_keys = [str(j) for j in wanted]

@@ -1444,15 +1444,22 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh_ivf(spark, sf_dir):
-    """All three approximate-ANN paths in one tagged union (merged
+    """All four approximate-ANN paths in one tagged union (merged
     entry — the driver scores 50 registry entries; rows-only:
     sign-LSH bucketing, k-means assignment, and PQ quantization are
     not SQL-expressible; recall vs brute force asserted in pytest for
     each): multiprobe sign-LSH, IVF coarse-quantizer with exact
-    rerank, and IVFPQ (coarse routing + 8-byte-code ADC scoring —
+    rerank, IVFPQ (coarse routing + 8-byte-code ADC scoring —
     ``score`` is the approximate squared-L2 ADC distance there, the
-    cosine similarity for the other two)."""
+    cosine similarity for the other two), and the BATCHED
+    ``ivfpq_knn_join`` over the stored index (one distributed join for
+    a whole probe table — bit-equal to the per-probe serve path,
+    tested in test_pq.py)."""
     from level_mapreduce_spark.operators import ivf as iv
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+    )
     from level_mapreduce_spark.operators.pq import ivfpq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1462,6 +1469,27 @@ def q_ann_lsh_ivf(spark, sf_dir):
     ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
     books = train_pq(emb)
     pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
+
+    def build_stored():
+        import tempfile as _tf
+
+        class _H:
+            pass
+
+        h = _H()
+        h.triple = build_ivfpq_index(
+            spark, emb, _tf.mkdtemp(prefix="lmr_gate_ivfpq_"),
+            n_centroids=8,
+        )
+        return h
+
+    stored = _cached(spark, sf_dir, "gate_ivfpq", build_stored).triple
+    sidx, scents, sbooks = stored
+    probes = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+    )
+    batch = ivfpq_knn_join(sidx, scents, sbooks, probes, k=10, nprobe=4)
+
     out = lsh.select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1473,9 +1501,18 @@ def q_ann_lsh_ivf(spark, sf_dir):
             F.col("sim").alias("score"),
         )
     )
-    return out.unionByName(
+    out = out.unionByName(
         pq.select(
             F.lit("ivfpq").alias("method"),
+            "vec_id",
+            F.round("adc_dist", 6).alias("score"),
+        )
+    )
+    return out.unionByName(
+        batch.select(
+            F.concat(F.lit("knn_batch_"), F.col("probe_id")).alias(
+                "method"
+            ),
             "vec_id",
             F.round("adc_dist", 6).alias("score"),
         )

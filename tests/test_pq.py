@@ -221,6 +221,61 @@ def test_residual_ivfpq_index(spark, tmp_path, pq_setup):
     assert {int(ids[4]), int(ids[4]) + 800000} <= top_ids
 
 
+def test_ivfpq_knn_join_matches_single_probe_path(spark, tmp_path, pq_setup):
+    """The batched ANN join returns, for every probe row, exactly the
+    single-probe serve path's answers (same routing, same ADC, same
+    top-k) for BOTH encodings — and the whole batch plan stays
+    JVM-side with the list lookup pushed to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+        ivfpq_topk_from_index,
+    )
+
+    emb, _, _, x, ids = pq_setup
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+    )
+    for residual in (False, True):
+        idx, cents, books = build_ivfpq_index(
+            spark,
+            emb,
+            str(tmp_path / f"knn_{residual}"),
+            n_centroids=8,
+            residual=residual,
+        )
+        batch = ivfpq_knn_join(
+            idx, cents, books, probes, k=5, nprobe=4
+        )
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["probe_id"], []).append(
+                (r["vec_id"], round(r["adc_dist"], 9))
+            )
+        for pid in got:
+            got[pid].sort(key=lambda t: (t[1], t[0]))
+        for r in probes.collect():
+            want = [
+                (s["vec_id"], round(s["adc_dist"], 9))
+                for s in ivfpq_topk_from_index(
+                    idx,
+                    cents,
+                    books,
+                    [float(v) for v in r["embedding"]],
+                    k=5,
+                    nprobe=4,
+                ).collect()
+            ]
+            want.sort(key=lambda t: (t[1], t[0]))
+            assert got[r["probe_id"]] == want, (residual, r["probe_id"])
+
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "PushedFilters" in plan and "In(index_key" in plan
+
+
 def test_ivfpq_recall_monotone_in_nprobe(spark, tmp_path, pq_setup):
     """The nprobe knob buys recall monotonically (more inverted lists
     scanned can only add candidates), self-recovery holds at every
