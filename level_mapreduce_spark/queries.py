@@ -1460,16 +1460,16 @@ def q_ann_lsh_ivf(spark, sf_dir):
         build_ivfpq_index,
         ivfpq_knn_join,
     )
-    from level_mapreduce_spark.operators.pq import ivfpq_topk, train_pq
+    from level_mapreduce_spark.operators.pq import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
     lsh = sim.lsh_topk(emb, probe, k=10)
-    cents = iv.train_centroids(emb)
-    ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
-    books = train_pq(emb)
-    pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
 
+    # ONE training pass serves all quantized variants: the stored
+    # index persists (and returns) its centroids + codebooks, and the
+    # inline ivfpq_topk scores against the same frozen quantizers —
+    # training twice doubled this entry's gate latency for no coverage
     def build_stored():
         import tempfile as _tf
 
@@ -1483,12 +1483,15 @@ def q_ann_lsh_ivf(spark, sf_dir):
         )
         return h
 
-    stored = _cached(spark, sf_dir, "gate_ivfpq", build_stored).triple
-    sidx, scents, sbooks = stored
+    sidx, cents, books = _cached(
+        spark, sf_dir, "gate_ivfpq", build_stored
+    ).triple
+    ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
+    pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
     probes = emb.where(F.col("vec_id") < 2).select(
         F.col("vec_id").cast("long").alias("probe_id"), "embedding"
     )
-    batch = ivfpq_knn_join(sidx, scents, sbooks, probes, k=10, nprobe=4)
+    batch = ivfpq_knn_join(sidx, cents, books, probes, k=10, nprobe=4)
 
     out = lsh.select(
         F.lit("lsh").alias("method"),
