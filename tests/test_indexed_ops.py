@@ -354,7 +354,15 @@ def test_sketch_index_reload_recovers_kind(spark, sf_dir, tmp_path):
     )
     qi = sketch_index_quantiles(reopened, "0", "9999").first()
     qf = sketch_index_quantiles(full, "0", "9999").first()
-    assert list(qi) == pytest.approx(list(qf), rel=0.1)
+    # KLL is a RANDOMIZED sketch — compare by empirical rank (the
+    # quantity it guarantees), never by value (order-dependent flake)
+    total = events.count()
+
+    def emp_rank(v: float) -> float:
+        return events.where(F.col("value") <= v).count() / total
+
+    for a, b in zip(qi, qf):
+        assert abs(emp_rank(a) - emp_rank(b)) < 0.05, (list(qi), list(qf))
 
     # a bare handle with neither attribute nor sidecar must refuse
     bare = MapIndex(
