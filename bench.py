@@ -214,6 +214,32 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     )
     pq_state["codes"].unpersist()
 
+    # stored IVFPQ: one-time build (train + Column-encode into the
+    # MapIndex), then a whole 20-probe workload as ONE batched join —
+    # the serve shape for probe tables, vs a per-probe driver loop
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+    )
+
+    ivfpq_state = {}
+
+    def ivfpq_build():
+        ivfpq_state["triple"] = build_ivfpq_index(
+            spark, emb, store, name="bench_ivfpq", n_centroids=8
+        )
+
+    timed("ivfpq_index_build", ivfpq_build, repeat=1)
+
+    def ivfpq_batch():
+        sidx, cents, books = ivfpq_state["triple"]
+        probes = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+        )
+        materialize(ivfpq_knn_join(sidx, cents, books, probes, k=10))
+
+    timed("ivfpq_knn_join_20", ivfpq_batch)
+
     from level_mapreduce_spark.operators.indexed import build_band_index
     from level_mapreduce_spark.operators.joins import asof_join
 

@@ -26,6 +26,11 @@ from pyspark.sql import types as T
 
 from level_mapreduce_spark.engine.index import MapIndex
 from level_mapreduce_spark.engine.mapper import ExprMapper, pairs_type
+from level_mapreduce_spark.functions.litarr import (
+    lit_doubles,
+    lit_doubles_2d,
+    lit_doubles_3d,
+)
 from level_mapreduce_spark.operators.dedup import (
     band_keys,
     minhash_from_hashes,
@@ -303,7 +308,7 @@ def ivf_topk_from_index(
         .where(F.col("index_key").isin(wanted))
         .select(F.col("value").alias("vec_id"))
     )
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    probe_lit = lit_doubles(probe)
     return (
         embeddings.join(
             F.broadcast(cand_ids),
@@ -446,7 +451,7 @@ def ann_topk_from_index(
         .select(F.col("value").alias("vec_id"))
         .distinct()
     )
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    probe_lit = lit_doubles(probe)
     return (
         embeddings.join(
             F.broadcast(cand_ids),
@@ -484,9 +489,7 @@ def ivfpq_mapper(
         ),
     }
     if residual:
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-        )
+        cents_lit = lit_doubles_2d(centroids)
         stages["_res"] = F.zip_with(
             F.col("embedding").cast("array<double>"),
             F.element_at(cents_lit, F.col("_list") + 1),
@@ -664,9 +667,7 @@ def ivfpq_knn_join(
     nprobe = max(1, min(nprobe, n_cent))
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
+    cents_lit = lit_doubles_2d(centroids)
     emb = F.col("embedding").cast("array<double>")
 
     def coarse_score(c):
@@ -719,21 +720,17 @@ def ivfpq_knn_join(
     )
     pairs = cells.join(F.broadcast(routed.drop("_p")), "_list")
 
-    books_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in cent])
-                    for cent in book
-                ]
-            )
-            for book in codebooks
-        ]
-    )
+    # STAGE the codebook literal as a column: referenced directly in
+    # all m subspace terms, the ~4096-node literal tree would be
+    # duplicated m times and the ANALYZER walks every copy (measured
+    # ~2.6 s per plan build at m=8, k=64); staged, it is analyzed
+    # once, constant-folded once, and the 8 references are pointer
+    # copies of the folded Literal
+    pairs = pairs.withColumn("_books", lit_doubles_3d(codebooks))
 
     def sub_dist(j: int):
         cent = F.element_at(
-            F.element_at(books_lit, j + 1),
+            F.element_at(F.col("_books"), j + 1),
             F.element_at(F.col("_codes"), j + 1) + 1,
         )
         diff = F.zip_with(
@@ -746,7 +743,7 @@ def ivfpq_knn_join(
     adc = sub_dist(0)
     for j in range(1, m):
         adc = adc + sub_dist(j)
-    scored = pairs.withColumn("adc_dist", adc)
+    scored = pairs.withColumn("adc_dist", adc).drop("_books")
     return topk_per_key(
         scored,
         probe_id,

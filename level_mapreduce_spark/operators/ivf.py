@@ -68,12 +68,15 @@ def assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     sends Catalyst optimization time superlinear; this tree is ~1.5k
     nodes. The HOF interpretation overhead is irrelevant here — the
     assignment runs once per vector (build time), not per pair."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    from level_mapreduce_spark.functions.litarr import (
+        lit_doubles,
+        lit_doubles_2d,
     )
-    half_norms = F.array(
-        *[F.lit(sum(v * v for v in c) / 2.0) for c in centroids]
-    )
+
+    # expr-string literals: one py4j call instead of one per element
+    # (~3 s of driver overhead for a k=64 codebook, measured)
+    cents = lit_doubles_2d(centroids)
+    half_norms = lit_doubles([sum(v * v for v in c) / 2.0 for c in centroids])
     scores = F.zip_with(
         cents,
         half_norms,
@@ -105,7 +108,9 @@ def ivf_topk(
 
     ranked = sorted(range(len(centroids)), key=lambda j: -score(centroids[j]))
     wanted = ranked[: max(1, nprobe)]
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    from level_mapreduce_spark.functions.litarr import lit_doubles
+
+    probe_lit = lit_doubles(probe)
     assigned = embeddings.withColumn(
         "_list", assign_expr(F.col("embedding").cast("array<double>"), centroids)
     )

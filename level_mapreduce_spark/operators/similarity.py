@@ -29,6 +29,8 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from level_mapreduce_spark.functions.litarr import lit_doubles
 from pyspark.sql import types as T
 
 from level_mapreduce_spark.functions import unpushable
@@ -69,7 +71,7 @@ def brute_topk(
     """Exact top-k by cosine: (vec_id, sim) — sim rounded to 6dp.
     Ties break on vec_id; the plan is a distributed partial top-k per
     partition + merge (no global sort)."""
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    probe_lit = lit_doubles(probe)
     return (
         embeddings.select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -94,7 +96,7 @@ def bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
     vec = _as_double_array(vec)
     out = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        plane_lit = lit_doubles(plane)
         dot = F.aggregate(
             F.zip_with(vec, plane_lit, lambda x, y: x * y),
             F.lit(0.0),
@@ -491,7 +493,7 @@ def lsh_topk(
     is still scanned once and only candidates reach the rerank sort.
     Returns (vec_id, sim).
     """
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    probe_lit = lit_doubles(probe)
     # probe buckets driver-side through the same plane derivation; one
     # wanted-key list covers all tables + hamming-1 multiprobe,
     # matched with arrays_overlap

@@ -159,3 +159,46 @@ def test_text_to_stored_ann_pipeline(spark, docs, tmp_path):
     top_ids = {r["vec_id"] for r in top.collect()}
     assert {src_id, src_id + 500000} <= top_ids
     vecs.unpersist()
+
+
+def test_text_to_batched_ann_pipeline(spark, docs, tmp_path):
+    """The batch form of the semantic-dedup composition, through a
+    RELOADED index handle: vectorize, store, reopen from the sidecar
+    in a fresh handle (build job vs serve job), then resolve FIVE
+    planted near-duplicates in ONE ivfpq_knn_join — each probe's
+    top-k contains its own source. The whole serve side is a single
+    distributed plan: no per-probe driver loop."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+        load_ivfpq_index,
+    )
+    from level_mapreduce_spark.operators.text import hashed_features
+
+    base = docs.limit(60)
+    dups = base.limit(5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(dups)
+    vecs = hashed_features(corpus, dim=64).persist()
+    store = str(tmp_path / "batch_ann")
+    build_ivfpq_index(spark, vecs, store, n_centroids=4, residual=True)
+
+    idx, cents, books = load_ivfpq_index(spark, store)
+    src_ids = [r["doc_id"] for r in base.limit(5).collect()]
+    probes = vecs.where(
+        F.col("vec_id").isin([i + 500000 for i in src_ids])
+    ).select(F.col("vec_id").cast("long").alias("probe_id"), "embedding")
+    got = {}
+    for r in ivfpq_knn_join(
+        idx, cents, books, probes, k=3, nprobe=2
+    ).collect():
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    assert len(got) == 5
+    for sid in src_ids:
+        assert {sid, sid + 500000} <= got[sid + 500000], (sid, got)
+    vecs.unpersist()
