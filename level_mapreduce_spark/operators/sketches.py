@@ -250,6 +250,24 @@ def _bucket_docs(sketches: DataFrame) -> DataFrame:
     )
 
 
+def _expect_kind(idx, expected: str, reader: str) -> None:
+    """Fail fast with a useful message when a reader is pointed at the
+    wrong sketch family (the engines' own errors are cryptic buffer
+    complaints). Resolves the kind from the handle attr, then the
+    sidecar; a bare handle with no discoverable kind passes through —
+    the reader itself will fail loudly if the binaries mismatch."""
+    kind = getattr(idx, "sketch_kind", None)
+    if kind is None:
+        meta = idx.get_sidecar(name="sketch.json")
+        kind = meta.get("kind") if meta else None
+    if kind is not None and kind != expected:
+        raise ValueError(
+            f"{reader} reads kind='{expected}' sketches but {idx.name} "
+            f"stores kind='{kind}' — use the matching reader "
+            "(estimate=hll, quantiles=kll, overlap=theta)"
+        )
+
+
 def sketch_index_estimate(
     idx,
     start: str,
@@ -258,6 +276,7 @@ def sketch_index_estimate(
     """Any-range estimate straight off the stored aggregate: a
     key-range scan (pushed-down parquet filters on index_key) over
     ``[start, end)`` ISO-prefixed keys, then one union-estimate."""
+    _expect_kind(idx, "hll", "sketch_index_estimate")
     rows = idx.scan(start=start, end=end)
     return rows.agg(
         F.coalesce(
@@ -276,6 +295,7 @@ def sketch_index_quantiles(
     """Any-range value quantiles off a ``kind='kll'`` sketch index:
     key-pruned scan of the covered buckets, one KLL merge, one
     ``q_<rank>`` column per requested rank."""
+    _expect_kind(idx, "kll", "sketch_index_quantiles")
     merged = idx.scan(start=start, end=end).agg(
         F.kll_merge_agg_double("value").alias("_merged")
     )
@@ -299,6 +319,7 @@ def sketch_index_overlap(
     """Retention/churn between two key ranges off a ``kind='theta'``
     sketch index — same output as :func:`user_overlap`, but each side
     is a pushed-down index range scan instead of a ws filter."""
+    _expect_kind(idx, "theta", "sketch_index_overlap")
     a = idx.scan(start=a_start, end=a_end).agg(
         F.theta_union_agg("value").alias("_a")
     )

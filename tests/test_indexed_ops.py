@@ -364,6 +364,18 @@ def test_sketch_index_reload_recovers_kind(spark, sf_dir, tmp_path):
     for a, b in zip(qi, qf):
         assert abs(emp_rank(a) - emp_rank(b)) < 0.05, (list(qi), list(qf))
 
+    # the wrong READER on a known-kind index fails fast with a clear
+    # message, not a cryptic engine buffer error
+    from level_mapreduce_spark.operators.sketches import (
+        sketch_index_estimate,
+        sketch_index_overlap,
+    )
+
+    with pytest.raises(ValueError, match="estimate=hll"):
+        sketch_index_estimate(reopened, "0", "9999")
+    with pytest.raises(ValueError, match="estimate=hll"):
+        sketch_index_overlap(reopened, "0", "5", "5", "9999")
+
     # a bare handle with neither attribute nor sidecar must refuse
     bare = MapIndex(
         spark, "kll_rl", _sketch_mapper(), store, doc_key="bucket_key"
