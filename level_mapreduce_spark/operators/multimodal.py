@@ -3,13 +3,20 @@ columns with typed metadata, processed by Arrow-batched pandas
 iterators (``mapInPandas``).
 
 The Spark-side contract is real and tested — schema, partitioning,
-UDF signature, batch shape. The actual codec step is STUBBED: the
-decode libraries (PIL/ffmpeg/librosa) are not in this container, so
-``decode_fn='real'`` raises ``NotImplementedError`` and the default
-``'fake'`` decoder derives deterministic pseudo-features from the raw
-bytes. Swapping in a real decoder is a one-function change; everything
-around it (Arrow batching, schema, partition sizing) is production
-shape.
+UDF signature, batch shape. Codec status by ``decode_fn``:
+
+- ``'ppm'`` — a REAL image codec with no external dependency: binary
+  PNM (PPM ``P6`` rgb / PGM ``P5`` gray) parsed and re-encoded with
+  numpy. Real pixel semantics: features are per-channel statistics of
+  the decoded raster, resize is true nearest-neighbor resampling
+  (pixel-verified in tests). Malformed payloads yield null features /
+  null payload instead of killing the batch (quarantine convention,
+  like sources/jsonl.py).
+- ``'fake'`` (default) — deterministic byte-moment pseudo-features
+  for arbitrary payloads; exercises identical plumbing.
+- ``'real'`` — the PIL/ffmpeg/librosa plug-point for compressed
+  formats (jpeg/mp3/mp4); those libs are absent in this container, so
+  it raises ``NotImplementedError`` by design.
 
 100 TB notes: media blobs dominate row size, so the iterator yields
 per-batch DataFrames (constant memory per task) and callers should
@@ -72,6 +79,73 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_pnm(b: bytes):
+    """Decode binary PNM (``P6`` rgb / ``P5`` gray) to a numpy array
+    of shape (h, w, channels), dtype uint8. Pure numpy — no imaging
+    library. Returns ``None`` for anything malformed (bad magic,
+    truncated raster, maxval > 255) rather than raising: one corrupt
+    blob must not kill an Arrow batch."""
+    import numpy as np
+
+    try:
+        if not b or b[:2] not in (b"P6", b"P5"):
+            return None
+        channels = 3 if b[:2] == b"P6" else 1
+        # header tokens: magic, width, height, maxval; '#' comments to
+        # end-of-line are legal anywhere in the header
+        pos, tokens = 2, []
+        while len(tokens) < 3 and pos < len(b):
+            c = b[pos : pos + 1]
+            if c == b"#":
+                pos = b.index(b"\n", pos) + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(b) and not b[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(b[pos:end]))
+                pos = end
+        if len(tokens) < 3:
+            return None
+        w, h, maxval = tokens
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        pos += 1  # single whitespace byte after maxval
+        raster = np.frombuffer(b, dtype=np.uint8, offset=pos)
+        need = h * w * channels
+        if len(raster) < need:
+            return None
+        return raster[:need].reshape(h, w, channels)
+    except (ValueError, IndexError):
+        return None
+
+
+def _encode_ppm(arr) -> bytes:
+    """(h, w, channels) uint8 -> binary PNM bytes (P6 for 3-channel,
+    P5 for 1-channel)."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _ppm_features(b: bytes, n_features: int):
+    """Real image features from a decoded PNM raster: per-channel
+    mean and std (in pixel-value units), then height/width — padded
+    with zeros / truncated to exactly ``n_features``. None (not
+    zeros) when the payload doesn't decode."""
+    img = _parse_pnm(b)
+    if img is None:
+        return None
+    stats: list[float] = []
+    for ch in range(img.shape[2]):
+        stats.append(float(img[:, :, ch].mean()))
+    for ch in range(img.shape[2]):
+        stats.append(float(img[:, :, ch].std()))
+    stats += [float(img.shape[0]), float(img.shape[1])]
+    return (stats + [0.0] * n_features)[:n_features]
+
+
 def _fake_decode(payload: bytes, n_features: int) -> list[float]:
     """Deterministic stand-in for a real codec: n_features moments of
     the byte distribution."""
@@ -90,17 +164,27 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload.
 
-    ``decode_fn='real'`` is where an image/audio decoder would plug in;
-    it raises ``NotImplementedError`` here (libs absent by design).
+    ``decode_fn='ppm'`` is the REAL pure-numpy PNM image codec
+    (per-channel mean/std + dimensions; null features for payloads
+    that don't decode). ``'fake'`` derives deterministic byte moments
+    from any payload. ``'real'`` is the PIL/ffmpeg plug-point for
+    compressed formats; it raises ``NotImplementedError`` here (libs
+    absent by design).
     """
     if decode_fn == "real":
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, absent in this "
-            "container; use decode_fn='fake' (deterministic byte "
+            "decoding compressed formats (jpeg/mp3/mp4) requires "
+            "PIL/ffmpeg, absent in this container; use "
+            "decode_fn='ppm' (real PNM codec) or 'fake' (byte "
             "moments) — the Spark plumbing is identical"
         )
-    if decode_fn != "fake":
+    if decode_fn not in ("fake", "ppm"):
         raise ValueError(f"unknown decode_fn {decode_fn!r}")
+    decode = (
+        _ppm_features
+        if decode_fn == "ppm"
+        else lambda b, n: _fake_decode(b or b"", n)
+    )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,7 +199,7 @@ def extract_features(
                         lambda b: sum(b) % (1 << 31) if b is not None else 0
                     ).astype("int64"),
                     "features": payloads.map(
-                        lambda b: _fake_decode(b or b"", n_features)
+                        lambda b: decode(b or b"", n_features)
                     ),
                 }
             )
@@ -149,26 +233,43 @@ def resize_images(
     replaced by the resized encoding), zero shuffles — the bulk
     re-encode step of an image-corpus pipeline.
 
-    ``decode_fn='real'`` is the PIL plug-point (absent in this
-    container -> NotImplementedError). The 'fake' codec byte-samples
-    the payload down to exactly ``width*height`` bytes (stride
-    sampling — deterministic, size-correct, so downstream batch-shape
-    and memory behavior match a real resize).
+    ``decode_fn='ppm'`` REALLY resizes: decode the PNM raster,
+    nearest-neighbor resample to (height, width) with numpy index
+    arithmetic, re-encode PNM — pixel-verified in tests; payloads
+    that don't decode come back null. ``'fake'`` byte-samples the
+    payload down to exactly ``width*height`` bytes (deterministic,
+    size-correct batch shape for arbitrary blobs). ``'real'`` is the
+    PIL plug-point for compressed formats (absent ->
+    NotImplementedError).
     """
     if decode_fn == "real":
         raise NotImplementedError(
-            "real image resize requires PIL, absent in this container; "
-            "use decode_fn='fake' (stride byte-sampling) — the Spark "
-            "plumbing is identical"
+            "resizing compressed formats requires PIL, absent in this "
+            "container; use decode_fn='ppm' (real PNM resample) or "
+            "'fake' (stride byte-sampling) — the Spark plumbing is "
+            "identical"
         )
-    if decode_fn != "fake":
+    if decode_fn not in ("fake", "ppm"):
         raise ValueError(f"unknown decode_fn {decode_fn!r}")
     n_out = width * height
 
-    def _resize(b: bytes | None) -> bytes:
+    def _resize_fake(b: bytes | None) -> bytes:
         b = b or b"\x00"
         step = max(len(b) // n_out, 1)
         return (b[::step] + b"\x00" * n_out)[:n_out]
+
+    def _resize_ppm(b: bytes | None):
+        import numpy as np
+
+        img = _parse_pnm(b or b"")
+        if img is None:
+            return None
+        h, w, _ = img.shape
+        rows = (np.arange(height) * h // height).astype(np.int64)
+        cols = (np.arange(width) * w // width).astype(np.int64)
+        return _encode_ppm(img[rows][:, cols])
+
+    _resize = _resize_ppm if decode_fn == "ppm" else _resize_fake
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1395,12 +1395,15 @@ def q_neardup_cosine_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """ALL THREE multimodal plumbing shapes in one tagged union
-    (rows-only check — byte-level decode is not expressible in DuckDB
-    SQL): Arrow-batched feature extraction (1:1), image resize (1:1,
-    binary in/out), and video frame sampling (1:N expansion). Codecs
-    are the documented deterministic fakes; the Spark-side schema,
-    batching, and cardinality behavior are the real contract."""
+    """ALL multimodal plumbing shapes in one tagged union (rows-only
+    check — byte-level decode is not expressible in DuckDB SQL):
+    Arrow-batched feature extraction (1:1), image resize (1:1, binary
+    in/out), video frame sampling (1:N expansion), and the REAL
+    pure-numpy PNM image codec over synthesized P6 rasters (exact
+    per-channel statistics — pixel-verified in pytest; the other
+    variants use the documented deterministic fake codecs). The
+    Spark-side schema, batching, and cardinality behavior are the
+    real contract throughout."""
     media = mm.attach_fake_media(_docs(spark, sf_dir))
     feats = mm.extract_features(media).select(
         F.lit("features").alias("variant"),
@@ -1434,7 +1437,42 @@ def q_multimodal_features(spark, sf_dir):
         F.crc32("frame").alias("checksum"),
         F.col("frame_idx").cast("string").alias("features_csv"),
     )
-    return feats.unionByName(resized).unionByName(frames)
+
+    # real-codec variant: 8 synthesized 6x6 P6 rasters, decoded by the
+    # numpy PNM codec — deterministic bytes, deterministic features
+    import numpy as np
+
+    from level_mapreduce_spark.operators.multimodal import _encode_ppm
+
+    rows = []
+    for i in range(8):
+        img = np.full((6, 6, 3), (i * 30) % 256, dtype=np.uint8)
+        img[:, :3, 0] = 255
+        p = _encode_ppm(img)
+        rows.append((100000 + i, bytearray(p), "image", (len(p), "synth")))
+    ppm_media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    ppm = mm.extract_features(
+        ppm_media, n_features=8, decode_fn="ppm"
+    ).select(
+        F.lit("ppm").alias("variant"),
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
+    return (
+        feats.unionByName(resized).unionByName(frames).unionByName(ppm)
+    )
 
 
 def q_ann_topk(spark, sf_dir):

@@ -159,6 +159,65 @@ def test_multimodal_real_decode_is_stubbed(docs):
         extract_features(media, decode_fn="real")
 
 
+def test_multimodal_ppm_codec_real_pixels(spark):
+    """The pure-numpy PNM codec is a REAL image path: features are
+    exact per-channel statistics of the decoded raster, resize is
+    true nearest-neighbor resampling (pixel-verified against a numpy
+    reference), and malformed payloads quarantine to null instead of
+    killing the batch."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.multimodal import (
+        _encode_ppm,
+        _parse_pnm,
+        extract_features,
+        resize_images,
+    )
+
+    # 8x8 rgb: red top half, blue bottom half
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:4, :, 0] = 255
+    img[4:, :, 2] = 255
+    payload = _encode_ppm(img)
+    # byte-level round trip through the parser
+    assert np.array_equal(_parse_pnm(payload), img)
+    # header comments are legal
+    commented = payload.replace(b"\n8 8\n", b"\n# c\n8 8\n", 1)
+    assert np.array_equal(_parse_pnm(commented), img)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), "image", (len(payload), "t")),
+            (2, bytearray(b"not an image"), "image", (12, "t")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, n_features=8, decode_fn="ppm")
+        .collect()
+    }
+    # mean per channel: r=127.5, g=0, b=127.5; then stds; then h, w
+    got = feats[1]
+    assert got[0] == pytest.approx(127.5) and got[1] == 0.0
+    assert got[2] == pytest.approx(127.5)
+    assert got[6] == 8.0 and got[7] == 8.0
+    assert feats[2] is None  # malformed -> quarantined, not crashed
+
+    resized = {
+        r["media_id"]: r["payload"]
+        for r in resize_images(
+            media, width=4, height=4, decode_fn="ppm"
+        ).collect()
+    }
+    back = _parse_pnm(bytes(resized[1]))
+    rows = (np.arange(4) * 8 // 4)
+    want = img[rows][:, rows]
+    assert np.array_equal(back, want)  # true nearest-neighbor
+    assert resized[2] is None
+
+
 def test_blocked_neardup_matches_expression(spark, emb):
     """The BLAS-blocked Arrow path must produce the same pair set as
     the Column-expression operator (sims equal to within float
