@@ -12,6 +12,10 @@ UDF signature, batch shape. Codec status by ``decode_fn``:
   (pixel-verified in tests). Malformed payloads yield null features /
   null payload instead of killing the batch (quarantine convention,
   like sources/jsonl.py).
+- ``'wav'`` — a REAL audio codec, stdlib ``wave`` + numpy: RIFF/WAVE
+  PCM16 decoded to samples; features are duration, rate, channels,
+  RMS level, zero-crossing rate, and peak (signal-verified against a
+  synthesized sine in tests). Same null-quarantine convention.
 - ``'fake'`` (default) — deterministic byte-moment pseudo-features
   for arbitrary payloads; exercises identical plumbing.
 - ``'real'`` — the PIL/ffmpeg/librosa plug-point for compressed
@@ -146,6 +150,76 @@ def _ppm_features(b: bytes, n_features: int):
     return (stats + [0.0] * n_features)[:n_features]
 
 
+def _parse_wav(b: bytes):
+    """Decode a RIFF/WAVE PCM16 payload to (sample_rate, samples) with
+    ``samples`` a numpy (n_frames, n_channels) int16 array. Pure
+    stdlib+numpy (the stdlib ``wave`` module handles chunk walking).
+    Returns ``None`` for malformed/compressed payloads — quarantine,
+    don't crash the batch."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(b), "rb") as w:
+            if w.getsampwidth() != 2:  # PCM16 only
+                return None
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+        return rate, samples
+    except (wave.Error, EOFError, ValueError):
+        return None
+
+
+def _encode_wav(samples, rate: int) -> bytes:
+    """(n_frames, n_channels) int16 + rate -> RIFF/WAVE PCM16 bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_features(b: bytes, n_features: int):
+    """Real audio features from decoded PCM: duration (s), sample
+    rate, channels, RMS level, zero-crossing rate, and peak amplitude
+    (all on the first channel, amplitudes normalized to [0,1]) —
+    padded/truncated to ``n_features``. None when the payload doesn't
+    decode."""
+    import numpy as np
+
+    decoded = _parse_wav(b)
+    if decoded is None:
+        return None
+    rate, samples = decoded
+    x = samples[:, 0].astype(np.float64) / 32768.0
+    n = len(x)
+    if n == 0:
+        return ([0.0, float(rate), float(samples.shape[1])] + [0.0] * n_features)[
+            :n_features
+        ]
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / n
+    stats = [
+        n / float(rate),
+        float(rate),
+        float(samples.shape[1]),
+        float(np.sqrt((x * x).mean())),
+        zc,
+        float(np.abs(x).max()),
+    ]
+    return (stats + [0.0] * n_features)[:n_features]
+
+
 def _fake_decode(payload: bytes, n_features: int) -> list[float]:
     """Deterministic stand-in for a real codec: n_features moments of
     the byte distribution."""
@@ -165,11 +239,12 @@ def extract_features(
     """Arrow-batched feature extraction over the binary payload.
 
     ``decode_fn='ppm'`` is the REAL pure-numpy PNM image codec
-    (per-channel mean/std + dimensions; null features for payloads
-    that don't decode). ``'fake'`` derives deterministic byte moments
-    from any payload. ``'real'`` is the PIL/ffmpeg plug-point for
-    compressed formats; it raises ``NotImplementedError`` here (libs
-    absent by design).
+    (per-channel mean/std + dimensions), ``'wav'`` the REAL PCM16
+    audio codec (duration/rate/channels/RMS/zero-crossings/peak);
+    both return null features for payloads that don't decode.
+    ``'fake'`` derives deterministic byte moments from any payload.
+    ``'real'`` is the PIL/ffmpeg plug-point for compressed formats;
+    it raises ``NotImplementedError`` here (libs absent by design).
     """
     if decode_fn == "real":
         raise NotImplementedError(
@@ -178,13 +253,13 @@ def extract_features(
             "decode_fn='ppm' (real PNM codec) or 'fake' (byte "
             "moments) — the Spark plumbing is identical"
         )
-    if decode_fn not in ("fake", "ppm"):
+    if decode_fn not in ("fake", "ppm", "wav"):
         raise ValueError(f"unknown decode_fn {decode_fn!r}")
-    decode = (
-        _ppm_features
-        if decode_fn == "ppm"
-        else lambda b, n: _fake_decode(b or b"", n)
-    )
+    decode = {
+        "ppm": _ppm_features,
+        "wav": _wav_features,
+        "fake": lambda b, n: _fake_decode(b or b"", n),
+    }[decode_fn]
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1438,40 +1438,75 @@ def q_multimodal_features(spark, sf_dir):
         F.col("frame_idx").cast("string").alias("features_csv"),
     )
 
-    # real-codec variant: 8 synthesized 6x6 P6 rasters, decoded by the
-    # numpy PNM codec — deterministic bytes, deterministic features
+    # real-codec variants: 8 synthesized 6x6 P6 rasters through the
+    # numpy PNM codec + 8 synthesized PCM16 tones through the wave
+    # codec — deterministic bytes, deterministic features
     import numpy as np
 
-    from level_mapreduce_spark.operators.multimodal import _encode_ppm
+    from level_mapreduce_spark.operators.multimodal import (
+        _encode_ppm,
+        _encode_wav,
+    )
 
+    media_schema = (
+        "media_id long, payload binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>"
+    )
     rows = []
     for i in range(8):
         img = np.full((6, 6, 3), (i * 30) % 256, dtype=np.uint8)
         img[:, :3, 0] = 255
         p = _encode_ppm(img)
         rows.append((100000 + i, bytearray(p), "image", (len(p), "synth")))
-    ppm_media = spark.createDataFrame(
-        rows,
-        "media_id long, payload binary, media_type string, "
-        "meta struct<n_bytes: long, source: string>",
+    wav_rows = []
+    for i in range(8):
+        t = np.arange(800) / 8000.0  # 100 ms at 8 kHz
+        x = (0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t) * 32767).astype(
+            "<i2"
+        )
+        p = _encode_wav(x.reshape(-1, 1), 8000)
+        wav_rows.append(
+            (200000 + i, bytearray(p), "audio", (len(p), "synth"))
+        )
+
+    def fcsv(df, tag):
+        return df.select(
+            F.lit(tag).alias("variant"),
+            "media_id",
+            "n_bytes",
+            "checksum",
+            F.array_join(
+                F.transform(
+                    "features",
+                    lambda v: F.round(v, 6)
+                    .cast("decimal(18,6)")
+                    .cast("string"),
+                ),
+                ",",
+            ).alias("features_csv"),
+        )
+
+    ppm = fcsv(
+        mm.extract_features(
+            spark.createDataFrame(rows, media_schema),
+            n_features=8,
+            decode_fn="ppm",
+        ),
+        "ppm",
     )
-    ppm = mm.extract_features(
-        ppm_media, n_features=8, decode_fn="ppm"
-    ).select(
-        F.lit("ppm").alias("variant"),
-        "media_id",
-        "n_bytes",
-        "checksum",
-        F.array_join(
-            F.transform(
-                "features",
-                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
-            ),
-            ",",
-        ).alias("features_csv"),
+    wav = fcsv(
+        mm.extract_features(
+            spark.createDataFrame(wav_rows, media_schema),
+            n_features=6,
+            decode_fn="wav",
+        ),
+        "wav",
     )
     return (
-        feats.unionByName(resized).unionByName(frames).unionByName(ppm)
+        feats.unionByName(resized)
+        .unionByName(frames)
+        .unionByName(ppm)
+        .unionByName(wav)
     )
 
 

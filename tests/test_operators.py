@@ -218,6 +218,45 @@ def test_multimodal_ppm_codec_real_pixels(spark):
     assert resized[2] is None
 
 
+def test_multimodal_wav_codec_real_signal(spark):
+    """The stdlib-wave + numpy audio codec decodes real PCM: a
+    synthesized 440 Hz half-amplitude sine measures its true
+    duration, rate, RMS (a/sqrt(2)), zero-crossing rate (2f/rate),
+    and peak; non-audio bytes quarantine to null."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.multimodal import (
+        _encode_wav,
+        extract_features,
+    )
+
+    rate, f, amp = 8000, 440.0, 0.5
+    t = np.arange(rate) / rate  # 1 second
+    x = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    payload = _encode_wav(x.reshape(-1, 1), rate)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(payload), "audio", (len(payload), "t")),
+            (2, bytearray(b"noise bytes"), "audio", (11, "t")),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta struct<n_bytes: long, source: string>",
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, n_features=6, decode_fn="wav")
+        .collect()
+    }
+    dur, srate, ch, rms, zcr, peak = feats[1]
+    assert dur == pytest.approx(1.0)
+    assert srate == rate and ch == 1.0
+    assert rms == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert zcr == pytest.approx(2 * f / rate, rel=0.01)
+    assert peak == pytest.approx(amp, rel=1e-3)
+    assert feats[2] is None
+
+
 def test_blocked_neardup_matches_expression(spark, emb):
     """The BLAS-blocked Arrow path must produce the same pair set as
     the Column-expression operator (sims equal to within float
