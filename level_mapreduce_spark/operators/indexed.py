@@ -633,6 +633,7 @@ def ivfpq_knn_join(
     k: int = 10,
     nprobe: int = 4,
     probe_id: str = "probe_id",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Batched ANN over the stored IVFPQ index: top-k approximate
     neighbors for EVERY probe row in one distributed plan —
@@ -641,26 +642,38 @@ def ivfpq_knn_join(
     call): embedding a 10⁶-probe workload as a driver loop is 10⁶
     scheduler round-trips; here it is one join.
 
-    Plan (all JVM Column expressions — no Arrow, no Python):
+    Shared plan shape:
 
     1. route each probe to its ``nprobe`` best coarse lists with a
        HOF argsort over the centroid literal (same ranking as the
-       single-probe path);
+       single-probe path), residual probe staged per (probe, list);
     2. key-lookup ONLY the union of routed lists from the stored
        cells (an In filter on the sorted index key — pushed to the
        parquet scan; the driver collects at most n_centroids ids);
-    3. broadcast the routed probes against the cells on list id;
-    4. per (probe, code) ADC via codebook-literal gathers
-       (``element_at`` per subspace — array-of-array literals + HOFs,
-       never unrolled expression trees);
-    5. per-probe top-k through ``topk_per_key`` (WindowGroupLimit:
-       map-side truncation, never a global sort).
+    3. score (probe, cell) pairs per the ``scorer`` below;
+    4. global per-probe top-k through ``topk_per_key``
+       (WindowGroupLimit: map-side truncation, never a global sort).
 
-    Residual encoding resolves from the handle/sidecar exactly like
-    the single-probe path; the residual probe is staged once per
-    (probe, list) BEFORE the cells join, not recomputed per pair.
+    ``scorer`` picks the step-3 realization — both produce identical
+    answers (asserted in tests):
+
+    - ``'arrow'`` (default) — cogroup probes and cells BY LIST ID and
+      score each group vectorized in numpy: per-probe LUTs (p x m x k
+      subspace distances) then ``m`` fancy-indexed gathers for the
+      (p x n) distance block, local (adc, vec_id)-ordered top-k per
+      probe, ≤ nprobe·k candidate rows per probe out. Dense gathers
+      are the sanctioned Arrow hot path (same stance as the
+      blocked-BLAS near-dup kernel) and run ~100x faster per pair
+      than interpreted HOFs — the bulk-probe-table path.
+    - ``'column'`` — pure JVM Column expressions end to end
+      (broadcast join + codebook-literal ``element_at`` gathers). No
+      Python anywhere; right for small interactive batches and as the
+      plan-pure twin the Arrow kernel is verified against.
     """
     from level_mapreduce_spark.operators.joins import topk_per_key
+
+    if scorer not in ("arrow", "column"):
+        raise ValueError(f"unknown scorer {scorer!r}")
 
     residual = _resolve_ivfpq_residual(idx)
     n_cent = len(centroids)
@@ -718,6 +731,73 @@ def ivfpq_knn_join(
         F.col("value").alias("_codes"),
         F.col("index_key").cast("int").alias("_list"),
     )
+
+    if scorer == "arrow":
+        import numpy as np
+
+        books_np = np.array([np.array(b, dtype=np.float64) for b in codebooks])
+        out_schema = T.StructType(
+            [
+                T.StructField("probe_id", T.LongType()),
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("adc_dist", T.DoubleType()),
+            ]
+        )
+
+        def score_list(key, probes_pdf, cells_pdf):
+            import pandas as pd
+
+            if probes_pdf.empty or cells_pdf.empty:
+                return pd.DataFrame(
+                    {"probe_id": [], "vec_id": [], "adc_dist": []}
+                )
+            # stable vec_id order so stable argsort ties break exactly
+            # like the column path's (adc_dist, vec_id) ordering
+            cells_pdf = cells_pdf.sort_values("vec_id")
+            P = np.array(probes_pdf["_rp"].tolist(), dtype=np.float64)
+            C = np.array(cells_pdf["_codes"].tolist(), dtype=np.int64)
+            vec_ids = cells_pdf["vec_id"].to_numpy()
+            dists = np.zeros((len(P), len(C)))
+            for j in range(m):
+                # per-probe subspace LUT (p x k), then a (p x n) gather
+                lut_j = (
+                    (
+                        P[:, j * dsub : (j + 1) * dsub][:, None, :]
+                        - books_np[j][None, :, :]
+                    )
+                    ** 2
+                ).sum(-1)
+                dists += lut_j[:, C[:, j]]
+            kk = min(k, dists.shape[1])
+            order = np.argsort(dists, axis=1, kind="stable")[:, :kk]
+            p_ids = np.repeat(
+                probes_pdf["probe_id"].to_numpy(), kk
+            )
+            return pd.DataFrame(
+                {
+                    "probe_id": p_ids,
+                    "vec_id": vec_ids[order].ravel(),
+                    "adc_dist": np.take_along_axis(
+                        dists, order, axis=1
+                    ).ravel(),
+                }
+            )
+
+        local = (
+            routed.select(F.col(probe_id).alias("probe_id"), "_rp", "_list")
+            .groupBy("_list")
+            .cogroup(cells.groupBy("_list"))
+            .applyInPandas(score_list, schema=out_schema)
+        )
+        return topk_per_key(
+            local,
+            "probe_id",
+            [F.col("adc_dist").asc(), F.col("vec_id")],
+            k,
+        ).select(
+            F.col("probe_id").alias(probe_id), "vec_id", "adc_dist"
+        )
+
     pairs = cells.join(F.broadcast(routed.drop("_p")), "_list")
 
     # STAGE the codebook literal as a column: referenced directly in

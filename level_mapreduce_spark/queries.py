@@ -1564,7 +1564,11 @@ def q_ann_lsh_ivf(spark, sf_dir):
     probes = emb.where(F.col("vec_id") < 2).select(
         F.col("vec_id").cast("long").alias("probe_id"), "embedding"
     )
-    batch = ivfpq_knn_join(sidx, cents, books, probes, k=10, nprobe=4)
+    # column scorer: bit-equal to the arrow kernel (tested), and the
+    # 2-probe gate batch stays pure-JVM like the rest of the registry
+    batch = ivfpq_knn_join(
+        sidx, cents, books, probes, k=10, nprobe=4, scorer="column"
+    )
 
     out = lsh.select(
         F.lit("lsh").alias("method"),

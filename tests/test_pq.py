@@ -222,10 +222,11 @@ def test_residual_ivfpq_index(spark, tmp_path, pq_setup):
 
 
 def test_ivfpq_knn_join_matches_single_probe_path(spark, tmp_path, pq_setup):
-    """The batched ANN join returns, for every probe row, exactly the
+    """BOTH batched scorers (cogrouped-numpy arrow kernel and the
+    pure-Column twin) return, for every probe row, exactly the
     single-probe serve path's answers (same routing, same ADC, same
-    top-k) for BOTH encodings — and the whole batch plan stays
-    JVM-side with the list lookup pushed to the parquet scan."""
+    top-k) for BOTH encodings. The column plan stays JVM-side; both
+    plans push the list lookup to the parquet scan."""
     from pyspark.sql import functions as F
 
     from level_mapreduce_spark.operators.indexed import (
@@ -246,16 +247,7 @@ def test_ivfpq_knn_join_matches_single_probe_path(spark, tmp_path, pq_setup):
             n_centroids=8,
             residual=residual,
         )
-        batch = ivfpq_knn_join(
-            idx, cents, books, probes, k=5, nprobe=4
-        )
-        got = {}
-        for r in batch.collect():
-            got.setdefault(r["probe_id"], []).append(
-                (r["vec_id"], round(r["adc_dist"], 9))
-            )
-        for pid in got:
-            got[pid].sort(key=lambda t: (t[1], t[0]))
+        want_by_pid = {}
         for r in probes.collect():
             want = [
                 (s["vec_id"], round(s["adc_dist"], 9))
@@ -269,11 +261,27 @@ def test_ivfpq_knn_join_matches_single_probe_path(spark, tmp_path, pq_setup):
                 ).collect()
             ]
             want.sort(key=lambda t: (t[1], t[0]))
-            assert got[r["probe_id"]] == want, (residual, r["probe_id"])
+            want_by_pid[r["probe_id"]] = want
 
-        plan = batch._jdf.queryExecution().executedPlan().toString()
-        assert "EvalPython" not in plan
-        assert "PushedFilters" in plan and "In(index_key" in plan
+        for scorer in ("arrow", "column"):
+            batch = ivfpq_knn_join(
+                idx, cents, books, probes, k=5, nprobe=4, scorer=scorer
+            )
+            got = {}
+            for r in batch.collect():
+                got.setdefault(r["probe_id"], []).append(
+                    (r["vec_id"], round(r["adc_dist"], 9))
+                )
+            for pid in got:
+                got[pid].sort(key=lambda t: (t[1], t[0]))
+            assert got == want_by_pid, (residual, scorer)
+
+            plan = batch._jdf.queryExecution().executedPlan().toString()
+            assert "PushedFilters" in plan and "In(index_key" in plan
+            if scorer == "column":
+                assert "EvalPython" not in plan
+            else:
+                assert "BatchEvalPython" not in plan  # Arrow, never row
 
 
 def test_ivfpq_recall_monotone_in_nprobe(spark, tmp_path, pq_setup):
