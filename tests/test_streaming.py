@@ -574,3 +574,88 @@ def test_stream_theta_sketches_live_overlap(spark, sf_dir, tmp_path):
     a = sketch_index_overlap(live, "0", cut, cut, "~").first()
     b = sketch_index_overlap(full, "0", cut, cut, "~").first()
     assert tuple(a) == tuple(b) and a["a_users"] > 0
+
+
+def test_stream_ann_ingest_vectors_become_searchable(
+    spark, sf_dir, tmp_path
+):
+    """Live ANN ingest: a stored IVFPQ index built on HALF the corpus
+    receives the other half as an availableNow vector stream through
+    the generic index sink (one update() epoch per micro-batch,
+    re-encoding against the frozen codebooks) — after the drain, a
+    probe for a second-half vector finds it, and batched answers over
+    the streamed store equal a from-scratch build over the full
+    corpus. Streaming + compressed-ANN composition: the pieces are
+    the same update()/sidecar machinery every other index uses."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+        ivfpq_topk_from_index,
+    )
+    from level_mapreduce_spark.sources.tables import load_table, stream_table
+    from level_mapreduce_spark.streaming.sink import stream_into
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    first = emb.where(F.col("vec_id") < n // 2)
+    second = emb.where(F.col("vec_id") >= n // 2)
+    assert first.count() > 0 and second.count() > 0
+
+    store = str(tmp_path / "ann_stream")
+    idx, cents, books = build_ivfpq_index(
+        spark, first, store, n_centroids=4
+    )
+
+    # stage the second half as a two-file stream source
+    src = tmp_path / "vec_src"
+    os.makedirs(src)
+    for i, part in enumerate(
+        [second.where(F.col("vec_id") % 2 == 0),
+         second.where(F.col("vec_id") % 2 == 1)]
+    ):
+        d = str(tmp_path / f"_v{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        (pf,) = [
+            f for f in os.listdir(d) if f.startswith("part-")
+        ]
+        shutil.copy(os.path.join(d, pf), src / f"{i:02d}.parquet")
+
+    q = stream_into(
+        idx,
+        stream_table(spark, str(src), sf_dir, "embeddings"),
+        str(tmp_path / "ann_ckpt"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # a streamed-in vector is now its own nearest stored neighbor
+    target = second.orderBy("vec_id").first()
+    probe = [float(v) for v in target["embedding"]]
+    top = ivfpq_topk_from_index(
+        idx, cents, books, probe, k=3, nprobe=4
+    ).collect()
+    assert target["vec_id"] in {r["vec_id"] for r in top}
+
+    # stream == batch-incremental convergence: an identically-trained
+    # twin (same first-half training data, same seed -> same frozen
+    # quantizers) batch-update()d with the second half must answer a
+    # whole probe batch identically through the arrow scorer
+    twin, tc, tb = build_ivfpq_index(
+        spark, first, str(tmp_path / "ann_twin"), n_centroids=4
+    )
+    twin.update(second, assume_unique=True)
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+    )
+    a = ivfpq_knn_join(idx, cents, books, probes, k=5, nprobe=4)
+    b = ivfpq_knn_join(twin, tc, tb, probes, k=5, nprobe=4)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["probe_id"], r["vec_id"], round(r["adc_dist"], 9))
+        for r in rows
+    )
+    assert key(a.collect()) == key(b.collect())
