@@ -828,6 +828,26 @@ class MapIndex:
             fs.rename(old, seg_path)
         self._tomb_bytes_cache = None
 
+    def drop(self) -> None:
+        """Destroy the stored index: segments, tombstones, sidecars —
+        the whole ``{store_path}/{name}/`` namespace — and deregister
+        any temp views. The handle stays usable for a later
+        ``build()`` (same name, fresh storage). The reference's
+        LevelDB namespace has no delete either; this is lifecycle
+        completeness for real deployments (a retrained index's old
+        generation must be reclaimable). Downstream piped indexes are
+        NOT touched — dropping an upstream is a topology change, not a
+        data change."""
+        for v in list(self._views):
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+        self._views.clear()
+        _delete_path(self.spark, self.root)
+        self._tomb_bytes_cache = None
+        self.compaction_due = False
+
     def stats(self) -> dict:
         """Storage observability: the numbers an operator watches to
         schedule :meth:`compact` and size reads (the LSM equivalent of

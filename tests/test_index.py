@@ -443,3 +443,41 @@ def test_time_travel_read_as_of_epoch(spark, store):
     folded = idx.stats()["epochs"]
     assert len(folded) == 1                              # single epoch left
     assert snapshot(as_of=folded[0]) == snapshot()
+
+
+def test_drop_destroys_storage_and_allows_rebuild(spark, store, tmp_path):
+    """drop() reclaims the whole index namespace — segments,
+    tombstones, sidecars, registered views — and the same handle can
+    build() fresh afterwards (a retrained index's old generation is
+    reclaimable)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark import ExprMapper, MapIndex
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"k{i % 3}", float(i)) for i in range(12)],
+        "doc_key string, k string, v double",
+    )
+    mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    idx = MapIndex(spark, "drop_idx", mapper, store)
+    idx.build(docs)
+    idx.update(
+        docs.limit(2).withColumn("deleted", F.lit(True)), assume_unique=True
+    )
+    idx.put_sidecar({"type": "test"}, name="x.json")
+    idx.create_view("drop_idx_view")
+    assert os.path.isdir(os.path.join(store, "drop_idx"))
+    assert spark.sql("SELECT count(*) n FROM drop_idx_view").first()["n"] > 0
+
+    idx.drop()
+    assert not os.path.exists(os.path.join(store, "drop_idx"))
+    assert idx.get_sidecar(name="x.json") is None
+    assert not spark.catalog.tableExists("drop_idx_view")
+    assert idx.read().count() == 0  # empty, not an error
+
+    # same handle, fresh build: full lifecycle restart
+    idx.build(docs)
+    assert idx.read().count() == 12
