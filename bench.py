@@ -224,12 +224,21 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     ivfpq_state = {}
 
-    def ivfpq_build():
+    # min-of-2 with a fresh index name per run: the one-time builds
+    # used to run repeat=1, which measured first-run codegen/JIT
+    # compile instead of plan cost — the r7 driver bench showed
+    # band_index_build at 5.45 s where the steady-state quiet-box
+    # number is 0.92 s, purely because the IVFPQ plans in between
+    # evicted the codegen cache the earlier minhash key had warmed.
+    # Every other key already drops first-run noise via min-of-N;
+    # these now follow the same methodology.
+    def ivfpq_build(_n=[0]):
+        _n[0] += 1
         ivfpq_state["triple"] = build_ivfpq_index(
-            spark, emb, store, name="bench_ivfpq", n_centroids=8
+            spark, emb, store, name=f"bench_ivfpq_{_n[0]}", n_centroids=8
         )
 
-    timed("ivfpq_index_build", ivfpq_build, repeat=1)
+    timed("ivfpq_index_build", ivfpq_build)
 
     def ivfpq_batch():
         sidx, cents, books = ivfpq_state["triple"]
@@ -245,21 +254,23 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     band_idx = {}
 
-    def band_build():
+    def band_build(_n=[0]):
+        _n[0] += 1
         band_idx["idx"] = build_band_index(
-            spark, docs, store, name="bench_bands"
+            spark, docs, store, name=f"bench_bands_{_n[0]}"
         )
 
-    timed("band_index_build", band_build, repeat=1)
+    timed("band_index_build", band_build)
 
     def band_update():
-        # 1% churn: re-shingle + re-band ONLY the changed docs
+        # 1% churn: re-shingle + re-band ONLY the changed docs; each
+        # repeat stacks one more O(changed-docs) epoch — same work
         churn_docs = docs.where(F.col("doc_id") % 100 == 0).withColumn(
             "text", F.concat(F.lit("changed "), F.col("text"))
         )
         band_idx["idx"].update(churn_docs, assume_unique=True)
 
-    timed("band_index_update_1pct", band_update, repeat=1)
+    timed("band_index_update_1pct", band_update)
     # embedding near-dup headlines are the two SCALE paths (LSH-bucketed
     # and blocked-BLAS); the exact O(n²) pair join stays out of the bench
     # — it is the sf0.01 correctness oracle twin, not a 100 TB plan

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -195,23 +196,38 @@ class MapIndex:
             out.close()
         if fs.exists(hpath):
             fs.delete(hpath, False)
-        fs.rename(tmp, hpath)
+        # Hadoop rename signals failure via a false RETURN, not an
+        # exception — swallowing it would leave the sidecar missing or
+        # stale with no error (r7 advisor finding)
+        if not fs.rename(tmp, hpath):
+            raise IOError(
+                f"sidecar rename failed: {tmp} -> {hpath} (destination "
+                "may exist or parent vanished)"
+            )
 
     def get_sidecar(self, name: str = "meta.json") -> dict | None:
         """Read a :meth:`put_sidecar` JSON blob back; ``None`` if the
         index has none (driver-side metadata read, no Spark job)."""
         path = posixpath.join(self.root, name)
         fs, hpath, jvm = _hadoop_fs(self.spark, path)
-        if not fs.exists(hpath):
+        # put_sidecar's delete->rename replace has a (fs-dependent)
+        # window where the destination is briefly absent; one short
+        # retry closes it without declaring the sidecar missing.
+        for attempt in range(2):
+            if fs.exists(hpath):
+                break
+            if attempt == 0:
+                time.sleep(0.05)
+        else:
             return None
+        # read via hadoop-common classes only (o.a.h.io.IOUtils ships
+        # with the FS API itself) — commons-io IOUtils is not a
+        # guaranteed classpath member on trimmed distros (r7 advisor
+        # finding). py4j hands the byte[] back as Python bytes.
         stream = fs.open(hpath)
-        try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return json.loads(text)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, True)
+        return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
 
     # ------------------------------------------------------------- schemas
 

@@ -721,6 +721,17 @@ def ivfpq_knn_join(
     else:
         routed = routed.withColumn("_rp", F.col("_p"))
 
+    # Materialize the routing ONCE (eager local checkpoint): the key
+    # collect below and the score join both read these blocks, so (a)
+    # the HOF coarse scoring never runs twice over the probe table and
+    # (b) a non-deterministic probes source (sampled/rand-derived)
+    # cannot route to lists absent from the collected key set — the
+    # collected ids and the joined rows come from the same evaluation.
+    # Block lifetime tracks the returned plan (ContextCleaner frees
+    # them when the result is dropped). Local checkpoints are not
+    # executor-loss tolerant; a reliable checkpoint dir is the knob if
+    # that matters for a long-lived probe workload.
+    routed = routed.localCheckpoint(eager=True)
     # bounded driver collect: at most n_centroids distinct list ids —
     # keeps the In filter literal so it reaches PushedFilters
     wanted_keys = sorted(

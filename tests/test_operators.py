@@ -1054,9 +1054,11 @@ def test_edit_distance_pairs(spark):
     # hot-gram cap: a corpus where every string is one ubiquitous gram
     # repeated loses those grams from the index (documented trade) —
     # and the diagnostic frame SAYS so instead of leaving the miss
-    # silent (return_hot_grams surfaces the dropped grams + counts)
+    # silent (return_hot_grams surfaces the dropped grams + counts).
+    # Strings are >= (max_dist+1)*q long so the short stratum does not
+    # rescue them — this is the cap's loss, isolated.
     monotone = spark.createDataFrame(
-        [(i, "aaaa") for i in range(10)], "doc_id long, text string"
+        [(i, "aaaaaaaa") for i in range(10)], "doc_id long, text string"
     )
     pairs, hot = edit_distance_pairs(
         monotone, max_gram_freq=5, return_hot_grams=True
@@ -1070,13 +1072,25 @@ def test_edit_distance_pairs(spark):
     )
     assert hot_clean.count() == 0
 
-    # minimum-length precondition (documented): distance-2 pair of
-    # 2-char strings shares no bigram -> silently unblocked; the
-    # sub-(max_dist+1)*q stratum needs its own pass if it matters
+    # sub-(max_dist+1)*q stratum: a distance-2 pair of 2-char strings
+    # shares no bigram — the gram index can never block it, so the
+    # exact distinct-value pass must find it (and the empty string,
+    # which emits no gram rows at all)
     shorts = spark.createDataFrame(
-        [(1, "ab"), (2, "cd")], "doc_id long, text string"
+        [(1, "ab"), (2, "cd"), (3, ""), (4, "xy"), (5, "ab")],
+        "doc_id long, text string",
     )
-    assert edit_distance_pairs(shorts, max_dist=2).count() == 0
+    got_short = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(shorts, max_dist=2).collect()
+    }
+    assert got_short == {
+        (1, 2): 2,   # ab~cd: two substitutions, zero shared grams
+        (1, 3): 2,   # ab~'': two deletions (empty string emits no gram)
+        (1, 4): 2, (1, 5): 0,  # ...(1,5) = exact duplicate short string
+        (2, 3): 2, (2, 4): 2, (2, 5): 2,
+        (3, 4): 2, (3, 5): 2, (4, 5): 2,
+    }
 
 
 def test_rolling_user_value_range_frame(spark):
@@ -1159,8 +1173,11 @@ def test_edit_distance_pairs_blocking_complete_property(spark):
     """Property (hypothesis): over random word-like strings and their
     random single/double mutations, the q-gram-blocked operator finds
     EXACTLY the brute-force levenshtein<=2 pair set with exact
-    distances — blocking never loses a pair (strings here are long
-    enough that the shared-gram bound holds)."""
+    distances — blocking never loses a pair. Strings span BOTH length
+    regimes: long enough for the shared-gram bound AND the
+    sub-(max_dist+1)*q stratum (down to single characters, whose
+    deletions produce empty strings) that the exact distinct-value
+    pass must cover."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -1177,7 +1194,7 @@ def test_edit_distance_pairs_blocking_complete_property(spark):
     def run(data):
         base = data.draw(
             st.lists(
-                st.text(alphabet, min_size=8, max_size=14),
+                st.text(alphabet, min_size=1, max_size=14),
                 min_size=4,
                 max_size=8,
                 unique=True,
