@@ -180,6 +180,13 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     timed("text_stats", lambda: materialize(text_stats(docs)))
     timed("tfidf", lambda: materialize(tfidf(docs)))
 
+    from level_mapreduce_spark.operators.text import bm25_topk
+
+    timed(
+        "bm25_topk",
+        lambda: materialize(bm25_topk(docs, "spark merge window", k=10)),
+    )
+
     from level_mapreduce_spark.operators.text import inverted_index_mapper
 
     def inverted():

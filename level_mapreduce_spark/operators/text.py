@@ -335,6 +335,72 @@ def tfidf(docs: DataFrame, n_docs: int | None = None) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a whitespace query —
+    ``(doc_id, score)``, score descending, doc_id tiebreak.
+
+    idf uses the +1-smoothed Robertson/Sparck Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's choice),
+    non-negative for every df.
+
+    100 TB shape: the explode is filtered to the QUERY terms before
+    any aggregation (a literal In over a handful of strings — the
+    candidate set shrinks to docs containing at least one query term
+    at the scan), tf and df come from one aggregation chain already
+    partitioned by term, corpus stats (N, avgdl) are a single
+    aggregate broadcast-crossed, and the per-doc dl join is the only
+    join touching a corpus-sized side. One shuffle on (doc, term).
+    """
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk: query has no tokens")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_expr("text").alias("_toks"),
+    )
+    dl = base.select("doc_id", F.size("_toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # explode_outer: a plain explode gets an inferred size()>0 filter
+    # whose pushdown clones the token chain (see module staging notes);
+    # the isin drops the null rows for free
+    terms = base.select(
+        "doc_id", F.explode_outer("_toks").alias("term")
+    ).where(F.col("term").isin(q_terms))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame, k: int = 8, window: int = 4
 ) -> DataFrame:

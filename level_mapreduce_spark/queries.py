@@ -832,48 +832,60 @@ def q_tfidf(spark, sf_dir):
     return tx.tfidf(_docs(spark, sf_dir))
 
 
+# fixed gate query: words drawn from the synthetic corpus vocabulary
+_BM25_QUERY = "spark merge window"
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval for a fixed query — the ranking
+    workhorse the inverted-index/TF-IDF family builds toward. Exact
+    floating formula mirrored in the DuckDB oracle (idf, length
+    normalization, 6-decimal rounding, doc_id tiebreak)."""
+    return tx.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+
+
 def q_fingerprint(spark, sf_dir):
     return tx.doc_fingerprints(_docs(spark, sf_dir))
 
 
-def q_join_broadcast(spark, sf_dir):
-    """Dim join (orders x customer): the customer side broadcasts —
-    order count + exact decimal revenue per market segment. Joins are a
-    Spark-native extension (SURVEY §2.2: absent in the reference)."""
+def q_join_strategies(spark, sf_dir):
+    """All three join plan strategies in one tagged union (merged
+    entry — SURVEY §2.2 Spark-native extension; one oracle gates all
+    plans): BROADCAST dim join (orders x customer, customer side
+    broadcast — revenue per market segment), plain SHUFFLED fact-fact
+    join (lineitem x orders, AQE covers one-sided skew), and the
+    deterministic SALTED rewrite of the same fact-fact join for keys
+    hot on both sides (identical results by construction). ``key`` is
+    the group value (market segment or order priority), revenue is
+    decimal-exact."""
+    from level_mapreduce_spark.operators.joins import salted_join
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return (
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    bcast = (
         orders.join(
             F.broadcast(customer),
             orders["o_custkey"] == customer["c_custkey"],
         )
-        .groupBy("c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("key"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         )
+        .select(F.lit("broadcast").alias("variant"), "key", "n", "revenue")
     )
 
-
-def q_join_large(spark, sf_dir):
-    """Fact-fact join (lineitem x orders) shuffled on the join key,
-    aggregated to revenue per order priority (decimal-exact) — BOTH
-    plan strategies in one tagged union: the plain shuffled join (AQE
-    covers one-sided skew) and the deterministic salted rewrite for
-    keys hot on both sides. Identical results by construction, so one
-    oracle gates both plans."""
-    from level_mapreduce_spark.operators.joins import salted_join
-
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-
     def agg(joined, tag):
-        return joined.groupBy("o_orderpriority").agg(
+        return joined.groupBy(
+            F.col("o_orderpriority").alias("key")
+        ).agg(
             F.count("*").alias("n"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
                 "revenue"
             ),
-        ).select(F.lit(tag).alias("variant"), "o_orderpriority", "n", "revenue")
+        ).select(F.lit(tag).alias("variant"), "key", "n", "revenue")
 
     plain = agg(
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]),
@@ -888,7 +900,7 @@ def q_join_large(spark, sf_dir):
         ),
         "salted",
     )
-    return plain.unionByName(salted)
+    return bcast.unionByName(plain).unionByName(salted)
 
 
 def q_set_except(spark, sf_dir):
@@ -1524,10 +1536,13 @@ def q_ann_lsh_ivf(spark, sf_dir):
     each): multiprobe sign-LSH, IVF coarse-quantizer with exact
     rerank, IVFPQ (coarse routing + 8-byte-code ADC scoring —
     ``score`` is the approximate squared-L2 ADC distance there, the
-    cosine similarity for the other two), and the BATCHED
+    cosine similarity for the other two), the BATCHED
     ``ivfpq_knn_join`` over the stored index (one distributed join for
     a whole probe table — bit-equal to the per-probe serve path,
-    tested in test_pq.py)."""
+    tested in test_pq.py), and a RELOAD variant: the same batch served
+    through ``load_ivfpq_index`` on a fresh handle rebuilt from the
+    persisted sidecar alone, asserted row-identical to the builder
+    handle's answers before emission."""
     from level_mapreduce_spark.operators import ivf as iv
     from level_mapreduce_spark.operators.indexed import (
         build_ivfpq_index,
@@ -1550,15 +1565,12 @@ def q_ann_lsh_ivf(spark, sf_dir):
             pass
 
         h = _H()
-        h.triple = build_ivfpq_index(
-            spark, emb, _tf.mkdtemp(prefix="lmr_gate_ivfpq_"),
-            n_centroids=8,
-        )
+        h.store = _tf.mkdtemp(prefix="lmr_gate_ivfpq_")
+        h.triple = build_ivfpq_index(spark, emb, h.store, n_centroids=8)
         return h
 
-    sidx, cents, books = _cached(
-        spark, sf_dir, "gate_ivfpq", build_stored
-    ).triple
+    cached = _cached(spark, sf_dir, "gate_ivfpq", build_stored)
+    sidx, cents, books = cached.triple
     ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
     pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
     probes = emb.where(F.col("vec_id") < 2).select(
@@ -1588,9 +1600,44 @@ def q_ann_lsh_ivf(spark, sf_dir):
             F.round("adc_dist", 6).alias("score"),
         )
     )
-    return out.unionByName(
+    out = out.unionByName(
         batch.select(
             F.concat(F.lit("knn_batch_"), F.col("probe_id")).alias(
+                "method"
+            ),
+            "vec_id",
+            F.round("adc_dist", 6).alias("score"),
+        )
+    )
+
+    # reload variant (reference anchor: a named index reopened by a
+    # fresh process, index.js:112-122): the SAME probe batch served
+    # through load_ivfpq_index on a handle reconstructed purely from
+    # the persisted sidecar — no retraining, no shared Python state.
+    # Driver-side equality assert (40 rows) makes a geometry/codebook
+    # persistence bug a loud gate failure, not a silent hash drift.
+    from level_mapreduce_spark.operators.indexed import load_ivfpq_index
+
+    lidx, lcents, lbooks = load_ivfpq_index(spark, cached.store)
+    reload_batch = ivfpq_knn_join(
+        lidx, lcents, lbooks, probes, k=10, nprobe=4, scorer="column"
+    )
+    got = {
+        (r["probe_id"], r["vec_id"], round(r["adc_dist"], 6))
+        for r in reload_batch.collect()
+    }
+    want = {
+        (r["probe_id"], r["vec_id"], round(r["adc_dist"], 6))
+        for r in batch.collect()
+    }
+    if got != want:
+        raise AssertionError(
+            "reloaded IVFPQ index served different top-k than the "
+            f"builder handle: {sorted(got ^ want)[:5]}"
+        )
+    return out.unionByName(
+        reload_batch.select(
+            F.concat(F.lit("knn_reload_"), F.col("probe_id")).alias(
                 "method"
             ),
             "vec_id",
@@ -1739,8 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overwrite": q_overwrite,
     "chained_index": q_chained,
     # --- joins / set ops / grouping sets / events (cheap SQL) --------
-    "join_broadcast": q_join_broadcast,
-    "join_large": q_join_large,
+    "join_strategies": q_join_strategies,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "set_except": q_set_except,
@@ -1763,6 +1809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_counts": q_ngram_counts,
     "inverted_index": q_inverted_index,
     "tfidf": q_tfidf,
+    "bm25_topk": q_bm25_topk,
     "doc_fingerprint": q_fingerprint,
     # --- dedup ---------------------------------------------------------
     "dedup_exact": q_dedup_exact,
@@ -2239,6 +2286,34 @@ ORACLES: dict[str, str] = {
              round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 6) AS score
       FROM tf JOIN df ON tf.term = df.term
     """,
+    "bm25_topk": f"""
+      WITH toks AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS} AS toks
+        FROM documents
+      ),
+      dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+        WHERE t IN ('spark', 'merge', 'window')
+        GROUP BY 1, 2
+      ),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT t.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+      ORDER BY score DESC, t.doc_id
+      LIMIT 10
+    """,
     "doc_fingerprint": """
       WITH grams AS (
         SELECT doc_id,
@@ -2287,19 +2362,20 @@ ORACLES: dict[str, str] = {
       ORDER BY sim DESC, vec_id
       LIMIT 10
     """,
-    "join_broadcast": """
-      SELECT c_mktsegment, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
-      FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment
-    """,
-    "join_large": """
-      WITH j AS (
-        SELECT o_orderpriority, count(*) AS n,
+    "join_strategies": """
+      WITH b AS (
+        SELECT c_mktsegment AS key, count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      ), j AS (
+        SELECT o_orderpriority AS key, count(*) AS n,
                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
       )
+      SELECT 'broadcast' AS variant, * FROM b
+      UNION ALL
       SELECT 'plain' AS variant, * FROM j
       UNION ALL
       SELECT 'salted', * FROM j

@@ -1116,6 +1116,53 @@ def test_rolling_user_value_range_frame(spark):
     assert got == {1: 100, 2: 300, 3: 700, 4: 1200, 5: 1600}
 
 
+def test_bm25_topk_matches_reference_formula(spark):
+    """BM25 scores agree with a direct python evaluation of the
+    Okapi formula (idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75) on
+    a hand-built corpus; ranking is score-desc with doc_id tiebreak;
+    docs without any query term are absent; plan stays JVM-side."""
+    import math
+
+    from level_mapreduce_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark everywhere spark",
+        3: "ducks prefer columnar storage",
+        4: "the cluster runs spark jobs nightly",
+        5: "completely unrelated text here",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = bm25_topk(docs, "spark cluster", k=10)
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n, avgdl = len(toks), sum(len(t) for t in toks.values()) / len(toks)
+    k1, b = 1.2, 0.75
+    q = ["cluster", "spark"]
+    df = {w: sum(w in t for t in toks.values()) for w in q}
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for w in q:
+            tf = t.count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if s > 0:
+            want[d] = round(s, 6)
+    want_ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want_ranked
+    assert 5 not in dict(got) and 3 not in dict(got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_profile_table_one_pass(spark):
     """profile_table: exact null counts/rates, HLL-bounded distinct
     estimates, string min/max per column — and exactly one aggregate
