@@ -34,9 +34,12 @@ Spark design (SURVEY.md §7):
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import posixpath
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -111,6 +114,33 @@ def _contains_map(dt: T.DataType) -> bool:
     return False
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to mutate an index whose writer lease is
+    held. The data is untouched; retry after the holder finishes, or
+    :meth:`MapIndex.break_lease` if the holder is known dead."""
+
+
+def _writer(method):
+    """Guard a mutating MapIndex method with the writer lease.
+
+    The crash-recovery swap (:meth:`MapIndex._recover_swap`) is correct
+    only single-writer: two concurrent handles interleaving
+    build/update/compact can silently interleave directory swaps. The
+    lease turns that into a LOUD :class:`ConcurrentWriterError` on the
+    second writer. Reentrant (update() -> auto compact()) via a depth
+    counter."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        self._acquire_lease()
+        try:
+            return method(self, *args, **kwargs)
+        finally:
+            self._release_lease()
+
+    return wrapper
+
+
 class MapIndex:
     """One named stored-map index (reference ``Index``, index.js:112-122).
 
@@ -160,6 +190,10 @@ class MapIndex:
         # re-walk the tombstone dir (getContentSummary is a recursive
         # listing — expensive on object stores).
         self._tomb_bytes_cache: tuple[tuple[int, ...], int] | None = None
+        # writer lease state (see _acquire_lease): per-HANDLE identity
+        # + reentrancy depth for update() -> auto compact()
+        self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
+        self._lease_depth = 0
 
     # ---------------------------------------------------------------- paths
 
@@ -204,6 +238,79 @@ class MapIndex:
                 f"sidecar rename failed: {tmp} -> {hpath} (destination "
                 "may exist or parent vanished)"
             )
+
+    # ------------------------------------------------------- writer lease
+
+    @property
+    def _lease_hpath(self):
+        return posixpath.join(self.root, "writer.lock")
+
+    def _acquire_lease(self) -> None:
+        """Take the single-writer lease, or raise loudly.
+
+        Primitive: ``FileSystem.create(path, overwrite=False)`` — an
+        atomic create-if-absent on HDFS and object stores with
+        conditional-put semantics. The lock file records writer id,
+        pid, and acquisition time so the loser's error says WHO holds
+        it. The lease is released (file deleted) when the outermost
+        mutating call returns — including on exception: an aborted
+        update leaves recoverable data (see update's write-order note)
+        and no stale lock. A lock orphaned by a process crash must be
+        cleared explicitly with :meth:`break_lease` after confirming
+        the holder is dead — auto-expiry by wall clock is how two
+        writers BOTH think they own a slow store."""
+        if self._lease_depth > 0:
+            self._lease_depth += 1
+            return
+        fs, hpath, jvm = _hadoop_fs(self.spark, self._lease_hpath)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.root))
+        try:
+            out = fs.create(hpath, False)
+        except Exception:
+            holder = None
+            try:
+                holder = self.get_sidecar(name="writer.lock")
+            except Exception:
+                pass
+            raise ConcurrentWriterError(
+                f"index '{self.name}' is being mutated by another "
+                f"writer (lock {self._lease_hpath}"
+                + (f", holder {holder}" if holder else "")
+                + "); retry after it finishes, or break_lease() if the "
+                "holder is dead"
+            ) from None
+        try:
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {
+                            "writer_id": self._writer_id,
+                            "pid": os.getpid(),
+                            "acquired_unix": int(time.time()),
+                        }
+                    ).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        self._lease_depth = 1
+
+    def _release_lease(self) -> None:
+        if self._lease_depth > 1:
+            self._lease_depth -= 1
+            return
+        self._lease_depth = 0
+        fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
+        fs.delete(hpath, False)
+
+    def break_lease(self) -> bool:
+        """Force-clear an orphaned writer lock (holder crashed between
+        acquire and release). Returns True if a lock was removed. Only
+        safe after confirming the holding process is dead — breaking a
+        LIVE holder's lease reintroduces exactly the concurrent-swap
+        corruption the lease exists to prevent."""
+        fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
+        return bool(fs.delete(hpath, False))
 
     def get_sidecar(self, name: str = "meta.json") -> dict | None:
         """Read a :meth:`put_sidecar` JSON blob back; ``None`` if the
@@ -340,6 +447,7 @@ class MapIndex:
 
     # --------------------------------------------------------------- build
 
+    @_writer
     def build(self, docs: DataFrame, assume_unique: bool = False) -> "MapIndex":
         """Full (re)materialization — the batch form of the reference's
         write path (index.js:173-249) over a whole documents table.
@@ -385,6 +493,7 @@ class MapIndex:
         )
         return (max(epochs) + 1) if epochs else 1
 
+    @_writer
     def update(
         self, changes: DataFrame, assume_unique: bool = False
     ) -> DataFrame:
@@ -440,6 +549,7 @@ class MapIndex:
             down.update(feed, assume_unique=True)
         return feed
 
+    @_writer
     def delete_range(
         self,
         start: str | None = None,
@@ -844,6 +954,7 @@ class MapIndex:
             fs.rename(old, seg_path)
         self._tomb_bytes_cache = None
 
+    @_writer
     def drop(self) -> None:
         """Destroy the stored index: segments, tombstones, sidecars —
         the whole ``{store_path}/{name}/`` namespace — and deregister
@@ -898,6 +1009,7 @@ class MapIndex:
             "compaction_due": self.compaction_due,
         }
 
+    @_writer
     def compact(self) -> "MapIndex":
         """Fold all epochs + tombstones into a single segment set — the
         LSM merge step (run by ``update()`` past the epoch/tombstone

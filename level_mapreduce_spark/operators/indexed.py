@@ -45,6 +45,13 @@ from level_mapreduce_spark.operators.text import (
     tokens_expr,
 )
 
+# Codebook size (total doubles, m*k*dsub) above which the column ADC
+# scorer switches from a staged literal to broadcast codebook-table
+# joins: the default m=8, k=64, dsub=8 geometry (4096) stays literal;
+# FAISS-standard k=256 (16384) takes the broadcast path. See the fork
+# comment in ivfpq_knn_join.
+_PQ_LITERAL_MAX_DOUBLES = 8192
+
 
 def minhash_band_mapper(k: int = 5, rows_per_band: int = 2) -> ExprMapper:
     """Map fn emitting one (band_key, doc_id) pair per LSH band — the
@@ -813,20 +820,65 @@ def ivfpq_knn_join(
 
     # STAGE the codebook literal as a column: referenced directly in
     # all m subspace terms, the ~4096-node literal tree would be
-    # duplicated m times and the ANALYZER walks every copy (measured
-    # ~2.6 s per plan build at m=8, k=64); staged, it is analyzed
-    # once, constant-folded once, and the 8 references are pointer
-    # copies of the folded Literal
-    pairs = pairs.withColumn("_books", lit_doubles_3d(codebooks))
+    # Codebook realization forks on SIZE (production PQ is k=256;
+    # FAISS-standard codebooks are 16k doubles at m=8, dsub=8):
+    #
+    # - small (<= _PQ_LITERAL_MAX_DOUBLES): stage the 3-d literal as a
+    #   column. Referenced directly in all m subspace terms the
+    #   ~4096-node literal tree would be duplicated m times and the
+    #   ANALYZER walks every copy (measured ~2.6 s per plan build at
+    #   m=8, k=64); staged, it is analyzed once, constant-folded once,
+    #   and the m references are pointer copies of the folded Literal.
+    # - large: the literal itself is the scale problem (tree build +
+    #   analyzer walk + per-task serialization all grow with k), so
+    #   ship each subspace's codebook as a BROADCAST k-row table and
+    #   resolve the centroid with m broadcast hash joins keyed on the
+    #   code — no shuffle (broadcast), no giant literal, plan size
+    #   linear in m and FLAT in k. Codes are argmin results in [0, k)
+    #   so the inner equi-joins never drop a row.
+    n_doubles = m * len(codebooks[0]) * dsub
+    if n_doubles <= _PQ_LITERAL_MAX_DOUBLES:
+        pairs = pairs.withColumn("_books", lit_doubles_3d(codebooks))
+
+        def sub_cent(j: int):
+            return F.element_at(
+                F.element_at(F.col("_books"), j + 1),
+                F.element_at(F.col("_codes"), j + 1) + 1,
+            )
+
+    else:
+        spark = probes.sparkSession
+        cent_schema = T.StructType(
+            [
+                T.StructField("_code_j", T.IntegerType(), False),
+                T.StructField(
+                    "_cent_j", T.ArrayType(T.DoubleType()), False
+                ),
+            ]
+        )
+        for j in range(m):
+            bf = spark.createDataFrame(
+                [(c, list(map(float, codebooks[j][c])))
+                 for c in range(len(codebooks[j]))],
+                cent_schema,
+            )
+            pairs = (
+                pairs.join(
+                    F.broadcast(bf),
+                    F.element_at(F.col("_codes"), j + 1)
+                    == F.col("_code_j"),
+                )
+                .drop("_code_j")
+                .withColumnRenamed("_cent_j", f"_cent_{j}")
+            )
+
+        def sub_cent(j: int):
+            return F.col(f"_cent_{j}")
 
     def sub_dist(j: int):
-        cent = F.element_at(
-            F.element_at(F.col("_books"), j + 1),
-            F.element_at(F.col("_codes"), j + 1) + 1,
-        )
         diff = F.zip_with(
             F.slice(F.col("_rp"), j * dsub + 1, dsub),
-            cent,
+            sub_cent(j),
             lambda a, b: (a - b) * (a - b),
         )
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
@@ -834,7 +886,13 @@ def ivfpq_knn_join(
     adc = sub_dist(0)
     for j in range(1, m):
         adc = adc + sub_dist(j)
-    scored = pairs.withColumn("adc_dist", adc).drop("_books")
+    scored = pairs.withColumn("adc_dist", adc).drop(
+        *(
+            ["_books"]
+            if n_doubles <= _PQ_LITERAL_MAX_DOUBLES
+            else [f"_cent_{j}" for j in range(m)]
+        )
+    )
     return topk_per_key(
         scored,
         probe_id,

@@ -209,3 +209,61 @@ def test_update_crash_before_tombstones_recovers_on_retry(spark, store):
     # retry the batch: higher-epoch tombstones kill both prior versions
     idx.update(kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 2.0}]))
     assert [r["value"] for r in idx.read().collect()] == [2.0]
+
+
+def test_writer_lease_excludes_second_writer(spark, store):
+    """Single-writer enforcement: while one handle holds the writer
+    lease, a second handle's update()/compact() raises
+    ConcurrentWriterError and the stored data is untouched; after
+    release (or break_lease on a dead holder) the second writer
+    proceeds cleanly."""
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    a = kv_index(spark, store, "leased")
+    a.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0},
+                      {"doc_key": "d2", "k": "b", "v": 2.0}]),
+        assume_unique=True,
+    )
+    before = live_rows(a)
+
+    b = kv_index(spark, store, "leased")
+    batch = kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 9.0}])
+
+    # simulate writer A mid-mutation (deterministic stand-in for the
+    # thread race: the lease file is what any interleaving reduces to)
+    a._acquire_lease()
+    try:
+        for op in (lambda: b.update(batch, assume_unique=True), b.compact):
+            try:
+                op()
+                raise AssertionError("second writer was not excluded")
+            except ConcurrentWriterError as e:
+                assert "another writer" in str(e)
+        assert live_rows(b) == before  # loser changed nothing
+        # reentrancy: the HOLDER may still nest mutations (update ->
+        # auto compact takes the lease twice on one handle)
+        a.update(batch, assume_unique=True)
+        a.compact()
+    finally:
+        a._release_lease()
+
+    # lease released -> second handle writes cleanly
+    b.update(
+        kv_df(spark, [{"doc_key": "d2", "k": "b", "v": 5.0}]),
+        assume_unique=True,
+    )
+    assert ("d2", "b", 5.0) in live_rows(b)
+
+    # orphaned lock (holder died between acquire and release):
+    # break_lease clears it and the survivor proceeds
+    a._acquire_lease()
+    a._lease_depth = 0          # "crash": lock file left behind
+    try:
+        b.compact()
+        raise AssertionError("orphaned lock did not exclude")
+    except ConcurrentWriterError:
+        pass
+    assert b.break_lease() is True
+    b.compact()
+    assert ("d2", "b", 5.0) in live_rows(b)

@@ -284,6 +284,52 @@ def test_ivfpq_knn_join_matches_single_probe_path(spark, tmp_path, pq_setup):
                 assert "BatchEvalPython" not in plan  # Arrow, never row
 
 
+def test_ivfpq_knn_join_broadcast_codebook_path(spark, tmp_path, pq_setup):
+    """Production-k fork: forcing the broadcast codebook-table
+    realization (the path k=256 codebooks take automatically) returns
+    bit-identical rows to the staged-literal path and the arrow
+    kernel, stays JVM-side, and plans the codebook resolution as
+    broadcast hash joins — no shuffle added by the fork."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators import indexed as ix
+
+    emb, _, _, x, ids = pq_setup
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+    )
+    idx, cents, books = ix.build_ivfpq_index(
+        spark, emb, str(tmp_path / "knn_bcast"), n_centroids=8
+    )
+
+    def rows(scorer):
+        return {
+            (r["probe_id"], r["vec_id"], round(r["adc_dist"], 9))
+            for r in ix.ivfpq_knn_join(
+                idx, cents, books, probes, k=5, nprobe=4, scorer=scorer
+            ).collect()
+        }
+
+    literal = rows("column")
+    arrow = rows("arrow")
+    saved = ix._PQ_LITERAL_MAX_DOUBLES
+    try:
+        ix._PQ_LITERAL_MAX_DOUBLES = 0  # force the broadcast fork
+        bcast_df = ix.ivfpq_knn_join(
+            idx, cents, books, probes, k=5, nprobe=4, scorer="column"
+        )
+        bcast = {
+            (r["probe_id"], r["vec_id"], round(r["adc_dist"], 9))
+            for r in bcast_df.collect()
+        }
+        plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        ix._PQ_LITERAL_MAX_DOUBLES = saved
+    assert bcast == literal == arrow
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivfpq_recall_monotone_in_nprobe(spark, tmp_path, pq_setup):
     """The nprobe knob buys recall monotonically (more inverted lists
     scanned can only add candidates), self-recovery holds at every
