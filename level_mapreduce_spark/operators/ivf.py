@@ -31,9 +31,24 @@ def train_centroids(
     max_train: int = 4096,
     iters: int = 5,
     seed: int = 42,
+    trainer: str = "sample",
 ) -> list[list[float]]:
-    """k-means codebook trained on a deterministic sample (numpy,
-    Lloyd iterations, init = first k sample rows by vec_id)."""
+    """k-means codebook.
+
+    ``trainer="sample"`` (default, deterministic): numpy Lloyd
+    iterations on a bounded driver-side sample, init = first k sample
+    rows by vec_id — bit-stable across runs for a fixed seed, which is
+    what the oracle gate and the stored-index sidecars rely on.
+    ``trainer="mllib"``: distributed kmeans|| (Bahmani et al.,
+    VLDB'12) over the FULL corpus via ``pyspark.ml.clustering.KMeans``
+    — the knob for when the sample you want exceeds driver memory
+    (billions of vectors); seeded, but centroid values depend on
+    partitioning so they are reproducible-per-layout rather than
+    bit-pinned."""
+    if trainer == "mllib":
+        return _train_centroids_mllib(embeddings, n_centroids, iters, seed)
+    if trainer != "sample":
+        raise ValueError(f"unknown trainer {trainer!r}")
     import numpy as np
 
     total = embeddings.count()
@@ -56,6 +71,32 @@ def train_centroids(
             if m.any():
                 cents[j] = x[m].mean(axis=0)
     return [[float(v) for v in c] for c in cents]
+
+
+def _train_centroids_mllib(
+    embeddings: DataFrame, n_centroids: int, iters: int, seed: int
+) -> list[list[float]]:
+    """kmeans|| over the full corpus (no driver-side sample). Centers
+    are sorted by their coordinate tuple before returning so the
+    list->id mapping is stable for a given fit (MLlib's internal
+    center order is arbitrary)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        initMode="k-means||",
+        maxIter=iters,
+    ).fit(feats)
+    return sorted(
+        [[float(v) for v in c] for c in model.clusterCenters()]
+    )
 
 
 def assign_expr(vec: Column, centroids: list[list[float]]) -> Column:

@@ -42,10 +42,23 @@ def train_pq(
     max_train: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    trainer: str = "sample",
 ) -> list:
-    """Per-subspace k-means codebooks, shape (m, k, dim/m), trained on
-    a deterministic sample (numpy Lloyd iterations, init = first k
-    sample rows by vec_id — same scheme as ``ivf.train_centroids``)."""
+    """Per-subspace k-means codebooks, shape (m, k, dim/m).
+
+    ``trainer="sample"`` (default, deterministic): numpy Lloyd
+    iterations on a bounded driver-side sample, init = first k sample
+    rows by vec_id (same scheme as ``ivf.train_centroids``) —
+    bit-stable for a fixed seed, which the oracle gate and sidecar
+    round-trips rely on. ``trainer="mllib"``: per-subspace distributed
+    kmeans|| over the FULL corpus (``pyspark.ml.clustering.KMeans``,
+    seeded) — for when the representative sample exceeds driver
+    memory; per-subspace centers sorted for stable code assignment
+    within a fit."""
+    if trainer == "mllib":
+        return _train_pq_mllib(embeddings, m, k, iters, seed)
+    if trainer != "sample":
+        raise ValueError(f"unknown trainer {trainer!r}")
     import numpy as np
 
     total = embeddings.count()
@@ -75,6 +88,43 @@ def train_pq(
                 if sel.any():
                     cents[c] = xs[sel].mean(axis=0)
         books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _train_pq_mllib(
+    embeddings: DataFrame, m: int, k: int, iters: int, seed: int
+) -> list:
+    """Distributed per-subspace kmeans|| (see train_pq). One fit per
+    subspace over the sliced vectors; the slice projection is narrow
+    and the m fits share the cached slice source."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = embeddings.select(
+        F.size(F.col("embedding")).alias("d")
+    ).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    src = embeddings.select(
+        F.col("embedding").cast("array<double>").alias("_e")
+    ).persist()
+    try:
+        books = []
+        for j in range(m):
+            feats = src.select(
+                array_to_vector(
+                    F.slice(F.col("_e"), j * dsub + 1, dsub)
+                ).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, initMode="k-means||", maxIter=iters
+            ).fit(feats)
+            books.append(
+                sorted([[float(v) for v in c] for c in model.clusterCenters()])
+            )
+    finally:
+        src.unpersist()
     return books
 
 

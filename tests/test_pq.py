@@ -478,3 +478,51 @@ def test_ivfpq_residual_flag_never_silently_defaults(
     )
     with pytest.raises(ValueError, match="residual or raw"):
         ivfpq_topk_from_index(bare2, cents, books, list(x[3]), k=5)
+
+
+def test_trainer_options_sample_pinned_mllib_valid(spark, pq_setup):
+    """The default trainer stays the bit-pinned sample-Lloyd (same
+    seed -> identical codebooks/centroids, the determinism the oracle
+    gate and sidecars rely on); trainer='mllib' runs distributed
+    kmeans|| over the full corpus and yields well-formed codebooks the
+    encode path accepts (in-range codes, deterministic re-encode);
+    unknown trainers are refused."""
+    import numpy as np
+    import pytest
+
+    from level_mapreduce_spark.operators.ivf import train_centroids
+    from level_mapreduce_spark.operators.pq import (
+        pq_encode,
+        train_pq,
+    )
+
+    emb, _, _, x, ids = pq_setup
+
+    # seeded-equivalence pin on the DEFAULT trainer
+    assert train_pq(emb, m=8, k=16) == train_pq(emb, m=8, k=16)
+    assert train_centroids(emb, n_centroids=8) == train_centroids(
+        emb, n_centroids=8
+    )
+
+    # mllib option: shape + encode validity
+    books = train_pq(emb, m=8, k=8, trainer="mllib", iters=3)
+    assert len(books) == 8
+    dsub = x.shape[1] // 8
+    for b in books:
+        assert len(b) == 8 and all(len(c) == dsub for c in b)
+        assert np.isfinite(np.array(b)).all()
+    codes = pq_encode(emb, books)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(got) == len(ids)
+    assert all(0 <= c < 8 for cs in got.values() for c in cs)
+    # re-encode against the same books is deterministic
+    got2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert got == got2
+
+    cents = train_centroids(emb, n_centroids=4, trainer="mllib", iters=3)
+    assert len(cents) == 4 and all(len(c) == x.shape[1] for c in cents)
+
+    with pytest.raises(ValueError, match="unknown trainer"):
+        train_pq(emb, trainer="flann")
+    with pytest.raises(ValueError, match="unknown trainer"):
+        train_centroids(emb, trainer="faiss")
