@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level_mapreduce_spark.engine.index import MapIndex
-from level_mapreduce_spark.engine.mapper import ExprMapper, pairs_type
+from level_mapreduce_spark.engine.mapper import ExprMapper, Mapper, pairs_type
 from level_mapreduce_spark.functions.litarr import (
     lit_doubles,
     lit_doubles_2d,
@@ -518,6 +518,102 @@ def ivfpq_mapper(
     )
 
 
+class ArrowIvfpqMapper(Mapper):
+    """Arrow-vectorized IVFPQ cell mapper — the production-k write
+    path. The Column mapper (:func:`ivfpq_mapper`) realizes the
+    codebooks as expression literals and the argmin as interpreted
+    HOFs: at FAISS-standard k=256 that is a 16k-double literal in
+    every build/update plan and O(m*k*dsub) interpreted ops per row.
+    This mapper does the same math as ONE numpy batch kernel per Arrow
+    batch (coarse argmax routing, optional residual subtraction,
+    per-subspace argmin encode) — codebooks ride the closure, the
+    plan stays flat in k, and incremental ``update()`` still touches
+    only changed vectors. Same tie rule as the Column path (first
+    occurrence = lowest id), so both encoders produce identical cells
+    (tested)."""
+
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        codebooks: list,
+        residual: bool = False,
+    ):
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.codebooks = [
+            [list(map(float, r)) for r in b] for b in codebooks
+        ]
+        self.residual = residual
+        self.value_type = T.ArrayType(T.IntegerType())
+
+    def pairs(self, docs: DataFrame, doc_key: str = "doc_key") -> DataFrame:
+        import numpy as np
+
+        cents = np.array(self.centroids, dtype=np.float64)
+        books = [np.array(b, dtype=np.float64) for b in self.codebooks]
+        m = len(books)
+        dsub = books[0].shape[1]
+        residual = self.residual
+        half_c2 = 0.5 * (cents**2).sum(axis=1)
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.StringType(), False),
+                T.StructField("pairs", pairs_type(self.value_type), True),
+            ]
+        )
+
+        def run(it):
+            import pandas as pd
+
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                lists = (x @ cents.T - half_c2[None, :]).argmax(axis=1)
+                src = x - cents[lists] if residual else x
+                codes = np.empty((len(x), m), dtype=np.int64)
+                for j in range(m):
+                    xs = src[:, j * dsub : (j + 1) * dsub]
+                    codes[:, j] = (
+                        (books[j] ** 2).sum(axis=1)[None, :]
+                        - 2 * (xs @ books[j].T)
+                    ).argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "doc_key": pdf[doc_key].astype(str),
+                        "pairs": [
+                            [
+                                {
+                                    "index_key": str(int(l)),
+                                    "value": [int(c) for c in row],
+                                }
+                            ]
+                            for l, row in zip(lists, codes)
+                        ],
+                    }
+                )
+
+        return docs.mapInPandas(run, schema)
+
+
+def _ivfpq_make_mapper(
+    centroids: list, books: list, residual: bool, encoder: str
+):
+    """Resolve the encoder knob: 'column' (JVM literal+HOF, right for
+    default k=64 geometry), 'arrow' (numpy batch kernel, right for
+    production k=256), 'auto' (fork on the same codebook-size
+    threshold as the ADC scorer)."""
+    if encoder == "auto":
+        n_doubles = len(books) * len(books[0]) * len(books[0][0])
+        encoder = (
+            "arrow" if n_doubles > _PQ_LITERAL_MAX_DOUBLES else "column"
+        )
+    if encoder == "arrow":
+        return ArrowIvfpqMapper(centroids, books, residual=residual), "arrow"
+    if encoder == "column":
+        return ivfpq_mapper(centroids, books, residual=residual), "column"
+    raise ValueError(f"unknown encoder {encoder!r}")
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -528,6 +624,7 @@ def build_ivfpq_index(
     k: int = 64,
     seed: int = 42,
     residual: bool = False,
+    encoder: str = "auto",
 ):
     """Train both quantizer levels on a bounded sample, store every
     vector's (list_id -> codes) cell as a MapIndex: the on-disk IVFPQ
@@ -550,18 +647,14 @@ def build_ivfpq_index(
         )
     else:
         books = train_pq(embeddings, m=m, k=k, seed=seed)
-    idx = MapIndex(
-        spark,
-        name,
-        ivfpq_mapper(centroids, books, residual=residual),
-        store,
-        doc_key="vec_id",
-    )
+    mapper, enc = _ivfpq_make_mapper(centroids, books, residual, encoder)
+    idx = MapIndex(spark, name, mapper, store, doc_key="vec_id")
     idx.ivfpq_residual = residual
     idx.put_sidecar(
         {
             "type": "ivfpq",
             "residual": residual,
+            "encoder": enc,
             "centroids": centroids,
             "codebooks": [
                 [list(map(float, row)) for row in b] for b in books
@@ -602,13 +695,12 @@ def load_ivfpq_index(spark: SparkSession, store: str, name: str = "ivfpq_cells")
     centroids = meta["centroids"]
     books = meta["codebooks"]
     residual = bool(meta["residual"])
-    idx = MapIndex(
-        spark,
-        name,
-        ivfpq_mapper(centroids, books, residual=residual),
-        store,
-        doc_key="vec_id",
+    # reopen with the encoder the index was built with (older sidecars
+    # predate the knob: they were column-encoded)
+    mapper, _ = _ivfpq_make_mapper(
+        centroids, books, residual, meta.get("encoder", "column")
     )
+    idx = MapIndex(spark, name, mapper, store, doc_key="vec_id")
     idx.ivfpq_residual = residual
     return idx, centroids, books
 

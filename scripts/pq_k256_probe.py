@@ -51,11 +51,17 @@ def main() -> None:
     out: dict = {}
 
     for kk in (64, 256):
-        triple = ix.build_ivfpq_index(
-            spark, emb, store, name=f"probe_ivfpq_k{kk}",
-            n_centroids=8, k=kk,
-        )
-        sidx, cents, books = triple
+        # encode-path cost: time the full index build under both cell
+        # encoders (training is shared cost; the delta is the encode)
+        build_s = {}
+        for enc in ("column", "arrow"):
+            t0 = time.time()
+            triple = ix.build_ivfpq_index(
+                spark, emb, store, name=f"probe_ivfpq_k{kk}_{enc}",
+                n_centroids=8, k=kk, encoder=enc,
+            )
+            build_s[enc] = round(time.time() - t0, 3)
+        sidx, cents, books = triple  # serve off the arrow-encoded one
 
         def build_plan():
             return ix.ivfpq_knn_join(
@@ -93,6 +99,7 @@ def main() -> None:
         finally:
             ix._PQ_LITERAL_MAX_DOUBLES = saved
         out[f"k{kk}"] = {
+            "build_s": build_s,
             "plan_s": plan_s,
             "exec_s": exec_s,
             "path": "literal" if kk == 64 else "broadcast",

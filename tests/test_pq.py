@@ -526,3 +526,60 @@ def test_trainer_options_sample_pinned_mllib_valid(spark, pq_setup):
         train_pq(emb, trainer="flann")
     with pytest.raises(ValueError, match="unknown trainer"):
         train_centroids(emb, trainer="faiss")
+
+
+def test_ivfpq_arrow_encoder_matches_column(spark, tmp_path, pq_setup):
+    """The production-k Arrow cell encoder produces IDENTICAL stored
+    cells (list routing + PQ codes) to the Column mapper for both
+    encodings, auto-selects only above the codebook-size threshold,
+    keeps incremental update() working through an arrow-encoded
+    handle, and round-trips its encoder choice through the sidecar."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_ivfpq_index,
+        ivfpq_knn_join,
+        load_ivfpq_index,
+        ArrowIvfpqMapper,
+    )
+
+    emb, _, _, x, ids = pq_setup
+
+    def cells(idx):
+        return {
+            (r["index_key"], r["doc_key"], tuple(r["value"]))
+            for r in idx.read().collect()
+        }
+
+    for residual in (False, True):
+        idx_c, cents_c, books_c = build_ivfpq_index(
+            spark, emb, str(tmp_path / f"enc_c_{residual}"),
+            n_centroids=8, residual=residual, encoder="column",
+        )
+        idx_a, cents_a, books_a = build_ivfpq_index(
+            spark, emb, str(tmp_path / f"enc_a_{residual}"),
+            n_centroids=8, residual=residual, encoder="arrow",
+        )
+        assert cents_c == cents_a and books_c == books_a  # seeded train
+        assert cells(idx_c) == cells(idx_a), residual
+
+    # default geometry (m=8,k=64 -> 4096 doubles) auto-selects column
+    idx_auto, _, _ = build_ivfpq_index(
+        spark, emb, str(tmp_path / "enc_auto"), n_centroids=8
+    )
+    assert idx_auto.get_sidecar(name="ivfpq.json")["encoder"] == "column"
+
+    # arrow-encoded handle: incremental update + reload + serve
+    store = str(tmp_path / "enc_a_False")
+    dup = emb.where(F.col("vec_id") == int(ids[4])).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding", "label"
+    )
+    lidx, lcents, lbooks = load_ivfpq_index(spark, store)
+    assert isinstance(lidx.mapper, ArrowIvfpqMapper)  # sidecar choice
+    lidx.update(dup, assume_unique=True)
+    probes = emb.where(F.col("vec_id") == int(ids[4])).select(
+        F.col("vec_id").cast("long").alias("probe_id"), "embedding"
+    )
+    top = ivfpq_knn_join(lidx, lcents, lbooks, probes, k=3).collect()
+    top_ids = {r["vec_id"] for r in top}
+    assert {int(ids[4]), int(ids[4]) + 800000} <= top_ids
