@@ -184,7 +184,7 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     timed(
         "bm25_topk",
-        lambda: materialize(bm25_topk(docs, "spark merge window", k=10)),
+        lambda: materialize(bm25_topk(docs, q._BM25_QUERY, k=10)),
     )
 
     from level_mapreduce_spark.operators.text import inverted_index_mapper

@@ -38,6 +38,7 @@ import functools
 import json
 import os
 import posixpath
+import threading
 import time
 import uuid
 
@@ -194,6 +195,7 @@ class MapIndex:
         # + reentrancy depth for update() -> auto compact()
         self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
         self._lease_depth = 0
+        self._lease_thread = None
 
     # ---------------------------------------------------------------- paths
 
@@ -228,16 +230,18 @@ class MapIndex:
             out.write(bytearray(json.dumps(obj).encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(hpath):
-            fs.delete(hpath, False)
-        # Hadoop rename signals failure via a false RETURN, not an
-        # exception — swallowing it would leave the sidecar missing or
-        # stale with no error (r7 advisor finding)
-        if not fs.rename(tmp, hpath):
-            raise IOError(
-                f"sidecar rename failed: {tmp} -> {hpath} (destination "
-                "may exist or parent vanished)"
-            )
+        # Atomic replace: FileContext.rename with Rename.OVERWRITE
+        # (throws on failure, unlike FileSystem.rename's swallowed
+        # boolean). delete-then-rename had a window where readers saw
+        # NO sidecar — and a crash inside it lost the sidecar for good.
+        gw = self.spark.sparkContext._gateway
+        Rename = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            hpath.toUri(), self.spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, hpath, opts)
 
     # ------------------------------------------------------- writer lease
 
@@ -259,14 +263,37 @@ class MapIndex:
         cleared explicitly with :meth:`break_lease` after confirming
         the holder is dead — auto-expiry by wall clock is how two
         writers BOTH think they own a slow store."""
+        me = threading.get_ident()
         if self._lease_depth > 0:
+            # Reentrancy is only legal for the SAME thread (update ->
+            # auto compact). A second thread on this handle is a
+            # concurrent writer like any other — letting it ride the
+            # depth counter would silently interleave mutations.
+            if self._lease_thread != me:
+                raise ConcurrentWriterError(
+                    f"index '{self.name}' is being mutated by another "
+                    f"thread of this process (handle lease held by "
+                    f"thread {self._lease_thread})"
+                )
             self._lease_depth += 1
             return
         fs, hpath, jvm = _hadoop_fs(self.spark, self._lease_hpath)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.root))
         try:
             out = fs.create(hpath, False)
-        except Exception:
+        except Exception as e:
+            # Only "the lock already exists" means a concurrent writer.
+            # Any other failure (bad credentials, unreachable store,
+            # vanished parent) must surface as itself — mapping it to
+            # ConcurrentWriterError sends the operator to break_lease
+            # for an infrastructure problem.
+            msg = str(e)
+            if not (
+                "FileAlreadyExists" in msg
+                or "already exists" in msg.lower()
+                or "file exists" in msg.lower()
+            ):
+                raise
             holder = None
             try:
                 holder = self.get_sidecar(name="writer.lock")
@@ -291,8 +318,18 @@ class MapIndex:
                     ).encode("utf-8")
                 )
             )
-        finally:
             out.close()
+        except Exception:
+            # The lock file exists but this writer is about to abort:
+            # clean it up so the failure does not orphan the lease and
+            # block every future writer until a manual break_lease.
+            try:
+                out.close()
+            except Exception:
+                pass
+            fs.delete(hpath, False)
+            raise
+        self._lease_thread = me
         self._lease_depth = 1
 
     def _release_lease(self) -> None:
@@ -300,8 +337,18 @@ class MapIndex:
             self._lease_depth -= 1
             return
         self._lease_depth = 0
+        self._lease_thread = None
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
-        fs.delete(hpath, False)
+        # Hadoop delete returns false instead of throwing; a silently
+        # undeleted lock would block every future writer (same
+        # swallowed-boolean class as the sidecar rename). A false
+        # return for an already-gone file (drop() removed the root) is
+        # fine — only "returned false AND still there" is an error.
+        if not fs.delete(hpath, False) and fs.exists(hpath):
+            raise IOError(
+                f"failed to release writer lease {self._lease_hpath}; "
+                "subsequent writers will be blocked until break_lease()"
+            )
 
     def break_lease(self) -> bool:
         """Force-clear an orphaned writer lock (holder crashed between
@@ -317,15 +364,9 @@ class MapIndex:
         index has none (driver-side metadata read, no Spark job)."""
         path = posixpath.join(self.root, name)
         fs, hpath, jvm = _hadoop_fs(self.spark, path)
-        # put_sidecar's delete->rename replace has a (fs-dependent)
-        # window where the destination is briefly absent; one short
-        # retry closes it without declaring the sidecar missing.
-        for attempt in range(2):
-            if fs.exists(hpath):
-                break
-            if attempt == 0:
-                time.sleep(0.05)
-        else:
+        # put_sidecar replaces atomically (rename-over), so a missing
+        # file really means "no sidecar" — no retry needed.
+        if not fs.exists(hpath):
             return None
         # read via hadoop-common classes only (o.a.h.io.IOUtils ships
         # with the FS API itself) — commons-io IOUtils is not a

@@ -672,11 +672,18 @@ def edit_distance_pairs(
         F.col("_s").alias("_sb"),
         F.col("_len").alias("_lb"),
     )
+    # both-short pairs are the SHORT stratum's (below) — excluding
+    # them here keeps the two strata disjoint, so the final result is
+    # a plain union with no corpus-wide dedup shuffle
+    min_len = (max_dist + 1) * q
     cands = (
         a.join(b, "_g")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            & (
+                (F.col("_la") >= min_len) | (F.col("_lb") >= min_len)
+            )
         )
         .select("id_a", "id_b", "_sa", "_sb")
         .dropDuplicates(["id_a", "id_b"])
@@ -692,8 +699,8 @@ def edit_distance_pairs(
     # all) — compare their DISTINCT values exactly. The distinct set is
     # bounded by |alphabet|^(min_len-1), a constant, so the value-level
     # theta join is a broadcast BNLJ over a tiny side regardless of
-    # corpus size.
-    min_len = (max_dist + 1) * q
+    # corpus size. The gram path above excludes both-short pairs, so
+    # the strata are disjoint by construction.
     short = df.select(
         F.col(id_col).cast("long").alias("_id"),
         s.alias("_s"),
@@ -730,11 +737,12 @@ def edit_distance_pairs(
             F.greatest("_ia", "_ib").alias("id_b"),
             "dist",
         )
-    )
-    pairs = (
-        pairs.unionByName(short_pairs)
+        # only the equal-string value pair maps to each id pair twice
+        # ((ia,ib) and (ib,ia) before normalization); the dedup is
+        # WITHIN the alphabet-bounded stratum, never corpus-wide
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = pairs.unionByName(short_pairs)
     if return_hot_grams:
         return pairs, hot
     return pairs

@@ -529,8 +529,16 @@ class ArrowIvfpqMapper(Mapper):
     per-subspace argmin encode) — codebooks ride the closure, the
     plan stays flat in k, and incremental ``update()`` still touches
     only changed vectors. Same tie rule as the Column path (first
-    occurrence = lowest id), so both encoders produce identical cells
-    (tested)."""
+    occurrence = lowest id) and same scoring formula up to an exact
+    factor-of-2 scaling, so both encoders produce identical cells on
+    real data (tested on the benchmark corpus, plain + residual).
+    CAVEAT: BLAS dot products round differently from the JVM's
+    sequential fold, so a vector EXACTLY equidistant (to the last
+    ulp) between two subspace centroids could in principle encode to
+    a different code id across encoders — harmless for serving (both
+    cells are equally near, and an update tombstones the old cell
+    before re-emitting), but the reason mixed-encoder equality is a
+    corpus-tested property, not an algebraic guarantee."""
 
     def __init__(
         self,

@@ -832,8 +832,13 @@ def q_tfidf(spark, sf_dir):
     return tx.tfidf(_docs(spark, sf_dir))
 
 
-# fixed gate query: words drawn from the synthetic corpus vocabulary
+# fixed gate query: words drawn from the synthetic corpus vocabulary.
+# The oracle SQL interpolates its term list from THIS string
+# (_BM25_TERMS_SQL) so the two definitions cannot drift.
 _BM25_QUERY = "spark merge window"
+_BM25_TERMS_SQL = ", ".join(
+    "'%s'" % t for t in sorted(set(_BM25_QUERY.lower().split()))
+)
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -2296,7 +2301,7 @@ ORACLES: dict[str, str] = {
       tf AS (
         SELECT doc_id, t AS term, count(*) AS tf
         FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
-        WHERE t IN ('spark', 'merge', 'window')
+        WHERE t IN ({_BM25_TERMS_SQL})
         GROUP BY 1, 2
       ),
       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)

@@ -11,8 +11,14 @@ the code instead of a literal ``element_at`` gather.
 This probe measures, for k in {64, 256} at sf0.1:
 
 - ``plan_s`` — time to CONSTRUCT + ANALYZE the batched column-scorer
-  plan (``df.schema`` forces analysis, no execution);
-- ``exec_s`` — full execution through the noop sink;
+  plan (``df.schema`` forces analysis). NOTE this includes
+  ivfpq_knn_join's internal eager localCheckpoint of the probe
+  ROUTING (a small real job over the 20-probe table); that job is
+  identical across k (routing depends on n_centroids, not the PQ
+  codebook), so the k=64-vs-k=256 comparison isolates exactly the
+  codebook-realization cost the probe exists to measure;
+- ``exec_s`` — execution through the noop sink (the scoring join;
+  routing is already materialized by the checkpoint above);
 - bit-equality of the broadcast path against (a) the literal path
   forced at the same k and (b) the Arrow scorer.
 

@@ -242,9 +242,26 @@ def test_writer_lease_excludes_second_writer(spark, store):
                 assert "another writer" in str(e)
         assert live_rows(b) == before  # loser changed nothing
         # reentrancy: the HOLDER may still nest mutations (update ->
-        # auto compact takes the lease twice on one handle)
+        # auto compact takes the lease twice on one handle)...
         a.update(batch, assume_unique=True)
         a.compact()
+        # ...but only on the SAME thread — a second thread sharing the
+        # handle is a concurrent writer, not a nested call
+        import threading
+
+        thread_err = []
+
+        def other_thread():
+            try:
+                a.compact()
+                thread_err.append("not excluded")
+            except ConcurrentWriterError:
+                pass
+
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert thread_err == []
     finally:
         a._release_lease()
 
