@@ -284,3 +284,27 @@ def test_writer_lease_excludes_second_writer(spark, store):
     assert b.break_lease() is True
     b.compact()
     assert ("d2", "b", 5.0) in live_rows(b)
+
+
+def test_sidecar_replace_atomic_and_crash_tolerant(spark, store):
+    """Sidecar replace is rename-over (atomic): overwrites round-trip,
+    a stale .tmp left by a crashed writer neither corrupts reads nor
+    blocks the next put, and the destination never transits through a
+    missing state during replace (old value stays readable up to the
+    rename)."""
+    idx = kv_index(spark, store, "sc_atomic")
+    idx.put_sidecar({"gen": 1})
+    assert idx.get_sidecar() == {"gen": 1}
+
+    # simulate a writer that crashed after staging .tmp but before the
+    # rename: the destination still serves the old value...
+    import os
+
+    tmp_path = os.path.join(idx.root, "meta.json.tmp")
+    with open(tmp_path, "w") as f:
+        f.write('{"gen": 99}')
+    assert idx.get_sidecar() == {"gen": 1}
+    # ...and the next put overwrites the leftover and lands cleanly
+    idx.put_sidecar({"gen": 2})
+    assert idx.get_sidecar() == {"gen": 2}
+    assert not os.path.exists(tmp_path)
