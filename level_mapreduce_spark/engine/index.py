@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.engine.mapper import DOC_KEY, Mapper, pairs_type
+from level_mapreduce_spark.engine.mapper import (
+    DOC_KEY,
+    Mapper,
+    pairs_type,
+    struct_order_cmp,
+)
 from level_mapreduce_spark.engine.query import Query
 
 _SEGMENTS = "segments"
@@ -712,7 +717,9 @@ class MapIndex:
         metadata, no job) the hint is dropped and AQE picks the join
         strategy — correct either way, never OOMs the driver.
         """
-        self._recover_swap()
+        # read path: recovery without cleanup — a .compacting seen
+        # alongside live segments may be a LIVE writer's copy
+        self._recover_swap(cleanup=False)
         if not _list_epochs(self.spark, self.segments_path):
             return self.spark.createDataFrame([], self._storage_schema).drop(
                 "epoch"
@@ -934,8 +941,15 @@ class MapIndex:
         return (
             idx.groupBy(DOC_KEY)
             .agg(
+                # field comparator: sorting the struct directly fails
+                # analysis whenever value_type contains a MapType
+                # (structs with maps are unorderable); (emit_pos,
+                # index_key) is already a total order per doc
                 F.array_sort(
-                    F.collect_list(F.struct("emit_pos", "index_key", "value"))
+                    F.collect_list(
+                        F.struct("emit_pos", "index_key", "value")
+                    ),
+                    struct_order_cmp("emit_pos", "index_key"),
                 ).alias("_e")
             )
             .select(
@@ -952,20 +966,29 @@ class MapIndex:
 
     # ---------------------------------------------------------- compaction
 
-    def _recover_swap(self) -> None:
+    def _recover_swap(self, cleanup: bool = True) -> None:
         """Roll an interrupted :meth:`compact` swap forward or back.
 
         Between ``rename(segments -> .old)`` and
         ``rename(.compacting -> segments)`` the segments dir does not
         exist; without recovery a crash there makes ``read()`` silently
         return an empty index. Called at every entry that touches
-        segments (read/update/compact). Rules, single-writer assumed:
+        segments (read/update/compact). Rules:
 
-        - segments present: any ``.compacting``/``.old`` leftovers are
-          dead (aborted write / completed swap) — delete them.
+        - segments present + ``cleanup`` (write paths, WRITER LEASE
+          HELD): any ``.compacting``/``.old`` leftovers are dead
+          (aborted write / completed swap) — delete them. Read paths
+          pass ``cleanup=False`` and DO NOT delete: a reader is not
+          lease-synchronized, so a ``.compacting`` it sees alongside
+          live segments may be a LIVE writer's in-progress copy —
+          deleting it would hand the writer's unchecked rename chain an
+          empty source and destroy the index.
         - segments missing + ``.compacting`` present: the compacted
           copy is complete by construction (it is only ever renamed
           after a successful write) — roll FORWARD: rename it in.
+          (Safe from the read path too: a live writer is BETWEEN its
+          two renames here, and its own rename-in then no-ops — see
+          compact()'s tolerated-rename note.)
         - segments missing + only ``.old``: roll BACK to the pre-swap
           copy.
 
@@ -982,14 +1005,15 @@ class MapIndex:
         if not (has_tmp or has_old):
             return
         if fs.exists(seg_path):
-            if has_tmp:
-                fs.delete(tmp, True)
-            if has_old:
-                fs.delete(old, True)
+            if cleanup:
+                if has_tmp:
+                    fs.delete(tmp, True)
+                if has_old:
+                    fs.delete(old, True)
             return
         if has_tmp:
             fs.rename(tmp, seg_path)
-            if has_old:
+            if has_old and cleanup:
                 fs.delete(old, True)
         elif has_old:
             fs.rename(old, seg_path)
@@ -1086,8 +1110,25 @@ class MapIndex:
         )
         fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
         _delete_path(self.spark, old)
-        fs.rename(seg_path, jvm.org.apache.hadoop.fs.Path(old))
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seg_path)
+        # Swap with CHECKED renames (Hadoop signals failure via a
+        # false return). rename-in is tolerated-false only when the
+        # destination already exists: a concurrent READER that caught
+        # us between the two renames legally rolled the complete
+        # .compacting copy forward itself (_recover_swap, cleanup
+        # =False) — same bytes, so the swap is already done.
+        if not fs.rename(seg_path, jvm.org.apache.hadoop.fs.Path(old)):
+            raise IOError(
+                f"compact: failed to move live segments aside "
+                f"({self.segments_path} -> .old); index unchanged"
+            )
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), seg_path):
+            if not fs.exists(seg_path):
+                # roll back: put the live copy straight back
+                fs.rename(jvm.org.apache.hadoop.fs.Path(old), seg_path)
+                raise IOError(
+                    "compact: failed to rename the compacted copy in; "
+                    "rolled back to the pre-compact segments"
+                )
         _delete_path(self.spark, self.tombstones_path)
         _delete_path(self.spark, old)
         self._tomb_bytes_cache = None

@@ -218,3 +218,23 @@ class AsyncPythonMapper(PythonMapper):
                     p["value"] = json.dumps(p["value"], sort_keys=True)
             out.append(pairs)
         return pd.Series(out, dtype=object)
+
+
+def struct_order_cmp(*fields: str):
+    """Comparator for ``F.array_sort`` over an array of structs whose
+    OTHER fields may be unorderable (struct ordering rejects MapType
+    anywhere inside, INVALID_ORDERING_TYPE): compares only the named
+    fields, in order. The named fields must be non-null (engine order
+    columns — emit_pos / index_key / doc_key — always are)."""
+
+    def cmp(left, right):
+        out = F.lit(0)
+        for f in reversed(fields):
+            out = (
+                F.when(left[f] < right[f], F.lit(-1))
+                .when(left[f] > right[f], F.lit(1))
+                .otherwise(out)
+            )
+        return out
+
+    return cmp

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from level_mapreduce_spark.engine.mapper import struct_order_cmp
+
 
 class Query:
     """Fluent, lazy pipeline over an index scan.
@@ -233,12 +235,16 @@ class Query:
     # disguise: planned as direct (map-side partial) aggregation, so
     # the per-key value array is never materialized. size() yields int
     # while count() yields bigint — cast keeps the schema identical to
-    # the collect_list plan it replaces.
+    # the collect_list plan it replaces. size/cardinality count ROWS
+    # (F.count(lit(1))), not non-null values: the results array they
+    # stand in for preserves null values (struct-wrapped collect), so
+    # F.count(col) — which skips nulls — would disagree with the
+    # fallback plan whenever a mapper emitted a null value.
     _AGG_FINISHERS = {
         "array_min": F.min,
         "array_max": F.max,
-        "size": lambda c: F.count(c).cast("int"),
-        "cardinality": lambda c: F.count(c).cast("int"),
+        "size": lambda c: F.count(F.lit(1)).cast("int"),
+        "cardinality": lambda c: F.count(F.lit(1)).cast("int"),
     }
 
     @classmethod
@@ -329,12 +335,21 @@ class Query:
                 )
         order_cols = [c for c in ("doc_key", "emit_pos") if c in df.columns]
         if order_cols:
+            # field comparator: sorting the struct wholesale fails
+            # analysis when the value type contains a MapType (structs
+            # with maps are unorderable); the order columns alone are
+            # the documented deterministic order anyway
             collected = F.array_sort(
-                F.collect_list(F.struct(*order_cols, vcol))
+                F.collect_list(F.struct(*order_cols, vcol)),
+                struct_order_cmp(*order_cols),
             )
             results = F.transform(collected, lambda s: s[vcol])
         else:
-            results = F.array_sort(F.collect_list(vcol))
+            # struct-wrap so NULL values survive into the results
+            # array (bare collect_list drops them — the order-cols
+            # path above keeps them, and the two plans must agree)
+            collected = F.array_sort(F.collect_list(F.struct(vcol)))
+            results = F.transform(collected, lambda s: s[vcol])
         grouped = df.groupBy("key").agg(results.alias("results"))
         if finish is not None:
             grouped = grouped.select("key", finish(F.col("results")).alias("result"))

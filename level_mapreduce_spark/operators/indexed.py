@@ -63,11 +63,19 @@ def minhash_band_mapper(k: int = 5, rows_per_band: int = 2) -> ExprMapper:
     the whole tokenize+hash chain would re-run ~(bands × hashes) times
     per document."""
     return ExprMapper(
-        F.transform(
-            band_keys(F.col("_sig"), rows_per_band),
-            lambda bk: F.struct(
-                bk.alias("index_key"),
-                F.col("doc_id").cast("long").alias("value"),
+        # docs with NO shingles (shorter than k tokens) emit NOTHING:
+        # signing them would give every such doc the identical
+        # all-sentinel signature, colliding them into one mega-bucket
+        # in every band — O(n_short²) candidates and 0/0 jaccard at
+        # verify. No shingles = no content to near-dup on.
+        F.when(
+            F.size("_shh") > 0,
+            F.transform(
+                band_keys(F.col("_sig"), rows_per_band),
+                lambda bk: F.struct(
+                    bk.alias("index_key"),
+                    F.col("doc_id").cast("long").alias("value"),
+                ),
             ),
         ),
         value_type=T.LongType(),
@@ -210,9 +218,17 @@ def lsh_pairs_from_index(
         .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                6,
+            # empty docs no longer reach the buckets (mapper guard),
+            # but a stale docs frame could still verify one: 0/0 under
+            # the session's default ANSI mode would crash — null it
+            # (the threshold filter then drops the pair)
+            F.when(
+                (F.col("_na") + F.col("_nb") - F.col("_inter")) > 0,
+                F.round(
+                    F.col("_inter")
+                    / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                    6,
+                ),
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -103,7 +103,13 @@ def asof_join(
             right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
-    r_tag = right.select(
+    # a null key matches NOTHING (SQL ASOF / pandas merge_asof
+    # semantics, and this file's interval_join equality predicate):
+    # dropping null-key RIGHT rows before the union means null-key
+    # left rows share a window partition with no right rows and come
+    # out unmatched, instead of Window.partitionBy quietly grouping
+    # the nulls together and "matching" them
+    r_tag = right.where(F.col(on).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
         F.lit(0 if allow_exact_matches else 2).alias("_side"),

@@ -206,20 +206,26 @@ def pq_topk(
 
         for pdf in batches:
             c = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
             dist = np.zeros(len(c))
             for j in range(m):
                 dist += lut[j].take(c[:, j])
-            top = np.argsort(dist)[:k]
+            # (dist, vec_id) lexsort: PQ quantization makes exact ADC
+            # ties COMMON (same codes = same distance), so an unstable
+            # dist-only argsort truncation returns a run-dependent
+            # top-k set — the same tiebreak every other top-k operator
+            # here uses
+            top = np.lexsort((vid, dist))[:k]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].iloc[top].astype("int64"),
+                    "vec_id": vid[top],
                     "adc_dist": dist[top],
                 }
             )
 
     return (
         codes.mapInPandas(score, out_schema)
-        .orderBy("adc_dist")
+        .orderBy("adc_dist", "vec_id")
         .limit(k)
     )
 
@@ -374,17 +380,22 @@ def pq_topk_lists(
         for pdf in batches:
             c = np.array(pdf["codes"].tolist(), dtype=np.int64)
             lists = pdf["_list"].to_numpy().astype(np.int64)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
             dist = np.zeros(len(c))
             for j in range(m):
                 dist += lut_arr[lists, j, c[:, j]]
-            top = np.argsort(dist)[:k]
+            # (dist, vec_id) lexsort — deterministic under the common
+            # exact-ADC ties (see pq_topk)
+            top = np.lexsort((vid, dist))[:k]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].iloc[top].astype("int64"),
+                    "vec_id": vid[top],
                     "adc_dist": dist[top],
                 }
             )
 
     return (
-        cells.mapInPandas(score, out_schema).orderBy("adc_dist").limit(k)
+        cells.mapInPandas(score, out_schema)
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
     )

@@ -42,7 +42,13 @@ def _as_double_array(col: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in
-    double with sequential fold order (oracle-reproducible)."""
+    double with sequential fold order (oracle-reproducible).
+
+    A zero vector (padding row, failed upstream embed) has no defined
+    cosine: the guard yields NULL instead of an ANSI DIVIDE_BY_ZERO
+    job failure — null sorts last under the desc top-k orderings and
+    fails every >= threshold predicate, matching the blocked/numpy
+    kernel's NaN-drops-out behavior."""
     a, b = _as_double_array(a), _as_double_array(b)
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -53,7 +59,7 @@ def cosine_sim(a: Column, b: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return dot / (na * nb)
+    return F.when(na * nb > 0, dot / (na * nb))
 
 
 def probe_vector(embeddings: DataFrame, vec_id: int) -> list[float]:
@@ -140,7 +146,12 @@ def cosine_neardup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
-            F.round(dot / (F.col("a._n") * F.col("b._n")), 6).alias("sim"),
+            # zero-norm guard: null sim (dropped by the threshold),
+            # never an ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("a._n") * F.col("b._n") > 0,
+                F.round(dot / (F.col("a._n") * F.col("b._n")), 6),
+            ).alias("sim"),
         )
         # unpushable: pushed into the nested-loop join condition, the
         # unrolled dot would re-evaluate interpreted per candidate pair
@@ -271,14 +282,19 @@ def cosine_neardup_pairs_blocked(
                 continue
             x = np.stack(pdf["_u"].to_numpy())
             xid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            s = x @ all_m.T
+            # threshold AFTER 6dp half-up rounding, exactly like the
+            # expression twin's where(round(sim,6) >= t): filtering
+            # the raw value would drop a pair whose sim rounds UP to
+            # the threshold (e.g. 0.94999961 -> 0.950000) and the two
+            # operators' pair sets would disagree at the boundary
+            s = _round_half_up(x @ all_m.T)
             ii, jj = np.nonzero(s >= threshold)
             keep = xid[ii] < all_ids[jj]
             yield pd.DataFrame(
                 {
                     "vec_id_a": xid[ii][keep],
                     "vec_id_b": all_ids[jj][keep],
-                    "sim": _round_half_up(s[ii, jj][keep]),
+                    "sim": s[ii, jj][keep],
                 }
             )
 
@@ -469,7 +485,10 @@ def cosine_neardup_pairs_lsh(
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("sim"),
+            F.when(
+                F.col("_na") * F.col("_nb") > 0,
+                F.round(dot / (F.col("_na") * F.col("_nb")), 6),
+            ).alias("sim"),
         )
         .where(unpushable(F.col("sim") >= threshold))
     )

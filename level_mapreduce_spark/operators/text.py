@@ -133,8 +133,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
         n_tokens.alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         stop_cnt.alias("stop_cnt"),
-        F.round(stop_cnt / n_tokens, 6).alias("stop_ratio"),
-        F.round((n_chars - n_nonalnum) / n_chars, 6).alias("alnum_ratio"),
+        # zero-token / zero-char docs: null ratio, not a DIVIDE_BY_ZERO
+        # crash under the session's default ANSI mode
+        F.when(n_tokens > 0, F.round(stop_cnt / n_tokens, 6)).alias(
+            "stop_ratio"
+        ),
+        F.when(
+            n_chars > 0, F.round((n_chars - n_nonalnum) / n_chars, 6)
+        ).alias("alnum_ratio"),
     )
 
 
@@ -185,14 +191,21 @@ def quality_filter(
     docs = docs.withColumn("_toks", tokens_expr("text"))
     toks = F.col("_toks")
     n_tokens = F.size(toks).cast("long")
-    stop_ratio = F.round(
-        _count_in(toks, STOPWORDS["en"]) / F.size(toks), 6
+    # empty docs: null ratios (they fail every keep-gate), never an
+    # ANSI DIVIDE_BY_ZERO crash on one bad document in a 100 TB pass
+    stop_ratio = F.when(
+        F.size(toks) > 0,
+        F.round(_count_in(toks, STOPWORDS["en"]) / F.size(toks), 6),
     )
     max_word = F.coalesce(
         F.array_max(F.transform(toks, lambda t: F.length(t))), F.lit(0)
     ).cast("long")
-    alpha_ratio = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks), 6
+    alpha_ratio = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks),
+            6,
+        ),
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -499,13 +512,19 @@ def text_repetition(docs: DataFrame, mode: str = "expr") -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n.cast("long").alias("n_tokens"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
-            "dup_token_frac"
+        # guards: empty docs (n=0) and sub-bigram docs (n_bg=0) yield
+        # null fractions, not an ANSI DIVIDE_BY_ZERO job failure
+        F.when(
+            n > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6),
+        ).alias("dup_token_frac"),
+        F.when(
+            n_bg > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(bg)) / n_bg, 6),
+        ).alias("dup_bigram_frac"),
+        F.when(n_bg > 0, F.round(top_cnt / n_bg, 6)).alias(
+            "top_bigram_frac"
         ),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(bg)) / n_bg, 6).alias(
-            "dup_bigram_frac"
-        ),
-        F.round(top_cnt / n_bg, 6).alias("top_bigram_frac"),
     )
 
 
@@ -521,9 +540,10 @@ def _text_repetition_grouped(docs: DataFrame) -> DataFrame:
     base = staged.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n.cast("long").alias("n_tokens"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6).alias(
-            "dup_token_frac"
-        ),
+        F.when(
+            n > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6),
+        ).alias("dup_token_frac"),
         "_toks",
     )
     bg_rows = base.where(F.col("n_tokens") >= 2).select(

@@ -58,7 +58,16 @@ def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFr
         else:
             last_us, session_id = None, 0
         out_ids, out_sessions = [], []
-        for pdf in pdfs:
+        # Concatenate the group's chunks BEFORE sorting: the iterator
+        # delivers a user's micro-batch rows as multiple Arrow chunks
+        # (maxRecordsPerBatch), and chunk-local sorts would process
+        # later-timestamp rows before earlier ones across a chunk
+        # boundary — suppressing real session breaks (or inventing
+        # spurious ones) and persisting the wrong numbering into
+        # state. Memory is bounded by one user's events per
+        # micro-batch, the same bound the state model already assumes.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not pdf.empty:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, event_id in zip(pdf["ts"], pdf["event_id"]):
                 us = int(pd.Timestamp(ts).value) // 1000

@@ -81,24 +81,34 @@ def test_compact_crash_mid_swap_recovers(spark, store):
     seg = idx.segments_path
 
     # roll FORWARD: compacted copy written, segments renamed aside,
-    # crash before .compacting renamed in
+    # crash before .compacting renamed in. read() serves the complete
+    # compacted copy but — not holding the writer lease — must NOT
+    # delete leftovers (a .compacting beside live segments could be a
+    # LIVE writer's in-progress copy; only write paths clean up).
     idx.compact()  # produces the folded single-epoch copy
     shutil.copytree(seg, seg + ".compacting")
     os.rename(seg, seg + ".old")
     assert live_rows(idx) == before  # read() recovered
     assert os.path.exists(seg)
+    assert os.path.exists(seg + ".old")  # read leaves cleanup to writers
+    # the next WRITE-path entry (lease held) cleans the leftovers
+    idx.update(kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 50.0}]))
     assert not os.path.exists(seg + ".old")
     assert not os.path.exists(seg + ".compacting")
+    assert live_rows(idx) == before
 
     # roll BACK: only .old remains (compacted copy lost with the crash)
     os.rename(seg, seg + ".old")
     assert live_rows(idx) == before
     assert os.path.exists(seg) and not os.path.exists(seg + ".old")
 
-    # cleanup-only: segments intact, dead leftovers from an aborted write
+    # dead leftovers beside intact segments: read() serves and leaves
+    # them; update() (writer) deletes them
     os.makedirs(seg + ".compacting/epoch=9", exist_ok=True)
     os.makedirs(seg + ".old/epoch=9", exist_ok=True)
     assert live_rows(idx) == before
+    assert os.path.exists(seg + ".compacting")
+    idx.update(kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 50.0}]))
     assert not os.path.exists(seg + ".compacting")
     assert not os.path.exists(seg + ".old")
 

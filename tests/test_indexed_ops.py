@@ -385,3 +385,34 @@ def test_sketch_index_reload_recovers_kind(spark, sf_dir, tmp_path):
     os.remove(os.path.join(store, "kll_rl", "sketch.json"))
     with pytest.raises(ValueError, match="sketch kind"):
         update_sketch_index(bare, second)
+
+
+def test_band_index_short_docs_no_mega_bucket(spark, tmp_path):
+    """Docs shorter than the shingle width carry no content to
+    near-dup on: they must emit NO band rows (signing them would give
+    every short doc the identical sentinel signature — one mega-bucket,
+    O(n_short^2) candidates, and 0/0 jaccard at verify under ANSI) and
+    the pair query over a mixed corpus runs clean."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.indexed import (
+        build_band_index,
+        lsh_pairs_from_index,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a + "iota"), (3, "tiny"), (4, "also small"),
+         (5, ""), (6, "x y")],
+        "doc_id long, text string",
+    )
+    idx = build_band_index(spark, docs, str(tmp_path / "bands"), name="sb")
+    stored_docs = {
+        int(r["doc_key"]) for r in idx.read().select("doc_key").distinct().collect()
+    }
+    assert stored_docs == {1, 2}  # short docs emit nothing
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_pairs_from_index(idx, docs, threshold=0.7).collect()
+    }
+    assert pairs == {(1, 2)}

@@ -191,3 +191,25 @@ def test_interval_join_all_matches_and_plan(spark):
     assert got == [(1, 10), (1, 11), (2, 14)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL ASOF / pandas merge_asof semantics: a null join key matches
+    NOTHING — null-key left rows come out unmatched and null-key right
+    rows never supply a payload (Window.partitionBy would otherwise
+    group the nulls together and 'match' them)."""
+    from level_mapreduce_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "a", 100)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 7.0), ("a", 50, 9.0)],
+        "k string, ts long, px double",
+    )
+    got = {
+        r["id"]: r["r_px"]
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert got == {1: None, 2: 9.0}

@@ -1271,3 +1271,64 @@ def test_edit_distance_pairs_blocking_complete_property(spark):
         assert got == want
 
     run()
+
+
+def test_text_ops_survive_empty_documents(spark):
+    """One empty / whitespace-only / sub-bigram document must not fail
+    a corpus pass (the session runs ANSI mode, where 0/0 is a JOB
+    failure, not a NaN): ratios come back null for the degenerate doc
+    and real values for the rest."""
+    from level_mapreduce_spark.operators.text import (
+        quality_filter,
+        text_repetition,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps the fence again and again"),
+            (2, ""),
+            (3, "   "),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert stats[1]["stop_ratio"] is not None
+    assert stats[2]["stop_ratio"] is None and stats[2]["alnum_ratio"] is None
+    assert stats[3]["stop_ratio"] is None
+    qf = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert qf[2]["stop_ratio"] is None and qf[2]["keep"] is False
+    rep = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    assert rep[2]["dup_token_frac"] is None
+    assert rep[4]["dup_token_frac"] is not None  # 1 token: defined
+    assert rep[4]["dup_bigram_frac"] is None     # no bigrams: null
+
+
+def test_similarity_survives_zero_vectors(spark):
+    """A zero embedding (padding / failed upstream embed) yields null
+    similarity — dropped by thresholds, sorted last in top-k — instead
+    of an ANSI DIVIDE_BY_ZERO job failure, consistently across the
+    expression and pair operators."""
+    from level_mapreduce_spark.operators.similarity import (
+        brute_topk,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = brute_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    order = [r["vec_id"] for r in top]
+    assert order[:2] == [1, 2] and order[-1] == 3  # null sim sorts last
+    assert top[-1]["sim"] is None
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2)}  # zero vector pairs with nothing

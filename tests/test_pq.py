@@ -583,3 +583,33 @@ def test_ivfpq_arrow_encoder_matches_column(spark, tmp_path, pq_setup):
     top = ivfpq_knn_join(lidx, lcents, lbooks, probes, k=3).collect()
     top_ids = {r["vec_id"] for r in top}
     assert {int(ids[4]), int(ids[4]) + 800000} <= top_ids
+
+
+def test_pq_topk_deterministic_under_adc_ties(spark, pq_setup):
+    """PQ quantization makes exact ADC ties common (identical codes =
+    identical distance); the top-k truncation must break them on
+    vec_id so repeated runs return the same set, lowest ids first."""
+    from pyspark.sql import functions as F
+
+    from level_mapreduce_spark.operators.pq import pq_encode, pq_topk
+
+    emb, books, codes, x, ids = pq_setup
+    # 15 exact clones of vector 0 -> 16 identical code rows, k=10
+    clones = emb.where(F.col("vec_id") == int(ids[0])).select(
+        F.explode(
+            F.array(*[F.lit(int(ids[0]) + 1000 + i) for i in range(15)])
+        ).alias("vec_id"),
+        "embedding",
+    )
+    aug = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).unionByName(clones)
+    aug_codes = pq_encode(aug, books)
+    runs = [
+        [r["vec_id"] for r in pq_topk(aug_codes, books, list(x[0]), k=10).collect()]
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    # ties broken low-id first: original id 0 leads its clone block
+    assert runs[0][0] == int(ids[0])
+    assert runs[0] == sorted(runs[0], )

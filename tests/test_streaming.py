@@ -659,3 +659,67 @@ def test_stream_ann_ingest_vectors_become_searchable(
         for r in rows
     )
     assert key(a.collect()) == key(b.collect())
+
+
+def test_sessionize_stream_survives_arrow_chunking(spark, tmp_path):
+    """applyInPandasWithState hands a group's micro-batch rows to the
+    state function as MULTIPLE Arrow chunks (maxRecordsPerBatch); the
+    sessionizer must sort the whole group, not each chunk — chunk-local
+    sorting processes later timestamps before earlier ones across a
+    chunk boundary and mis-numbers sessions. Forced here with a tiny
+    batch size and rows written in REVERSE time order."""
+    from level_mapreduce_spark.operators.events import sessionize
+    from level_mapreduce_spark.streaming.stateful import sessionize_stream
+
+    # 30 events, one user, a >30min gap every 10 events -> 3 sessions;
+    # written to the source file in REVERSE ts order so every chunk
+    # boundary crosses time backwards
+    rows = []
+    for i in range(30):
+        ts = 1_700_000_000_000_000 + (i // 10) * 3_600_000_000 + (i % 10) * 1_000_000
+        rows.append((i + 1, 7, ts))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    src = str(tmp_path / "chunk_src")
+    (
+        events.orderBy(F.col("ts").desc())
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp"
+            ).parquet(src)
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in spark.sql("SELECT * FROM sess_chunked").collect()
+    }
+    want = {
+        r["event_id"]: r["session_id"] for r in sessionize(events).collect()
+    }
+    assert got == want
+    assert sorted(set(want.values())) == [1, 2, 3]
