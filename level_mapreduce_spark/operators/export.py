@@ -1,0 +1,88 @@
+"""Training-data export: deterministic global shuffle + sharded write.
+
+The last step of a training-data pipeline is materializing the curated
+corpus in the order the trainer will consume it. Two requirements pull
+against each other at 100 TB:
+
+- the order must be a good GLOBAL shuffle (documents from one source
+  file must not cluster — a model trained on source-ordered data sees
+  non-stationary batches);
+- nothing may depend on a physical global sort of the corpus, and the
+  result must be REPRODUCIBLE (a re-run of the export for the same
+  seed must feed the trainer identical shards in identical order).
+
+Both fall out of hashing: ``shuffle_key = xxhash64(doc_id, seed)`` is
+a deterministic pseudo-random permutation key, shard =
+``pmod(shuffle_key, n_shards)`` balances shards to corpus_size /
+n_shards (+-sqrt) with no skew by construction, and within-shard order
+by the same key is the shuffled read order. The only data movement is
+one hash repartition; writing is embarrassingly parallel per shard.
+Changing the seed reshuffles everything — epoch-wise reshuffles are
+per-seed exports (or per-seed reads of the shard column, no rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffled_shards(
+    docs: DataFrame,
+    n_shards: int | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a shard and a within-shard shuffle rank:
+    ``(*input columns, shard, shuffle_key)``.
+
+    Deterministic for a given (corpus, seed): shard membership and the
+    within-shard order are pure functions of ``(id, seed)``. Reading a
+    shard ordered by ``shuffle_key`` yields a uniformly shuffled
+    stream; the concatenation over shards 0..n-1 is the canonical
+    epoch order.
+    """
+    if n_shards is None:
+        n_shards = docs.sparkSession.sparkContext.defaultParallelism
+    key = F.xxhash64(F.col(id_col).cast("long"), F.lit(seed))
+    return docs.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_shuffled(
+    docs: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shuffled export: one Parquet partition directory
+    per shard (``shard=N/``), rows within each file sorted by
+    ``shuffle_key`` so a sequential reader of a shard consumes the
+    shuffled order with zero read-time sorting.
+
+    Plan shape: one hash repartition on ``shard`` (each output task
+    owns whole shards — no cross-task file interleaving), a
+    within-partition sort (no global sort), and a partitioned write.
+    Re-running with the same seed reproduces byte-identical row order
+    per shard.
+    """
+    sharded = shuffled_shards(docs, n_shards=n_shards, seed=seed, id_col=id_col)
+    n = n_shards or docs.sparkSession.sparkContext.defaultParallelism
+    (
+        sharded.repartition(n, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_shuffled(spark, path: str) -> DataFrame:
+    """Read a :func:`write_shuffled` export in its canonical epoch
+    order (shard asc, shuffle_key asc) — what a sequential trainer
+    consumes. The orderBy prunes to a per-shard merge (files are
+    already internally sorted); for distributed consumption read the
+    ``shard=N`` directories directly and skip the global order."""
+    return spark.read.parquet(path).orderBy("shard", "shuffle_key")

@@ -1332,3 +1332,52 @@ def test_similarity_survives_zero_vectors(spark):
         for r in cosine_neardup_pairs(emb, threshold=0.9).collect()
     }
     assert pairs == {(1, 2)}  # zero vector pairs with nothing
+
+
+def test_shuffled_shards_export_roundtrip(spark, docs, tmp_path):
+    """Deterministic shuffled export: same seed reproduces identical
+    shard membership AND within-shard order; different seeds permute;
+    shards are balanced; the written layout round-trips in canonical
+    epoch order with every document exactly once."""
+    from level_mapreduce_spark.operators.export import (
+        read_shuffled,
+        shuffled_shards,
+        write_shuffled,
+    )
+
+    n_docs = docs.count()
+    s1 = shuffled_shards(docs, n_shards=8, seed=1)
+    s1b = shuffled_shards(docs, n_shards=8, seed=1)
+    s2 = shuffled_shards(docs, n_shards=8, seed=2)
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in s1.collect()}
+    assert a == {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in s1b.collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in s2.collect()}
+    assert a != b  # a new seed is a new permutation
+    sizes = [v for _, v in sorted(
+        ((k, sum(1 for s in a.values() if s[0] == k)) for k in range(8))
+    )]
+    assert sum(sizes) == n_docs
+    assert min(sizes) > 0 and max(sizes) < n_docs / 2  # no mega-shard
+
+    out = str(tmp_path / "export")
+    write_shuffled(docs, out, n_shards=8, seed=1)
+    back = read_shuffled(spark, out)
+    rows = back.select("doc_id", "shard", "shuffle_key").collect()
+    assert len(rows) == n_docs
+    assert {r["doc_id"] for r in rows} == set(a)
+    # canonical epoch order: (shard, shuffle_key) nondecreasing
+    keys = [(r["shard"], r["shuffle_key"]) for r in rows]
+    assert keys == sorted(keys)
+    # shuffled, not source-ordered: doc_ids within a shard are mixed
+    shard0 = [r["doc_id"] for r in rows if r["shard"] == 0]
+    assert shard0 != sorted(shard0)
+    # re-export reproduces byte-identical per-shard order
+    out2 = str(tmp_path / "export2")
+    write_shuffled(docs, out2, n_shards=8, seed=1)
+    again = [
+        (r["shard"], r["shuffle_key"], r["doc_id"])
+        for r in read_shuffled(spark, out2)
+        .select("shard", "shuffle_key", "doc_id")
+        .collect()
+    ]
+    assert again == [(r["shard"], r["shuffle_key"], r["doc_id"]) for r in rows]
