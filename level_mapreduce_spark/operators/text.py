@@ -369,6 +369,11 @@ def bm25_topk(
     partitioned by term, corpus stats (N, avgdl) are a single
     aggregate broadcast-crossed, and the per-doc dl join is the only
     join touching a corpus-sized side. One shuffle on (doc, term).
+    The corpus is scanned by the tf branch and the dl/stats branches
+    independently (narrow 2-column projections); a rollup("doc_id")
+    fusion of dl+stats was measured equal at sf0.1 (no
+    ReusedExchange fires), so the simpler plan stays — for repeated
+    multi-query serving, checkpoint ``dl`` once and reuse it.
     """
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
