@@ -23,6 +23,8 @@ per-seed exports (or per-seed reads of the shard column, no rewrite).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,7 +58,7 @@ def write_shuffled(
     n_shards: int | None = None,
     seed: int = 42,
     id_col: str = "doc_id",
-) -> None:
+) -> dict:
     """Materialize the shuffled export: one Parquet partition directory
     per shard (``shard=N/``), rows within each file sorted by
     ``shuffle_key`` so a sequential reader of a shard consumes the
@@ -66,7 +68,8 @@ def write_shuffled(
     owns whole shards — no cross-task file interleaving), a
     within-partition sort (no global sort), and a partitioned write.
     Re-running with the same seed reproduces byte-identical row order
-    per shard.
+    per shard. Returns (and writes as ``_MANIFEST.json``) a manifest
+    of per-shard row counts + order-sensitive content hashes.
     """
     sharded = shuffled_shards(docs, n_shards=n_shards, seed=seed, id_col=id_col)
     n = n_shards or docs.sparkSession.sparkContext.defaultParallelism
@@ -77,6 +80,55 @@ def write_shuffled(
         .partitionBy("shard")
         .parquet(path)
     )
+    # Manifest: per-shard row counts + an order-sensitive content hash
+    # (the trainer-side integrity check: a re-export, a partial copy,
+    # or a shard served out of order is detectable without re-reading
+    # the corpus). One tiny aggregation over what was just written —
+    # reading back ALSO verifies the write is complete and parseable.
+    written = docs.sparkSession.read.parquet(path)
+    mani_rows = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            # order-sensitive: hash of the sorted (shuffle_key, id)
+            # stream, so identical multisets in different order differ
+            F.xxhash64(
+                F.to_json(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("shuffle_key", F.col(id_col))
+                        )
+                    )
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "seed": seed,
+        "n_shards": int(n),
+        "total_rows": int(sum(r["rows"] for r in mani_rows)),
+        "shards": {
+            int(r["shard"]): {
+                "rows": int(r["rows"]),
+                "content_hash": int(r["content_hash"]),
+            }
+            for r in mani_rows
+        },
+    }
+    fs_path = path.rstrip("/") + "/_MANIFEST.json"
+    jvm = docs.sparkSession._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(fs_path)
+    fs = hpath.getFileSystem(
+        docs.sparkSession._jsc.hadoopConfiguration()
+    )
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        out.close()
+    return manifest
 
 
 def read_shuffled(spark, path: str) -> DataFrame:

@@ -1381,3 +1381,96 @@ def test_shuffled_shards_export_roundtrip(spark, docs, tmp_path):
         .collect()
     ]
     assert again == [(r["shard"], r["shuffle_key"], r["doc_id"]) for r in rows]
+
+
+def test_bm25_property_matches_python_reference(spark):
+    """Property (hypothesis): over random small corpora and random
+    queries, bm25_topk's scores and ranking match a direct python
+    evaluation of the Okapi formula to 1e-9 — including repeated
+    query terms, terms absent from the corpus, and docs with no query
+    terms (absent from results)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from level_mapreduce_spark.operators.text import bm25_topk
+
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        texts = data.draw(
+            st.lists(
+                st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+                min_size=3,
+                max_size=8,
+            )
+        )
+        q_words = data.draw(
+            st.lists(
+                st.sampled_from(vocab + ["zebra"]), min_size=1, max_size=4
+            )
+        )
+        docs = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(docs, " ".join(q_words), k=20).collect()
+        ]
+
+        k1, b = 1.2, 0.75
+        n = len(texts)
+        avgdl = sum(len(t) for t in texts) / n
+        terms = sorted(set(q_words))
+        df = {w: sum(w in t for t in texts) for w in terms}
+        want = {}
+        for i, t in enumerate(texts):
+            s = 0.0
+            for w in terms:
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+            if s > 0:
+                want[i] = s
+        want_ranked = sorted(
+            want.items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+        )
+        assert [d for d, _ in got] == [d for d, _ in want_ranked]
+        for (gd, gs), (wd, ws) in zip(got, want_ranked):
+            assert abs(gs - round(ws, 6)) < 1e-9, (gd, gs, ws)
+
+    run()
+
+
+def test_shuffled_export_manifest(spark, docs, tmp_path):
+    """write_shuffled emits a _MANIFEST.json with per-shard rows and
+    order-sensitive content hashes: a same-seed re-export reproduces
+    the manifest exactly; a different seed changes every hash."""
+    import json as _json
+
+    from level_mapreduce_spark.operators.export import write_shuffled
+
+    out1 = str(tmp_path / "m1")
+    m1 = write_shuffled(docs, out1, n_shards=4, seed=3)
+    with open(out1 + "/_MANIFEST.json") as f:
+        on_disk = _json.load(f)
+    assert on_disk["total_rows"] == m1["total_rows"] == docs.count()
+    assert {int(k) for k in on_disk["shards"]} == {0, 1, 2, 3}
+    m1b = write_shuffled(docs, str(tmp_path / "m1b"), n_shards=4, seed=3)
+    assert m1b == m1  # reproducible
+    m2 = write_shuffled(docs, str(tmp_path / "m2"), n_shards=4, seed=4)
+    assert {s["content_hash"] for s in m2["shards"].values()}.isdisjoint(
+        {s["content_hash"] for s in m1["shards"].values()}
+    )
