@@ -299,7 +299,7 @@ def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
     threshold: float = 0.7,
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> the actual dedup
     decision: (doc_id, cluster, keep) where ``cluster`` is the minimum
@@ -309,11 +309,14 @@ def neardup_clusters(
     Min-label propagation: each round every node takes the min of its
     own label and its neighbors' labels; converges in O(component
     diameter) rounds — near-dup clusters are shallow (pairs share an
-    LSH bucket), so this is 2-4 rounds in practice, capped at
-    ``max_iter`` with a driver-side convergence check (an exact
-    fixpoint, not an approximation, whenever it stops early; the
+    LSH bucket), so this is 2-4 rounds in practice. The loop exits at
+    the driver-checked FIXPOINT (rounds past convergence cost
+    nothing), and a component deeper than ``max_iter`` raises instead
+    of returning silently-wrong intermediate labels — the oracle's
+    recursive CTE computes the exact closure, so a truncated
+    propagation would be a wrong answer, not an approximation. The
     classic large-star/small-star variant drops the round count to
-    O(log n) for pathological chains).
+    O(log n) if pathological chains ever matter.
 
     Each round is one join + one aggregation on the (small) edge set —
     the corpus itself is touched only to seed singleton labels.
@@ -365,6 +368,14 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iter="
+            f"{max_iter} rounds: a connected component has diameter > "
+            f"{max_iter}; raise max_iter (each extra round is one "
+            "edge-set join, and rounds after convergence never run)"
+        )
     # localCheckpoint (eager) pins the narrow final labeling as RDD
     # blocks — cleaned by ContextCleaner when the DataFrame is GC'd,
     # unlike a .persist() entry which leaks in the CacheManager — and

@@ -658,7 +658,13 @@ def c4_line_filter(
         else bad_markers
     )
     marker_arr = F.array(*[F.lit(m) for m in markers])
-    staged = docs.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    # split on \r?\n (CRLF documents): a trailing \r otherwise changes
+    # what "$" matches BETWEEN regex dialects (Java's $ matches before
+    # a final line terminator, the oracle's RE2 does not) and would
+    # leak \r into clean_text
+    staged = docs.withColumn(
+        "_lines", F.split(F.col(text_col), "\r?\n")
+    )
     lines = F.col("_lines")
 
     def line_ok(line):
@@ -738,7 +744,10 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (doc_id, n_lines, n_unique_lines, deduped_text).
     """
-    staged = docs.withColumn("_lines", F.split(F.col(text_col), "\n"))
+    # \r?\n: CRLF documents dedup on line CONTENT, not content+\r
+    staged = docs.withColumn(
+        "_lines", F.split(F.col(text_col), "\r?\n")
+    )
     lines = F.col("_lines")
     staged = staged.withColumn(
         "_kept",

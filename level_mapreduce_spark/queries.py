@@ -788,7 +788,12 @@ def q_split_contamination(spark, sf_dir):
             int(math.floor(rates[s] * wb * n + 0.5)) if s in target else 0,
             int(wb * n) if s in target else 0,
         )
-        for s, n in sorted(counts.items())
+        # null-lang rows form a None stratum (groupBy keeps the null
+        # group): sort with a None-last key so they cannot TypeError
+        # the driver-side ordering against str keys
+        for s, n in sorted(
+            counts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+        )
     ]
     mixture_rows = spark.createDataFrame(
         mix, "variant string, k string, n1 long, n2 long"
@@ -944,7 +949,13 @@ def q_asof_join(spark, sf_dir):
     purchases = events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    j = asof_join(clicks, purchases, on="user_id", ts="ts", right_prefix="p_")
+    # tie_break: two purchases at the same (user, ts) would otherwise
+    # make BOTH the Spark pick and DuckDB's ASOF pick arbitrary — the
+    # highest event_id wins on both sides, deterministically
+    j = asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_prefix="p_",
+        tie_break="event_id",
+    )
     a = j.select(
         F.lit("asof").alias("variant"),
         F.col("event_id").cast("long").alias("event_id"),
@@ -2139,8 +2150,8 @@ ORACLES: dict[str, str] = {
       ),
       c4 AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               string_split(text, chr(10)) AS ls,
-               list_filter(string_split(text, chr(10)), l ->
+               regexp_split_to_array(text, '\r?\n') AS ls,
+               list_filter(regexp_split_to_array(text, '\r?\n'), l ->
                  regexp_matches(lower(l), '[.!?"'']$')
                  AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
                  AND NOT contains(lower(l), 'javascript')
@@ -2168,9 +2179,9 @@ ORACLES: dict[str, str] = {
              (len(uq) = len(ls))
       FROM (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               string_split(text, chr(10)) AS ls,
-               list_filter(string_split(text, chr(10)),
-                 (l, i) -> list_position(string_split(text, chr(10)), l) = i
+               regexp_split_to_array(text, '\r?\n') AS ls,
+               list_filter(regexp_split_to_array(text, '\r?\n'),
+                 (l, i) -> list_position(regexp_split_to_array(text, '\r?\n'), l) = i
                ) AS uq
         FROM documents
       )
@@ -2266,11 +2277,13 @@ ORACLES: dict[str, str] = {
       FROM g GROUP BY gram HAVING count(*) >= 2
     """,
     "pack_documents": f"""
+      -- ((x % n) + n) % n = Spark's pmod: DuckDB % is C-style and
+      -- returns a NEGATIVE remainder for negative doc_ids
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             CAST(doc_id % 32 AS INT) AS shard,
+             CAST(((doc_id % 32) + 32) % 32 AS INT) AS shard,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
              CAST(floor((sum(len({_TOKS})) OVER (
-                PARTITION BY doc_id % 32 ORDER BY doc_id
+                PARTITION BY ((doc_id % 32) + 32) % 32 ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) - len({_TOKS})) / 2048) AS BIGINT) AS pack_id
       FROM documents
@@ -2361,10 +2374,18 @@ ORACLES: dict[str, str] = {
         SELECT CAST(embedding AS DOUBLE[]) AS pe
         FROM embeddings WHERE vec_id = 0
       )
+      -- zero-vector guard mirrors Spark's cosine_sim: NULL sim
+      -- (DuckDB's list_cosine_similarity returns -1.0 there instead)
       SELECT CAST(vec_id AS BIGINT) AS vec_id,
-             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), pe), 6) AS sim
+             CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) = 0
+                    OR list_dot_product(pe, pe) = 0
+                  THEN NULL
+                  ELSE round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]), pe), 6)
+             END AS sim
       FROM embeddings, p
-      ORDER BY sim DESC, vec_id
+      ORDER BY sim DESC NULLS LAST, vec_id
       LIMIT 10
     """,
     "join_strategies": """
@@ -2386,14 +2407,28 @@ ORACLES: dict[str, str] = {
       SELECT 'salted', * FROM j
     """,
     "asof_join": """
+      -- explicit window pick instead of DuckDB's ASOF JOIN: ASOF
+      -- chooses an ARBITRARY row among equal-timestamp purchases;
+      -- this ranks (ts DESC, event_id DESC) to mirror the Spark
+      -- side's tie_break="event_id" (highest id wins)
       SELECT 'asof' AS variant,
              CAST(c.event_id AS BIGINT) AS event_id,
              CAST(c.user_id AS BIGINT) AS user_id,
-             CAST(p.event_id AS BIGINT) AS p_event_id,
-             p.value AS p_value
+             CAST(m.pid AS BIGINT) AS p_event_id,
+             m.pval AS p_value
       FROM (SELECT * FROM events WHERE event_type = 'click') c
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        ON c.user_id = p.user_id AND p.ts <= c.ts
+      LEFT JOIN (
+        SELECT cid, pid, pval FROM (
+          SELECT c2.event_id AS cid, p.event_id AS pid, p.value AS pval,
+                 row_number() OVER (
+                   PARTITION BY c2.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC
+                 ) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'click') c2
+          JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c2.user_id = p.user_id AND p.ts <= c2.ts
+        ) WHERE rn = 1
+      ) m ON m.cid = c.event_id
       UNION ALL
       SELECT 'interval',
              CAST(c.event_id AS BIGINT),
@@ -2506,15 +2541,18 @@ ORACLES: dict[str, str] = {
         SELECT user_id, min(pos) AS p FROM ord
         WHERE event_type = 'view' GROUP BY user_id
       ),
+      -- IS NOT DISTINCT FROM: a NULL-user group must progress
+      -- through the funnel exactly like Spark's groupBy(user_id)
+      -- (USING-join equality would silently leave it at stage 0)
       s2 AS (
         SELECT o.user_id, min(o.pos) AS p FROM ord o
-        JOIN s1 USING (user_id)
+        JOIN s1 ON o.user_id IS NOT DISTINCT FROM s1.user_id
         WHERE o.event_type = 'click' AND o.pos > s1.p
         GROUP BY o.user_id
       ),
       s3 AS (
         SELECT o.user_id, min(o.pos) AS p FROM ord o
-        JOIN s2 USING (user_id)
+        JOIN s2 ON o.user_id IS NOT DISTINCT FROM s2.user_id
         WHERE o.event_type = 'purchase' AND o.pos > s2.p
         GROUP BY o.user_id
       )
@@ -2531,13 +2569,19 @@ ORACLES: dict[str, str] = {
                        WHEN s1.user_id IS NOT NULL THEN 1
                        ELSE 0 END AS BIGINT)
       FROM (SELECT DISTINCT user_id FROM ord) u
-      LEFT JOIN s1 USING (user_id)
-      LEFT JOIN s2 USING (user_id)
-      LEFT JOIN s3 USING (user_id)
+      LEFT JOIN s1 ON u.user_id IS NOT DISTINCT FROM s1.user_id
+      LEFT JOIN s2 ON u.user_id IS NOT DISTINCT FROM s2.user_id
+      LEFT JOIN s3 ON u.user_id IS NOT DISTINCT FROM s3.user_id
       UNION ALL
       SELECT 'props', CAST(event_id AS BIGINT),
              CAST(user_id AS BIGINT),
-             CAST(props->>'k' AS BIGINT)
+             -- mirror Spark get_json_object(..).cast('long') exactly:
+             -- NULL for malformed JSON (->>'k' would ERROR), missing
+             -- keys, and non-integral values (DuckDB CAST('1.5' AS
+             -- BIGINT) ROUNDS to 2 where Spark yields NULL)
+             CASE WHEN json_valid(props)
+                   AND regexp_matches(props->>'k', '^-?[0-9]+$')
+                  THEN CAST(props->>'k' AS BIGINT) END
       FROM events
       UNION ALL
       SELECT 'rolling', CAST(event_id AS BIGINT),
@@ -2632,9 +2676,15 @@ ORACLES: dict[str, str] = {
     "knn_join": """
       WITH scored AS (
         SELECT p.probe_id, CAST(e.vec_id AS BIGINT) AS vec_id,
-               round(list_cosine_similarity(
-                 CAST(e.embedding AS DOUBLE[]),
-                 CAST(p.embedding AS DOUBLE[])), 6) AS sim
+               CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) = 0
+                      OR list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(p.embedding AS DOUBLE[])), 6)
+               END AS sim
         FROM embeddings e
         CROSS JOIN (
           SELECT CAST(vec_id AS BIGINT) AS probe_id, embedding
@@ -2644,7 +2694,7 @@ ORACLES: dict[str, str] = {
       )
       SELECT probe_id, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY probe_id ORDER BY sim DESC, vec_id
+          PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id
         ) AS rnk
         FROM scored
       ) WHERE rnk <= 10
@@ -2681,6 +2731,10 @@ ORACLES: dict[str, str] = {
     # rounding; multimodal_features: binary decode -> rows-only
     # checks; pytest covers their semantics.
     "fuzzy_pairs": """
+      -- ASCII-corpus precondition: DuckDB's levenshtein is BYTE-based
+      -- while Spark's is codepoint-based — they agree only on
+      -- single-byte text (true of this corpus; a unicode corpus needs
+      -- a codepoint-exact oracle or a normalized projection)
       WITH t AS (
         SELECT CAST(doc_id AS BIGINT) AS id,
                substr(lower(text), 1, 40) AS s

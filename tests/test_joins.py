@@ -213,3 +213,24 @@ def test_asof_join_null_keys_never_match(spark):
         for r in asof_join(left, right, on="k", ts="ts").collect()
     }
     assert got == {1: None, 2: 9.0}
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    """Two right rows at the same (key, ts): tie_break picks the
+    HIGHEST tie column deterministically (the gate entry passes
+    tie_break='event_id' and its oracle ranks (ts DESC, event_id
+    DESC) — the two must agree)."""
+    from level_mapreduce_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100)], "id long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u", 50, 10, 1.0), ("u", 50, 20, 2.0), ("u", 40, 30, 3.0)],
+        "k string, ts long, event_id long, px double",
+    )
+    got = asof_join(
+        left, right, on="k", ts="ts", tie_break="event_id"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["r_event_id"] == 20 and got[0]["r_px"] == 2.0
