@@ -454,6 +454,19 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         repeat=1,
     )
 
+    # shuffled training export: seeded permutation + balanced shard
+    # write + integrity manifest — the pipeline's terminal step
+    from level_mapreduce_spark.operators.export import write_shuffled
+
+    import os as _os2
+
+    timed(
+        "export_shuffled",
+        lambda: write_shuffled(
+            docs, _os2.path.join(store, "export_docs"), n_shards=16
+        ),
+    )
+
     # range tombstone (retention/TTL primitive): one key-pruned scan
     # for the doomed keys + one tombstone epoch, no segment rewrite.
     # LAST: it mutates bench_orders, and every earlier key must see
