@@ -27,7 +27,7 @@ The Spark realization is DataFrame-native throughout:
   fingerprints), multimodal binary-column plumbing.
 """
 
-from level_mapreduce_spark.engine.index import MapIndex
+from level_mapreduce_spark.engine.index import MapIndex, list_indexes
 from level_mapreduce_spark.engine.mapper import (
     AsyncPythonMapper,
     ExprMapper,
@@ -42,6 +42,7 @@ __all__ = [
     "AsyncPythonMapper",
     "ExprMapper",
     "MapIndex",
+    "list_indexes",
     "PythonMapper",
     "Query",
     "emit",

@@ -1135,3 +1135,64 @@ class MapIndex:
         self.compaction_due = False
         self._refresh_views()
         return self
+
+
+def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
+    """Discover every index namespace under a store — the catalog view
+    an operator of a multi-index deployment starts from (the reference
+    namespaces LevelDB keys per index, index.js:118, but exposes no
+    listing; this is ops-grade completeness alongside ``stats()`` and
+    ``drop()``). Metadata-only: directory listings, never a data scan.
+
+    Per index: name, live/total segment epochs, segment and tombstone
+    bytes, the JSON sidecars present (the stored-index families write
+    typed sidecars — 'ivfpq', 'band', 'sketch', ... — so the catalog
+    says WHAT each index is without opening it), and whether a writer
+    currently holds the lease.
+    """
+    fs, root, _ = _hadoop_fs(spark, store_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        base = posixpath.join(store_path, name)
+        seg = posixpath.join(base, _SEGMENTS)
+        seg_fs, seg_path, _ = _hadoop_fs(spark, seg)
+        if not seg_fs.exists(seg_path):
+            continue  # not an index namespace
+        sidecars = {}
+        lease_held = False
+        for child in fs.listStatus(status.getPath()):
+            cname = child.getPath().getName()
+            if cname == "writer.lock":
+                lease_held = True
+            elif cname.endswith(".json"):
+                sidecars[cname] = None
+        # type tags from the sidecars, without loading payloads beyond
+        # the (tiny) JSON
+        probe = MapIndex.__new__(MapIndex)
+        probe.spark = spark
+        probe.name = name
+        probe.store_path = store_path
+        for cname in list(sidecars):
+            try:
+                meta = probe.get_sidecar(name=cname)
+                sidecars[cname] = (meta or {}).get("type")
+            except Exception:
+                sidecars[cname] = "unreadable"
+        out.append(
+            {
+                "name": name,
+                "epochs": _list_epochs(spark, seg),
+                "segment_bytes": _path_bytes(spark, seg),
+                "tombstone_bytes": _path_bytes(
+                    spark, posixpath.join(base, _TOMBSTONES)
+                ),
+                "sidecars": sidecars,
+                "lease_held": lease_held,
+            }
+        )
+    return sorted(out, key=lambda d: d["name"])

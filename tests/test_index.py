@@ -481,3 +481,46 @@ def test_drop_destroys_storage_and_allows_rebuild(spark, store, tmp_path):
     # same handle, fresh build: full lifecycle restart
     idx.build(docs)
     assert idx.read().count() == 12
+
+
+def test_list_indexes_catalog(spark, store):
+    """list_indexes: one catalog row per index namespace under the
+    store — epochs, sizes, typed sidecars, and live lease visibility —
+    from directory listings only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark import ExprMapper, MapIndex, list_indexes
+
+    m = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+    a = MapIndex(spark, "cat_a", m, store)
+    b = MapIndex(spark, "cat_b", m, store)
+    df = spark.createDataFrame(
+        [("d1", "x", 1.0), ("d2", "y", 2.0)],
+        "doc_key string, k string, v double",
+    )
+    a.build(df, assume_unique=True)
+    b.build(df, assume_unique=True)
+    b.update(
+        spark.createDataFrame(
+            [("d1", "x", 9.0)], "doc_key string, k string, v double"
+        ),
+        assume_unique=True,
+    )
+    b.put_sidecar({"type": "band", "k": 5}, name="band.json")
+
+    cat = {d["name"]: d for d in list_indexes(spark, store)}
+    assert {"cat_a", "cat_b"} <= set(cat)
+    assert cat["cat_a"]["epochs"] == [0]
+    assert 1 in cat["cat_b"]["epochs"]       # the update epoch
+    assert cat["cat_b"]["segment_bytes"] > 0
+    assert cat["cat_b"]["tombstone_bytes"] > 0
+    assert cat["cat_b"]["sidecars"].get("band.json") == "band"
+    assert cat["cat_a"]["lease_held"] is False
+    a._acquire_lease()
+    try:
+        assert {
+            d["name"]: d["lease_held"] for d in list_indexes(spark, store)
+        }["cat_a"] is True
+    finally:
+        a._release_lease()
