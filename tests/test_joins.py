@@ -234,3 +234,86 @@ def test_asof_join_tie_break_deterministic(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["r_event_id"] == 20 and got[0]["r_px"] == 2.0
+
+
+def test_temporal_joins_property_vs_python_reference(spark):
+    """Property (hypothesis): over random keyed event sets — with
+    timestamp TIES, NULL keys, and both exact-match modes — asof_join
+    matches a direct python evaluation of its contract (latest right
+    at-or-before / strictly-before, highest tie_break among equal ts,
+    null keys never match, unmatched lefts kept with nulls), and
+    interval_join matches a plain filter reference for inner and left
+    modes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from level_mapreduce_spark.operators.joins import asof_join, interval_join
+
+    keys = st.sampled_from(["a", "b", None])
+    tss = st.integers(0, 8)  # deliberately tiny range -> frequent ties
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        lrows = data.draw(
+            st.lists(st.tuples(keys, tss), min_size=1, max_size=6)
+        )
+        rrows = data.draw(
+            st.lists(st.tuples(keys, tss), min_size=1, max_size=6)
+        )
+        base = 1_700_000_000_000_000
+        left = spark.createDataFrame(
+            [(i, k, base + t * 1_000_000) for i, (k, t) in enumerate(lrows)],
+            "lid long, k string, us long",
+        ).select("lid", "k", F.timestamp_micros("us").alias("ts"))
+        right = spark.createDataFrame(
+            [
+                (100 + i, k, base + t * 1_000_000, float(i))
+                for i, (k, t) in enumerate(rrows)
+            ],
+            "rid long, k string, us long, v double",
+        ).select("rid", "k", F.timestamp_micros("us").alias("ts"), "v")
+
+        for exact in (True, False):
+            got = {
+                r["lid"]: r["r_rid"]
+                for r in asof_join(
+                    left, right, on="k", ts="ts",
+                    allow_exact_matches=exact, tie_break="rid",
+                ).collect()
+            }
+            want = {}
+            for i, (lk, lt) in enumerate(lrows):
+                cands = [
+                    (rt, 100 + j)
+                    for j, (rk, rt) in enumerate(rrows)
+                    if lk is not None and rk == lk
+                    and (rt <= lt if exact else rt < lt)
+                ]
+                want[i] = max(cands)[1] if cands else None
+            assert got == want, (exact, lrows, rrows)
+
+        for how in ("inner", "left"):
+            got_pairs = {
+                (r["lid"], r["r_rid"])
+                for r in interval_join(
+                    left, right, on="k", ts="ts",
+                    within="2 seconds", how=how,
+                ).collect()
+            }
+            want_pairs = set()
+            for i, (lk, lt) in enumerate(lrows):
+                matched = False
+                for j, (rk, rt) in enumerate(rrows):
+                    if lk is not None and rk == lk and lt <= rt <= lt + 2:
+                        want_pairs.add((i, 100 + j))
+                        matched = True
+                if how == "left" and not matched:
+                    want_pairs.add((i, None))
+            assert got_pairs == want_pairs, (how, lrows, rrows)
+
+    run()
