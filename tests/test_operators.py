@@ -1474,3 +1474,88 @@ def test_shuffled_export_manifest(spark, docs, tmp_path):
     assert {s["content_hash"] for s in m2["shards"].values()}.isdisjoint(
         {s["content_hash"] for s in m1["shards"].values()}
     )
+
+
+def test_simhash_pairs_complete_for_hamming_3(spark, docs):
+    """The Manku pigeonhole guarantee, pinned: over a corpus augmented
+    with near-identical variants, chunk-blocked simhash_pairs finds
+    EXACTLY the brute-force hamming<=3 pair set (4 chunks of 16 bits:
+    d<=3 flips at most 3 chunks, so one chunk always matches)."""
+    from level_mapreduce_spark.operators import simhash, simhash_pairs
+
+    base = docs.limit(40)
+    variants = base.limit(10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = base.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).unionByName(variants)
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(corpus, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want  # the appended-suffix variants guarantee close pairs
+
+
+def test_sessionize_property_vs_python_reference(spark):
+    """Property (hypothesis): over random per-user event streams with
+    timestamp TIES and exact-gap boundaries, sessionize matches a
+    direct python fold of the contract (sorted (ts, event_id); new
+    session iff idle STRICTLY longer than the gap)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from level_mapreduce_spark.operators.events import sessionize
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        # gaps drawn around the boundary: 0, exactly gap, gap+1us
+        deltas = data.draw(
+            st.lists(
+                st.sampled_from([0, 1, GAP_US, GAP_US + 1, 2 * GAP_US]),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        user = data.draw(st.sampled_from([1, 2]))
+        base = 1_700_000_000_000_000
+        rows, t = [], base
+        for i, d in enumerate(deltas):
+            t += d
+            rows.append((i + 1, user, t))
+        events = spark.createDataFrame(
+            rows, "event_id long, user_id long, us long"
+        ).select(
+            "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+        )
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in sessionize(events).collect()
+        }
+        want, sid, last = {}, 0, None
+        for eid, _, us in rows:  # already in (ts, event_id) order
+            if last is None or us - last > GAP_US:
+                sid += 1
+            last = us
+            want[eid] = sid
+        assert got == want, (deltas, got, want)
+
+    run()
