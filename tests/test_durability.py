@@ -259,19 +259,21 @@ def test_writer_lease_excludes_second_writer(spark, store):
         # handle is a concurrent writer, not a nested call
         import threading
 
-        thread_err = []
+        outcomes = []
 
         def other_thread():
             try:
                 a.compact()
-                thread_err.append("not excluded")
+                outcomes.append("not-excluded")
             except ConcurrentWriterError:
-                pass
+                outcomes.append("excluded")
+            except Exception as e:  # noqa: BLE001 — must be visible
+                outcomes.append(f"wrong-error:{type(e).__name__}")
 
         t = threading.Thread(target=other_thread)
         t.start()
         t.join()
-        assert thread_err == []
+        assert outcomes == ["excluded"]
     finally:
         a._release_lease()
 
@@ -297,11 +299,12 @@ def test_writer_lease_excludes_second_writer(spark, store):
 
 
 def test_sidecar_replace_atomic_and_crash_tolerant(spark, store):
-    """Sidecar replace is rename-over (atomic): overwrites round-trip,
-    a stale .tmp left by a crashed writer neither corrupts reads nor
-    blocks the next put, and the destination never transits through a
-    missing state during replace (old value stays readable up to the
-    rename)."""
+    """Sidecar replace crash-tolerance: overwrites round-trip, a
+    stale .tmp left by a crashed writer neither corrupts reads nor
+    blocks the next put, and the OLD value stays readable while a
+    .tmp is staged. (The no-missing-state window itself is a
+    mechanism property of FileContext rename-with-OVERWRITE — not
+    observable from a sequential test; see put_sidecar.)"""
     idx = kv_index(spark, store, "sc_atomic")
     idx.put_sidecar({"gen": 1})
     assert idx.get_sidecar() == {"gen": 1}

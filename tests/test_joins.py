@@ -279,13 +279,14 @@ def test_temporal_joins_property_vs_python_reference(spark):
         ).select("rid", "k", F.timestamp_micros("us").alias("ts"), "v")
 
         for exact in (True, False):
-            got = {
-                r["lid"]: r["r_rid"]
-                for r in asof_join(
-                    left, right, on="k", ts="ts",
-                    allow_exact_matches=exact, tie_break="rid",
-                ).collect()
-            }
+            arows = asof_join(
+                left, right, on="k", ts="ts",
+                allow_exact_matches=exact, tie_break="rid",
+            ).collect()
+            # LEFT ASOF contract: exactly ONE row per left row — a
+            # dict would hide duplicated or tied-double emissions
+            assert len(arows) == len(lrows), (exact, len(arows))
+            got = {r["lid"]: r["r_rid"] for r in arows}
             want = {}
             for i, (lk, lt) in enumerate(lrows):
                 cands = [
@@ -298,13 +299,13 @@ def test_temporal_joins_property_vs_python_reference(spark):
             assert got == want, (exact, lrows, rrows)
 
         for how in ("inner", "left"):
-            got_pairs = {
-                (r["lid"], r["r_rid"])
-                for r in interval_join(
-                    left, right, on="k", ts="ts",
-                    within="2 seconds", how=how,
-                ).collect()
-            }
+            irows = interval_join(
+                left, right, on="k", ts="ts",
+                within="2 seconds", how=how,
+            ).collect()
+            got_pairs = {(r["lid"], r["r_rid"]) for r in irows}
+            # one row per match — set equality alone would hide dups
+            assert len(irows) == len(got_pairs), (how, len(irows))
             want_pairs = set()
             for i, (lk, lt) in enumerate(lrows):
                 matched = False

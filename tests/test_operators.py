@@ -1368,6 +1368,15 @@ def test_shuffled_shards_export_roundtrip(spark, docs, tmp_path):
     # canonical epoch order: (shard, shuffle_key) nondecreasing
     keys = [(r["shard"], r["shuffle_key"]) for r in rows]
     assert keys == sorted(keys)
+    # the WRITTEN layout itself is sorted (read one shard's file raw,
+    # no orderBy — read_shuffled's own sort would mask a broken write)
+    raw0 = [
+        r["shuffle_key"]
+        for r in spark.read.parquet(out + "/shard=0").select(
+            "shuffle_key"
+        ).collect()
+    ]
+    assert raw0 == sorted(raw0) and raw0
     # shuffled, not source-ordered: doc_ids within a shard are mixed
     shard0 = [r["doc_id"] for r in rows if r["shard"] == 0]
     assert shard0 != sorted(shard0)

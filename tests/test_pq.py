@@ -515,6 +515,12 @@ def test_trainer_options_sample_pinned_mllib_valid(spark, pq_setup):
     got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
     assert len(got) == len(ids)
     assert all(0 <= c < 8 for cs in got.values() for c in cs)
+    # non-degenerate fit: a broken trainer (constant/zero centers)
+    # would encode every vector identically — real kmeans|| spreads
+    # codes across multiple centroids in every subspace
+    assert len({tuple(cs) for cs in got.values()}) > 1
+    for j in range(8):
+        assert len({cs[j] for cs in got.values()}) > 1, j
     # re-encode against the same books is deterministic
     got2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
     assert got == got2
