@@ -52,7 +52,7 @@ from level_mapreduce_spark.engine.mapper import (
     pairs_type,
     struct_order_cmp,
 )
-from level_mapreduce_spark.engine.query import Query
+from level_mapreduce_spark.engine.query import Query, _contains_map
 
 _SEGMENTS = "segments"
 _TOMBSTONES = "tombstones"
@@ -65,6 +65,12 @@ AUTO_COMPACT_EPOCHS = 24
 # Tombstone bytes past which read() stops broadcasting the anti-join
 # side and lets AQE pick the strategy (sort-merge / shuffled-hash).
 TOMBSTONE_BROADCAST_BYTES = 64 * 1024 * 1024
+# While a mutation runs, the lease holder re-touches writer.lock every
+# this-many seconds (heartbeat_unix field). break_lease() decisions
+# then have evidence: a live-but-slow writer's heartbeat age stays
+# ~this bound, a dead holder's grows without limit (see list_indexes
+# lease_heartbeat_age_secs). Tests shrink it via monkeypatch.
+LEASE_HEARTBEAT_SECS = 60.0
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -108,16 +114,6 @@ def _hashable(col: str, dt: T.DataType):
     if _contains_map(dt):
         return F.xxhash64(F.to_json(F.col(col)))
     return F.col(col)
-
-
-def _contains_map(dt: T.DataType) -> bool:
-    if isinstance(dt, T.MapType):
-        return True
-    if isinstance(dt, T.ArrayType):
-        return _contains_map(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return any(_contains_map(f.dataType) for f in dt.fields)
-    return False
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -201,6 +197,11 @@ class MapIndex:
         self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
         self._lease_depth = 0
         self._lease_thread = None
+        # heartbeat machinery: a daemon thread re-touches writer.lock
+        # while the outermost mutation runs (see _acquire_lease)
+        self._lease_hb_stop: threading.Event | None = None
+        self._lease_hb_thread: threading.Thread | None = None
+        self._lease_lost = False
 
     # ---------------------------------------------------------------- paths
 
@@ -258,16 +259,32 @@ class MapIndex:
         """Take the single-writer lease, or raise loudly.
 
         Primitive: ``FileSystem.create(path, overwrite=False)`` — an
-        atomic create-if-absent on HDFS and object stores with
-        conditional-put semantics. The lock file records writer id,
-        pid, and acquisition time so the loser's error says WHO holds
-        it. The lease is released (file deleted) when the outermost
-        mutating call returns — including on exception: an aborted
-        update leaves recoverable data (see update's write-order note)
-        and no stale lock. A lock orphaned by a process crash must be
-        cleared explicitly with :meth:`break_lease` after confirming
-        the holder is dead — auto-expiry by wall clock is how two
-        writers BOTH think they own a slow store."""
+        atomic create-if-absent on HDFS. On other stores this is
+        BEST-EFFORT, not atomic: S3A (without conditional-put support)
+        checks existence at ``create()`` but materializes the object
+        at ``close()``, and RawLocalFileSystem is check-then-create —
+        on those stores two near-simultaneous writers can BOTH pass
+        ``create()``. To narrow that race the acquirer reads the lock
+        back after writing it and verifies its own ``writer_id``
+        survived (last-writer-wins on a double-create means exactly
+        one of the two sees its id; the other raises). That closes
+        every race except both writers reading back inside the other's
+        create-to-close window — on stores where that matters, deploy
+        with a conditional-put lock (S3 If-None-Match, GCS
+        generation-match) behind the same file path.
+
+        The lock file records writer id, pid, and acquisition time so
+        the loser's error says WHO holds it, and a heartbeat thread
+        re-touches it every :data:`LEASE_HEARTBEAT_SECS` while the
+        mutation runs (so ``list_indexes`` can report whether the
+        holder is live). The lease is released (file deleted) when the
+        outermost mutating call returns — including on exception: an
+        aborted update leaves recoverable data (see update's
+        write-order note) and no stale lock. A lock orphaned by a
+        process crash must be cleared explicitly with
+        :meth:`break_lease` after confirming the holder is dead (its
+        heartbeat age grows without bound) — auto-expiry by wall
+        clock is how two writers BOTH think they own a slow store."""
         me = threading.get_ident()
         if self._lease_depth > 0:
             # Reentrancy is only legal for the SAME thread (update ->
@@ -334,8 +351,60 @@ class MapIndex:
                 pass
             fs.delete(hpath, False)
             raise
+        # Read-back verify (the double-acquire detector for stores
+        # whose create() is not atomic — see docstring). On a
+        # double-create the lock holds ONE of the two writer ids; the
+        # loser backs off WITHOUT deleting (the lock is the winner's).
+        lock = self._read_lock()
+        if lock is None or lock.get("writer_id") != self._writer_id:
+            raise ConcurrentWriterError(
+                f"index '{self.name}': lease read-back found "
+                f"{'no lock' if lock is None else 'another writer ' + str(lock.get('writer_id'))} "
+                f"after this writer's create — a concurrent writer won a "
+                f"non-atomic create-if-absent race; backing off"
+            )
         self._lease_thread = me
         self._lease_depth = 1
+        self._lease_lost = False
+        stop = threading.Event()
+        hb = threading.Thread(
+            target=self._lease_heartbeat_loop,
+            args=(stop, float(LEASE_HEARTBEAT_SECS)),
+            daemon=True,
+            name=f"lmr-lease-hb-{self.name}",
+        )
+        self._lease_hb_stop = stop
+        self._lease_hb_thread = hb
+        hb.start()
+
+    def _read_lock(self) -> dict | None:
+        """Current writer.lock payload, or None (no lock / unreadable
+        torn write — callers treat both as 'not provably ours')."""
+        try:
+            return self.get_sidecar(name="writer.lock")
+        except Exception:
+            return None
+
+    def _lease_heartbeat_loop(
+        self, stop: threading.Event, interval: float
+    ) -> None:
+        """Re-touch writer.lock every ``interval`` seconds while the
+        mutation runs, preserving ``acquired_unix`` and stamping
+        ``heartbeat_unix`` (atomic tmp+rename via put_sidecar). If the
+        lock has vanished or records another writer — i.e. an operator
+        broke a LIVE lease and someone re-acquired — stop touching
+        (the lock is not ours to stamp) and flag the theft so
+        release raises instead of deleting the new holder's lock."""
+        while not stop.wait(interval):
+            try:
+                lock = self._read_lock()
+                if lock is None or lock.get("writer_id") != self._writer_id:
+                    self._lease_lost = True
+                    return
+                lock["heartbeat_unix"] = int(time.time())
+                self.put_sidecar(lock, name="writer.lock")
+            except Exception:  # noqa: BLE001 — best-effort; next tick retries
+                pass
 
     def _release_lease(self) -> None:
         if self._lease_depth > 1:
@@ -343,16 +412,55 @@ class MapIndex:
             return
         self._lease_depth = 0
         self._lease_thread = None
+        # Stop the heartbeat BEFORE touching the lock: an in-flight
+        # touch racing the delete below could resurrect the lock file
+        # and block every future writer.
+        if self._lease_hb_stop is not None:
+            self._lease_hb_stop.set()
+            if self._lease_hb_thread is not None:
+                self._lease_hb_thread.join(timeout=60)
+            self._lease_hb_stop = None
+            self._lease_hb_thread = None
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
-        # Hadoop delete returns false instead of throwing; a silently
-        # undeleted lock would block every future writer (same
-        # swallowed-boolean class as the sidecar rename). A false
-        # return for an already-gone file (drop() removed the root) is
-        # fine — only "returned false AND still there" is an error.
+        # Delete ONLY a lock this handle still owns: after an operator
+        # break_lease()s a slow-but-live writer and a second writer
+        # acquires, an unconditional delete here would remove the
+        # SECOND writer's lock and silently readmit a third. A missing
+        # lock (drop() removed the root, or the lease was broken with
+        # no successor yet) releases cleanly but still raises when the
+        # heartbeat observed the theft — the caller must learn its
+        # mutation may have interleaved with the usurper's.
+        lock = self._read_lock()
+        stolen = self._lease_lost
+        self._lease_lost = False
+        if lock is not None and lock.get("writer_id") != self._writer_id:
+            raise ConcurrentWriterError(
+                f"index '{self.name}': writer.lock now records writer "
+                f"{lock.get('writer_id')} — this handle's lease was broken "
+                f"and re-acquired while its mutation ran; NOT deleting the "
+                f"new holder's lock. This mutation may have interleaved "
+                f"with theirs — verify the index (break_lease on a live "
+                f"holder is exactly this hazard)."
+            )
+        # lock is ours (id matched) or unreadable/torn (records no
+        # owner to protect, and leaving it would block every future
+        # writer): delete. Hadoop delete returns false instead of
+        # throwing; a silently undeleted lock would block every future
+        # writer (same swallowed-boolean class as the sidecar rename).
+        # A false return for an already-gone file (drop() removed the
+        # root) is fine — only "returned false AND still there" is an
+        # error.
         if not fs.delete(hpath, False) and fs.exists(hpath):
             raise IOError(
                 f"failed to release writer lease {self._lease_hpath}; "
                 "subsequent writers will be blocked until break_lease()"
+            )
+        if stolen:
+            raise ConcurrentWriterError(
+                f"index '{self.name}': this handle's lease was broken "
+                f"while its mutation ran (heartbeat found the lock gone "
+                f"or re-owned); the mutation may have interleaved with "
+                f"another writer — verify the index."
             )
 
     def break_lease(self) -> bool:
@@ -1165,6 +1273,8 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
             continue  # not an index namespace
         sidecars = {}
         lease_held = False
+        lease_age = None
+        lease_hb_age = None
         for child in fs.listStatus(status.getPath()):
             cname = child.getPath().getName()
             if cname == "writer.lock":
@@ -1183,6 +1293,19 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
                 sidecars[cname] = (meta or {}).get("type")
             except Exception:
                 sidecars[cname] = "unreadable"
+        if lease_held:
+            # Evidence for the break_lease decision: a live writer's
+            # heartbeat age stays ~LEASE_HEARTBEAT_SECS however long
+            # the mutation runs; a dead holder's grows without bound.
+            try:
+                lock = probe.get_sidecar(name="writer.lock") or {}
+                now = int(time.time())
+                acq = lock.get("acquired_unix")
+                hb = lock.get("heartbeat_unix", acq)
+                lease_age = (now - int(acq)) if acq is not None else None
+                lease_hb_age = (now - int(hb)) if hb is not None else None
+            except Exception:  # noqa: BLE001 — torn/unreadable lock
+                pass
         out.append(
             {
                 "name": name,
@@ -1193,6 +1316,8 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
                 ),
                 "sidecars": sidecars,
                 "lease_held": lease_held,
+                "lease_age_secs": lease_age,
+                "lease_heartbeat_age_secs": lease_hb_age,
             }
         )
     return sorted(out, key=lambda d: d["name"])

@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 from level_mapreduce_spark.engine.mapper import struct_order_cmp
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    """True when ``dt`` contains a MapType at any nesting depth (maps
+    are unorderable: default-comparator array_sort / xxhash64 over
+    them fail analysis)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 class Query:
     """Fluent, lazy pipeline over an index scan.
 
@@ -343,6 +356,16 @@ class Query:
                 F.collect_list(F.struct(*order_cols, vcol)),
                 struct_order_cmp(*order_cols),
             )
+            results = F.transform(collected, lambda s: s[vcol])
+        elif _contains_map(df.schema[vcol].dataType):
+            # No order columns AND a map-bearing value type: the
+            # default array_sort comparator fails analysis on MapType
+            # (INVALID_ORDERING_TYPE — maps are unorderable, so no
+            # deterministic value order exists here anyway). Collect
+            # unordered; callers needing determinism must carry the
+            # (doc_key, emit_pos) order columns, whose comparator
+            # above never inspects the value.
+            collected = F.collect_list(F.struct(vcol))
             results = F.transform(collected, lambda s: s[vcol])
         else:
             # struct-wrap so NULL values survive into the results

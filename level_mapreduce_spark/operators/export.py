@@ -83,23 +83,27 @@ def write_shuffled(
     # Manifest: per-shard row counts + an order-sensitive content hash
     # (the trainer-side integrity check: a re-export, a partial copy,
     # or a shard served out of order is detectable without re-reading
-    # the corpus). One tiny aggregation over what was just written —
-    # reading back ALSO verifies the write is complete and parseable.
+    # the corpus). Reading back ALSO verifies the write is complete
+    # and parseable. The hash must be computable with BOUNDED memory:
+    # at 100 TB a shard's key stream is gigabytes, so it can never be
+    # collected into one aggregation buffer. Instead each row is
+    # ranked within its shard's canonical order (window row_number —
+    # sort-based, spills) and the shard hash is a commutative XOR fold
+    # of xxhash64(rank, shuffle_key, id): order-sensitivity lives in
+    # the rank baked into every per-row hash, while the fold itself is
+    # O(1) state per shard. Any reorder permutes the rank assignment
+    # and flips the fold with overwhelming probability.
+    from pyspark.sql import Window
+
     written = docs.sparkSession.read.parquet(path)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     mani_rows = (
-        written.groupBy("shard")
+        written.withColumn("_rank", F.row_number().over(w))
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            # order-sensitive: hash of the sorted (shuffle_key, id)
-            # stream, so identical multisets in different order differ
-            F.xxhash64(
-                F.to_json(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("shuffle_key", F.col(id_col))
-                        )
-                    )
-                )
+            F.bit_xor(
+                F.xxhash64("_rank", "shuffle_key", F.col(id_col))
             ).alias("content_hash"),
         )
         .orderBy("shard")

@@ -321,3 +321,102 @@ def test_sidecar_replace_atomic_and_crash_tolerant(spark, store):
     idx.put_sidecar({"gen": 2})
     assert idx.get_sidecar() == {"gen": 2}
     assert not os.path.exists(tmp_path)
+
+
+def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
+    """VERDICT r8 #7: while a mutation runs, the holder re-touches
+    writer.lock every LEASE_HEARTBEAT_SECS, so a LIVE writer's
+    heartbeat keeps advancing (bounded age) while a DEAD holder's
+    freezes and its age grows — the evidence a break_lease decision
+    needs. list_indexes surfaces both ages."""
+    import time
+
+    from level_mapreduce_spark import list_indexes
+    from level_mapreduce_spark.engine import index as index_mod
+
+    monkeypatch.setattr(index_mod, "LEASE_HEARTBEAT_SECS", 0.2)
+    idx = kv_index(spark, store, "hb")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    idx._acquire_lease()  # long-running mutation stand-in
+    try:
+        time.sleep(1.2)
+        lock1 = idx._read_lock()
+        assert lock1["writer_id"] == idx._writer_id
+        assert lock1.get("heartbeat_unix") is not None
+        assert lock1["heartbeat_unix"] >= lock1["acquired_unix"]
+        ent = {d["name"]: d for d in list_indexes(spark, store)}["hb"]
+        assert ent["lease_held"] is True
+        assert ent["lease_age_secs"] is not None
+        assert ent["lease_heartbeat_age_secs"] is not None
+        assert ent["lease_heartbeat_age_secs"] <= ent["lease_age_secs"]
+        # live holder: heartbeat still advancing
+        time.sleep(2.5)
+        lock2 = idx._read_lock()
+        assert lock2["heartbeat_unix"] > lock1["heartbeat_unix"]
+        # dead holder: heartbeat stops, wall clock moves on — age grows
+        idx._lease_hb_stop.set()
+        idx._lease_hb_thread.join(timeout=10)
+        frozen = idx._read_lock()["heartbeat_unix"]
+        time.sleep(2.5)
+        assert idx._read_lock()["heartbeat_unix"] == frozen
+    finally:
+        idx._release_lease()
+    cat = {d["name"]: d for d in list_indexes(spark, store)}
+    assert cat["hb"]["lease_held"] is False
+    assert cat["hb"]["lease_age_secs"] is None
+
+
+def test_release_refuses_foreign_lock(spark, store):
+    """ADVICE r8: after an operator break_lease()s a slow-but-LIVE
+    writer and a second writer acquires, the first writer's release
+    must NOT delete the second writer's lock (that would readmit a
+    third concurrent writer) — it raises, and the successor's lease
+    survives until its own clean release."""
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    a = kv_index(spark, store, "steal")
+    a.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    b = kv_index(spark, store, "steal")
+    a._acquire_lease()
+    # operator wrongly breaks the LIVE holder's lease; b acquires
+    assert b.break_lease() is True
+    b._acquire_lease()
+    try:
+        try:
+            a._release_lease()
+            raise AssertionError("release deleted a foreign lock silently")
+        except ConcurrentWriterError as e:
+            assert "broken and re-acquired" in str(e)
+        lock = b._read_lock()
+        assert lock is not None and lock["writer_id"] == b._writer_id
+    finally:
+        b._release_lease()
+    assert b._read_lock() is None
+
+
+def test_acquire_readback_detects_lost_race(spark, store):
+    """On stores whose create-if-absent is NOT atomic (S3A without
+    conditional put, RawLocalFileSystem), two writers can both pass
+    create(); the post-create read-back then shows ONE surviving
+    writer_id and the loser must back off without considering itself
+    the holder (and without deleting the winner's lock)."""
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    a = kv_index(spark, store, "race")
+    # simulate losing the race: the read-back sees the other writer
+    a._read_lock = lambda: {"writer_id": "someone-else"}
+    try:
+        a._acquire_lease()
+        raise AssertionError("lost create race not detected")
+    except ConcurrentWriterError as e:
+        assert "race" in str(e)
+    assert a._lease_depth == 0 and a._lease_thread is None
+    del a._read_lock
+    # the surviving lock belongs to "the winner" — operator clears it
+    assert a.break_lease() is True

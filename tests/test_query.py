@@ -399,3 +399,31 @@ def test_group_limit_per_key(spark, store):
     # unbounded form unchanged
     full = {r["key"]: r["results"] for r in idx.query().group().df.collect()}
     assert len(full["a"]) == 5 and len(full["b"]) == 5
+
+
+def test_group_map_typed_value_without_order_cols(spark, store):
+    """group() over a map-bearing value WITHOUT (doc_key, emit_pos)
+    order columns must not fail analysis (the default array_sort
+    comparator rejects MapType — INVALID_ORDERING_TYPE); it collects
+    unordered, since no deterministic value order exists there
+    (ADVICE r8). With order columns present the comparator never
+    inspects the value, so that path is unaffected."""
+    from level_mapreduce_spark.engine.query import Query
+
+    df = spark.createDataFrame(
+        [("a", {"x": 1}), ("a", {"x": 2}), ("b", {"y": 3})],
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField(
+                    "value", T.MapType(T.StringType(), T.LongType())
+                ),
+            ]
+        ),
+    )
+    rows = Query(df).group().end()
+    got = {
+        r["key"]: sorted(sorted(m.items()) for m in r["results"])
+        for r in rows
+    }
+    assert got == {"a": [[("x", 1)], [("x", 2)]], "b": [[("y", 3)]]}
