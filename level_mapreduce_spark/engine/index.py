@@ -614,6 +614,8 @@ class MapIndex:
         emits = self._emits(live)
         self._write_segment(emits, epoch=0, mode="overwrite")
         _delete_path(self.spark, self.tombstones_path)
+        # a full rebuild supersedes any crashed partial-fold journal
+        self._clear_fold_intent()
         self._tomb_bytes_cache = None
         self.compaction_due = False
         if self._downstreams:
@@ -1111,6 +1113,7 @@ class MapIndex:
         old = P(self.segments_path + ".old")
         has_tmp, has_old = fs.exists(tmp), fs.exists(old)
         if not (has_tmp or has_old):
+            self._recover_fold(cleanup)
             return
         if fs.exists(seg_path):
             if cleanup:
@@ -1118,6 +1121,7 @@ class MapIndex:
                     fs.delete(tmp, True)
                 if has_old:
                     fs.delete(old, True)
+            self._recover_fold(cleanup)
             return
         if has_tmp:
             fs.rename(tmp, seg_path)
@@ -1126,6 +1130,201 @@ class MapIndex:
         elif has_old:
             fs.rename(old, seg_path)
         self._tomb_bytes_cache = None
+        # fold recovery AFTER the swap recovery: it renames into the
+        # (now restored) segments dir
+        self._recover_fold(cleanup)
+
+    # ------------------------------------------------- partial compaction
+
+    @property
+    def _fold_tmp_path(self) -> str:
+        # dot-prefixed so Spark's file index hides it from every read
+        # of segments/ while the folded copy is being written
+        return posixpath.join(self.segments_path, ".fold_tmp")
+
+    @property
+    def _fold_intent_name(self) -> str:
+        return "fold.json"
+
+    def _recover_fold(self, cleanup: bool = True) -> None:
+        """Roll an interrupted partial :meth:`compact` commit forward.
+
+        The partial-fold commit is journaled: ``fold.json`` (atomic
+        tmp+rename write) records the folded epoch list and target
+        epoch BEFORE any live directory is touched, and the folded
+        copy under ``segments/.fold_tmp`` is complete by construction
+        when the journal exists (the journal is written only after the
+        fold write succeeds). States:
+
+        - no journal: nothing in flight. A stray ``.fold_tmp`` is a
+          pre-commit abort — invisible to readers (dot-dir); write
+          paths (``cleanup=True``, lease held) delete it.
+        - journal + ``.fold_tmp``: crash during the commit (between
+          journal write and the rename). Roll FORWARD: delete any
+          remaining folded epoch dirs, rename the tmp in as
+          ``epoch={fold_max}``, drop the journal. Safe from the read
+          path too (precedent: _recover_swap's read-path roll-forward)
+          — racing recoverers' deletes are idempotent and the rename
+          is tolerated-failed when the destination already exists.
+        - journal, no ``.fold_tmp``: the rename happened (deletes
+          strictly precede it), or a full build/compact overwrote the
+          segment dir and superseded the fold — either way the journal
+          is stale cleanup; drop it and sweep dead tombstones.
+        """
+        intent = self.get_sidecar(name=self._fold_intent_name)
+        if intent is None:
+            if cleanup:
+                _delete_path(self.spark, self._fold_tmp_path)
+            return
+        fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        tmp = P(self._fold_tmp_path)
+        fold_max = int(intent["fold_max"])
+        dest = P(posixpath.join(self.segments_path, f"epoch={fold_max}"))
+        if fs.exists(tmp):
+            for e in intent["fold_epochs"]:
+                p = P(posixpath.join(self.segments_path, f"epoch={int(e)}"))
+                if fs.exists(p):
+                    fs.delete(p, True)
+            if not fs.rename(tmp, dest):
+                if not fs.exists(dest):
+                    raise IOError(
+                        f"fold recovery: failed to rename "
+                        f"{self._fold_tmp_path} -> epoch={fold_max}"
+                    )
+                # a racing recoverer renamed first; our tmp may remain
+                if fs.exists(tmp):
+                    fs.delete(tmp, True)
+        self._clear_fold_intent()
+        self._sweep_dead_tombstones()
+        self._tomb_bytes_cache = None
+
+    def _clear_fold_intent(self) -> None:
+        fs, hpath, _ = _hadoop_fs(
+            self.spark, posixpath.join(self.root, self._fold_intent_name)
+        )
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
+
+    def _sweep_dead_tombstones(self) -> None:
+        """Delete tombstone epochs that can no longer kill anything:
+        a tombstone at epoch T kills segment rows with epoch < T, so
+        once every remaining segment epoch is >= T the marker is pure
+        debris. (After a prefix fold this reclaims every tombstone up
+        to the fold target; after a suffix fold usually nothing — the
+        unfolded older epochs still need their guards.)"""
+        seg_epochs = _list_epochs(self.spark, self.segments_path)
+        if not seg_epochs:
+            return
+        floor = min(seg_epochs)
+        fs, _, jvm = _hadoop_fs(self.spark, self.tombstones_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        for t in _list_epochs(self.spark, self.tombstones_path):
+            if t <= floor:
+                fs.delete(
+                    P(posixpath.join(self.tombstones_path, f"epoch={t}")),
+                    True,
+                )
+        self._tomb_bytes_cache = None
+
+    def _compact_partial(self, fold_epochs: list[int]) -> "MapIndex":
+        """Fold a CONTIGUOUS run of epochs into one segment at
+        ``hi = max(fold_epochs)`` — the bounded LSM merge whose cost
+        tracks the folded epochs' bytes, never the index size.
+
+        Correctness: the fold applies exactly the tombstones with
+        ``tomb_epoch <= hi`` to the folded rows (kill iff
+        ``row.epoch < tomb_epoch`` — the read() predicate) and writes
+        the survivors at epoch ``hi``. Moving a survivor from ``e`` to
+        ``hi >= e`` can never change its liveness: for any tombstone
+        ``T <= hi`` the row survived (``e >= T``), so ``hi >= T``
+        still survives; any ``T > hi`` killed it before and still
+        does. Tombstones above ``hi`` are untouched; tombstones at or
+        below the MINIMUM remaining segment epoch are debris and are
+        swept. Time travel: snapshots below ``hi`` inside the folded
+        range are destroyed (rows moved to ``hi``); snapshots at or
+        above ``hi`` — and, for a suffix fold, snapshots below the
+        folded range — read identically.
+
+        Commit protocol (journal + roll-forward, :meth:`_recover_fold`):
+        write folded copy to ``segments/.fold_tmp`` (invisible to
+        readers) -> journal ``fold.json`` (atomic) -> delete folded
+        ``epoch=`` dirs -> rename tmp to ``epoch={hi}`` -> drop
+        journal -> sweep dead tombstones. A crash anywhere re-enters
+        through the journal. Unsynchronized readers racing the
+        metadata commit window (the deletes + rename — O(K) namenode
+        ops, no data IO) can observe a torn listing, the same class of
+        anomaly as reading during an update() append; writers are
+        lease-serialized and crash-consistent throughout.
+        """
+        lo, hi = min(fold_epochs), max(fold_epochs)
+        segs = (
+            self.spark.read.parquet(self.segments_path)
+            .where((F.col("epoch") >= lo) & (F.col("epoch") <= hi))
+        )
+        tomb_epochs = [
+            t
+            for t in _list_epochs(self.spark, self.tombstones_path)
+            if t <= hi
+        ]
+        if tomb_epochs:
+            tombs = (
+                self.spark.read.parquet(self.tombstones_path)
+                .where(F.col("epoch") <= hi)
+                .groupBy(DOC_KEY)
+                .agg(F.max("epoch").alias("tomb_epoch"))
+            )
+            if self._tomb_bytes() * 4 <= TOMBSTONE_BROADCAST_BYTES:
+                tombs = F.broadcast(tombs)
+            segs = segs.alias("s").join(
+                tombs.alias("t"),
+                (F.col(f"s.{DOC_KEY}") == F.col(f"t.{DOC_KEY}"))
+                & (F.col("s.epoch") < F.col("t.tomb_epoch")),
+                "left_anti",
+            )
+        folded = segs.drop("epoch")
+        _delete_path(self.spark, self._fold_tmp_path)
+        (
+            folded.repartitionByRange("index_key", DOC_KEY)
+            .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
+            .write.mode("overwrite")
+            .parquet(self._fold_tmp_path)
+        )
+        # COMMIT POINT: from here a crash rolls forward via the journal
+        self.put_sidecar(
+            {
+                "type": "fold-intent",
+                "fold_epochs": [int(e) for e in fold_epochs],
+                "fold_max": int(hi),
+            },
+            name=self._fold_intent_name,
+        )
+        fs, _, jvm = _hadoop_fs(self.spark, self.segments_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        for e in fold_epochs:
+            fs.delete(
+                P(posixpath.join(self.segments_path, f"epoch={int(e)}")),
+                True,
+            )
+        dest = P(posixpath.join(self.segments_path, f"epoch={int(hi)}"))
+        if not fs.rename(P(self._fold_tmp_path), dest):
+            # tolerated only when a racing read-path recoverer already
+            # rolled the commit forward (same-bytes rename)
+            if not fs.exists(dest):
+                raise IOError(
+                    f"compact(partial): failed to rename "
+                    f"{self._fold_tmp_path} -> epoch={hi}"
+                )
+        self._clear_fold_intent()
+        self._sweep_dead_tombstones()
+        self._tomb_bytes_cache = None
+        self.compaction_due = len(
+            _list_epochs(self.spark, self.segments_path)
+        ) >= AUTO_COMPACT_EPOCHS or (
+            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+        )
+        self._refresh_views()
+        return self
 
     @_writer
     def drop(self) -> None:
@@ -1183,27 +1382,57 @@ class MapIndex:
         }
 
     @_writer
-    def compact(self) -> "MapIndex":
-        """Fold all epochs + tombstones into a single segment set — the
-        LSM merge step (run by ``update()`` past the epoch/tombstone
-        thresholds when ``auto_compact``, else on the caller's schedule
-        when ``compaction_due``).
+    def compact(
+        self, max_epochs: int | None = None, tier: str = "oldest"
+    ) -> "MapIndex":
+        """Fold epochs + tombstones back together — the LSM merge step
+        (run by ``update()`` past the epoch/tombstone thresholds when
+        ``auto_compact``, else on the caller's schedule when
+        ``compaction_due``).
 
-        The folded segment keeps ``epoch = max(existing epochs)``, NOT
-        0: read() keeps rows where ``seg.epoch >= tomb_epoch``, so if a
-        crash lands after the segment swap but before tombstone cleanup,
-        the stale tombstones (all ``tomb_epoch <= max``) cannot kill any
+        ``max_epochs=None`` (default) is the FULL fold: every epoch
+        into a single segment set, all tombstones reclaimed — an
+        O(index) rewrite, fine at small scale, a multi-hour stall at
+        100 TB. ``max_epochs=K`` bounds the fold to K epochs so upkeep
+        is schedulable (cost tracks the folded epochs' bytes, never
+        the index size — measured by ``scripts/churn_probe.py``):
+
+        - ``tier="newest"`` — minor compaction: fold the K newest
+          epochs (the small fresh deltas) into one. Cheap, cuts read
+          amplification where it grows, retains every tombstone still
+          guarding older epochs, and preserves time travel below the
+          folded range. The steady-state upkeep mode for a large
+          index: the big base epoch is never rewritten.
+        - ``tier="oldest"`` — major step: fold the K oldest epochs
+          (including the base) and reclaim every tombstone at or below
+          the fold target. Run rarely, sized by how many epochs the
+          schedule can afford to rewrite.
+
+        Full-fold mechanics: the folded segment keeps ``epoch =
+        max(existing epochs)``, NOT 0: read() keeps rows where
+        ``seg.epoch >= tomb_epoch``, so if a crash lands after the
+        segment swap but before tombstone cleanup, the stale
+        tombstones (all ``tomb_epoch <= max``) cannot kill any
         compacted row — tombstone deletion is pure cleanup, not a
-        correctness step.
-
-        Swap order: write compacted → rename live dir aside → rename
-        compacted in → delete old. A crash anywhere in the window
-        leaves a state :meth:`_recover_swap` rolls forward (compacted
-        copy complete) or back (pre-swap copy) on the next
-        read/update/compact.
+        correctness step. Swap order: write compacted → rename live
+        dir aside → rename compacted in → delete old. A crash anywhere
+        in the window leaves a state :meth:`_recover_swap` rolls
+        forward (compacted copy complete) or back (pre-swap copy) on
+        the next read/update/compact. Partial-fold mechanics:
+        :meth:`_compact_partial` (journaled epoch-level commit,
+        :meth:`_recover_fold`).
         """
         self._recover_swap()
         epochs = _list_epochs(self.spark, self.segments_path)
+        if max_epochs is not None and 0 < max_epochs < len(epochs):
+            if tier not in ("oldest", "newest"):
+                raise ValueError(f"tier must be oldest|newest, got {tier!r}")
+            fold = (
+                epochs[:max_epochs]
+                if tier == "oldest"
+                else epochs[-max_epochs:]
+            )
+            return self._compact_partial(fold)
         keep_epoch = max(epochs) if epochs else 0
         live = self.read()
         tmp = self.segments_path + ".compacting"

@@ -11,6 +11,11 @@ index in two modes and prints one JSON line per mode:
 - ``compact_every_8``: an explicit ``compact()`` every 8 epochs (the
   off-hot-path schedule a large deployment would run).  Update time
   shows the periodic fold spikes; read time stays flat.
+- ``partial8_every_8``: minor compaction — ``compact(max_epochs=8,
+  tier="newest")`` folds only the young delta epochs, never the base
+  segment.  The closing ``fold_cost`` record times one more minor
+  fold against a FULL compact of the same index: the ratio is the
+  measured "fold cost tracks folded epochs, not index size" claim.
 
 Per batch we record: update seconds, read seconds (count_by_key
 materialized through the noop sink), and the live epoch count — so
@@ -43,7 +48,8 @@ from level_mapreduce_spark.engine.index import MapIndex, _list_epochs
 
 
 def run_mode(spark, orders, store: str, name: str, n_batches: int,
-             compact_every: int | None) -> dict:
+             compact_every: int | None,
+             partial_epochs: int | None = None) -> dict:
     idx = MapIndex(
         spark, name, q._orders_mapper(), store,
         doc_key="o_orderkey", auto_compact=False,
@@ -65,7 +71,13 @@ def run_mode(spark, orders, store: str, name: str, n_batches: int,
         compact_s = 0.0
         if compact_every and i % compact_every == 0:
             t0 = time.time()
-            idx.compact()
+            if partial_epochs:
+                # minor compaction: fold only the newest K epochs —
+                # the base segment is never rewritten, so the fold
+                # cost must track the folded deltas, not index size
+                idx.compact(max_epochs=partial_epochs, tier="newest")
+            else:
+                idx.compact()
             compact_s = time.time() - t0
 
         t0 = time.time()
@@ -80,10 +92,55 @@ def run_mode(spark, orders, store: str, name: str, n_batches: int,
             "read_s": round(read_s, 3),
         })
 
+    # bounded-fold evidence: at the end of the partial mode, time one
+    # more minor fold (fresh epochs) against a FULL compact of the
+    # same index — the partial fold touches only the young deltas
+    fold_cost = None
+    if partial_epochs:
+        from level_mapreduce_spark.engine.index import _path_bytes
+
+        for j in range(partial_epochs):
+            idx.update(
+                orders.where(F.col("o_orderkey") % 100 == 50 + j),
+                assume_unique=True,
+            )
+        eps = _list_epochs(spark, idx.segments_path)
+        by_epoch = {
+            e: _path_bytes(spark, f"{idx.segments_path}/epoch={e}")
+            for e in eps
+        }
+        total_bytes = sum(by_epoch.values())
+        fold_bytes = sum(by_epoch[e] for e in eps[-partial_epochs:])
+        t0 = time.time()
+        idx.compact(max_epochs=partial_epochs, tier="newest")
+        partial_s = time.time() - t0
+        t0 = time.time()
+        idx.compact()
+        full_s = time.time() - t0
+        fold_cost = {
+            # bytes the fold READS: the structural bound — a minor
+            # fold's input is the young deltas, a full fold's is the
+            # whole index (time at toy scale is job-overhead-bound;
+            # the byte ratio is what scales)
+            "partial_input_bytes": int(fold_bytes),
+            "full_input_bytes": int(total_bytes),
+            "input_ratio": round(fold_bytes / total_bytes, 4)
+            if total_bytes
+            else None,
+            "partial_newest_k_s": round(partial_s, 3),
+            "full_fold_s": round(full_s, 3),
+            "ratio": round(partial_s / full_s, 3) if full_s else None,
+        }
+
     updates = [p["update_s"] for p in curve]
     reads = [p["read_s"] for p in curve]
+    mode = "no_compact" if not compact_every else (
+        f"partial{partial_epochs}_every_{compact_every}" if partial_epochs
+        else f"compact_every_{compact_every}"
+    )
     return {
-        "mode": "no_compact" if not compact_every else f"compact_every_{compact_every}",
+        "mode": mode,
+        "fold_cost": fold_cost,
         "build_s": build_s,
         "batches": n_batches,
         "update_s_first4_mean": round(sum(updates[:4]) / 4, 3),
@@ -104,12 +161,13 @@ def main() -> None:
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     orders.count()  # warm file listing
 
-    for compact_every in (None, 8):
+    for compact_every, partial in ((None, None), (8, None), (8, 8)):
         store = tempfile.mkdtemp(prefix="lmr_churn_")
         try:
             out = run_mode(spark, orders, store,
-                           f"churn_{compact_every or 'no'}", n_batches,
-                           compact_every)
+                           f"churn_{compact_every or 'no'}_{partial or 'full'}",
+                           n_batches, compact_every,
+                           partial_epochs=partial)
             out["sf_dir"] = sf_dir
             print(json.dumps(out))
         finally:

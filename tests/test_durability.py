@@ -420,3 +420,183 @@ def test_acquire_readback_detects_lost_race(spark, store):
     del a._read_lock
     # the surviving lock belongs to "the winner" — operator clears it
     assert a.break_lease() is True
+
+
+def _epochs(idx):
+    from level_mapreduce_spark.engine.index import _list_epochs
+
+    return _list_epochs(idx.spark, idx.segments_path)
+
+
+def _tomb_epochs(idx):
+    from level_mapreduce_spark.engine.index import _list_epochs
+
+    return _list_epochs(idx.spark, idx.tombstones_path)
+
+
+def _churned_index(spark, store, name, n_docs=8, n_batches=6):
+    """base build + n_batches single-doc updates (one epoch each),
+    compaction deferred. Returns (idx, expected_live_rows)."""
+    idx = kv_index(spark, store, name)
+    idx.auto_compact = False
+    idx.build(
+        kv_df(
+            spark,
+            [
+                {"doc_key": f"d{i}", "k": chr(97 + i % 3), "v": float(i)}
+                for i in range(n_docs)
+            ],
+        ),
+        assume_unique=True,
+    )
+    expected = {
+        f"d{i}": (chr(97 + i % 3), float(i)) for i in range(n_docs)
+    }
+    for b in range(1, n_batches + 1):
+        doc = f"d{b % n_docs}"
+        if b == 3:
+            idx.update(
+                kv_df(spark, [{"doc_key": doc, "deleted": True}]),
+                assume_unique=True,
+            )
+            expected.pop(doc, None)
+        else:
+            idx.update(
+                kv_df(spark, [{"doc_key": doc, "k": "z", "v": 100.0 + b}]),
+                assume_unique=True,
+            )
+            expected[doc] = ("z", 100.0 + b)
+    exp_rows = sorted((d, k, v) for d, (k, v) in expected.items())
+    return idx, exp_rows
+
+
+def test_partial_compact_oldest_preserves_live_view(spark, store):
+    """compact(max_epochs=K, tier='oldest') folds only the oldest K
+    epochs: live rows identical before/after, epoch count drops by
+    K-1, tombstones at/below the fold target are reclaimed, and
+    further updates + a final full compact converge to the same
+    view."""
+    idx, exp = _churned_index(spark, store, "pc_old")
+    n0 = len(_epochs(idx))
+    assert n0 >= 5  # base + update epochs (delete-only batch adds none)
+    before = live_rows(idx)
+    assert before == exp
+
+    idx.compact(max_epochs=4, tier="oldest")
+    assert live_rows(idx) == before
+    eps = _epochs(idx)
+    assert len(eps) == n0 - 3  # 4 epochs folded into 1
+    # prefix fold reclaims every tombstone <= min remaining epoch
+    assert all(t > min(eps) for t in _tomb_epochs(idx))
+
+    # index remains fully operational: update, then full compact
+    idx.update(
+        kv_df(spark, [{"doc_key": "d0", "k": "q", "v": 7.0}]),
+        assume_unique=True,
+    )
+    idx.compact()
+    want = sorted([r for r in exp if r[0] != "d0"] + [("d0", "q", 7.0)])
+    assert live_rows(idx) == want
+    assert len(_epochs(idx)) == 1 and _tomb_epochs(idx) == []
+
+
+def test_partial_compact_newest_minor_fold(spark, store):
+    """tier='newest' (minor compaction): the big base epoch is NOT
+    rewritten — only the young epochs fold; live rows identical;
+    tombstones guarding the base survive; time travel below the folded
+    range still reads the old snapshot."""
+    idx, exp = _churned_index(spark, store, "pc_new")
+    n0 = len(_epochs(idx))
+    base_epoch_dir = idx.segments_path + "/epoch=0"
+    import os
+
+    base_files_before = sorted(os.listdir(base_epoch_dir))
+    snap1_before = sorted(
+        (r["doc_key"], r["index_key"], r["value"])
+        for r in idx.read(as_of_epoch=1).collect()
+    )
+    before = live_rows(idx)
+
+    idx.compact(max_epochs=3, tier="newest")
+    assert live_rows(idx) == before
+    assert sorted(os.listdir(base_epoch_dir)) == base_files_before
+    eps = _epochs(idx)
+    assert 0 in eps and len(eps) == n0 - 2  # 3 epochs folded into 1
+    # snapshots below the folded range are preserved
+    snap1_after = sorted(
+        (r["doc_key"], r["index_key"], r["value"])
+        for r in idx.read(as_of_epoch=1).collect()
+    )
+    assert snap1_after == snap1_before
+    # tombstones still guard the unfolded base (epoch 0 rows of
+    # changed docs must stay dead)
+    assert live_rows(idx) == before
+
+
+def test_partial_compact_crash_rolls_forward(spark, store):
+    """Crash-window coverage of the journaled partial-fold commit:
+    after the journal is written but before the epoch swap, the next
+    entry (read or write) rolls the fold forward from .fold_tmp and
+    the live view is intact."""
+    idx, exp = _churned_index(spark, store, "pc_crash")
+    n0 = len(_epochs(idx))
+    before = live_rows(idx)
+    fold = _epochs(idx)[:3]
+
+    # stage the fold by hand exactly as _compact_partial does, then
+    # "crash" before any delete/rename
+    from pyspark.sql import functions as F2
+
+    hi = max(fold)
+    segs = (
+        spark.read.parquet(idx.segments_path)
+        .where((F2.col("epoch") >= min(fold)) & (F2.col("epoch") <= hi))
+    )
+    tombs = (
+        spark.read.parquet(idx.tombstones_path)
+        .where(F2.col("epoch") <= hi)
+        .groupBy("doc_key")
+        .agg(F2.max("epoch").alias("tomb_epoch"))
+    )
+    survivors = segs.alias("s").join(
+        tombs.alias("t"),
+        (F2.col("s.doc_key") == F2.col("t.doc_key"))
+        & (F2.col("s.epoch") < F2.col("t.tomb_epoch")),
+        "left_anti",
+    ).drop("epoch")
+    survivors.write.mode("overwrite").parquet(idx._fold_tmp_path)
+    idx.put_sidecar(
+        {"type": "fold-intent", "fold_epochs": fold, "fold_max": hi},
+        name="fold.json",
+    )
+
+    # a FRESH handle (the post-crash process) reads: fold recovered
+    fresh = kv_index(spark, store, "pc_crash")
+    assert live_rows(fresh) == before
+    assert fresh.get_sidecar(name="fold.json") is None
+    assert len(_epochs(fresh)) == n0 - 2
+    import os
+
+    assert not os.path.exists(fresh._fold_tmp_path)
+
+    # and a crash AFTER the deletes/rename (journal left behind, tmp
+    # gone) is recognized as completed: journal dropped, view intact
+    fresh.put_sidecar(
+        {"type": "fold-intent", "fold_epochs": fold, "fold_max": hi},
+        name="fold.json",
+    )
+    again = kv_index(spark, store, "pc_crash")
+    assert live_rows(again) == before
+    assert again.get_sidecar(name="fold.json") is None
+
+
+def test_partial_compact_full_equivalence_under_churn(spark, store):
+    """Incremental maintenance + any interleaving of partial folds
+    converges to the same live view as never compacting at all."""
+    idx_a, exp = _churned_index(spark, store, "pc_eq_a", n_batches=10)
+    idx_b, _ = _churned_index(spark, store, "pc_eq_b", n_batches=10)
+    # interleave folds on b only
+    idx_b.compact(max_epochs=3, tier="newest")
+    idx_b.compact(max_epochs=2, tier="oldest")
+    idx_b.compact(max_epochs=4, tier="newest")
+    assert live_rows(idx_b) == live_rows(idx_a) == exp
