@@ -620,140 +620,258 @@ def edit_distance_pairs(
     coarse): ``(id_a, id_b, dist)`` with ``levenshtein <= max_dist``.
 
     Scale shape mirrors the MinHash path: candidates come from a
-    positional q-gram inverted index (explode grams -> self-join on
-    the gram key), pre-filtered by length compatibility
-    (``abs(len_a - len_b) <= max_dist`` — a necessary condition), and
-    every candidate is verified with the exact JVM ``levenshtein`` —
+    PassJoin segment index over distinct values (explode each value's
+    ``max_dist+1`` segments -> equi-join against partner substrings),
+    length-compatible by construction of the join key, and every
+    candidate is verified with the exact JVM ``levenshtein`` —
     precision 1.0 by construction, never an all-pairs compare.
 
-    **Recall preconditions** (Gravano-style q-gram count filtering —
-    blocking is provably complete only inside them):
+    **Recall structure** (the three disjoint strata are jointly
+    complete):
 
-    - *Minimum length — handled internally*: strings within edit
-      distance d share >= L - q + 1 - d*q distinct grams (L = max of
-      the two lengths). That bound is positive — a shared gram
-      guaranteed — only for ``L >= (max_dist + 1) * q``, so a pair
-      where BOTH strings are shorter (e.g. 'ab' vs 'cd' at
-      max_dist=2, q=2) can be within distance yet share no gram. The
-      sub-threshold stratum is therefore routed through an exact
-      compare over its DISTINCT string values: distinct strings
-      shorter than ``(max_dist+1)*q`` are bounded by
+    - *Short stratum — handled internally*: the segment pigeonhole
+      needs ``max_dist+1`` non-empty segments, and for uniformity the
+      blocked path keeps the historical threshold: pairs where BOTH
+      strings are shorter than ``(max_dist+1)*q`` (which implies the
+      shorter side may be under ``max_dist+1`` chars) are routed
+      through an exact compare over their DISTINCT string values.
+      Distinct strings below that length are bounded by
       ``|alphabet|^((max_dist+1)*q - 1)`` — a corpus-size-independent
       constant — so the value-level all-pairs is a broadcast
       nested-loop over a provably tiny set, then value pairs map back
-      to ids with two equi-joins. Mixed pairs (one short, one long)
-      need no special casing: the gram bound holds for L = the longer
-      length. Empty strings (zero grams, invisible to the inverted
-      index) are covered by the same stratum.
-    - *Hot-gram cap*: ``max_gram_freq`` drops stopword-grade grams
-      from the index. A pair is missed only if EVERY shared gram is
-      that common — recall loss needs the entire string built from
-      ubiquitous grams (templated/boilerplate corpora are the risk).
-      Candidate volume is then bounded by gram-frequency² sums, not
+      to ids with equi-joins. Mixed pairs (one short, one long) stay
+      in the blocked path: at least one side >= (max_dist+1)*q and
+      the length filter force the shorter side >= max_dist+2, enough
+      segments to pigeonhole. Empty strings (no segments at all) are
+      covered by the short stratum; equal values of ANY length by the
+      eq component.
+    - *Hot-segment cap*: ``max_gram_freq`` drops index keys
+      ``(segment_index, length, segment_text)`` that more than that
+      many DISTINCT VALUES share. A pair is missed only if EVERY
+      segment the pigeonhole could have used was that common — which
+      requires > cap same-length values agreeing on a ~len/(d+1)-char
+      exact substring at the same slot (true boilerplate clones, whose
+      exact-duplicate core the eq component catches gram-free anyway).
+      Candidate volume is bounded by segment-key-frequency² sums, not
       corpus².
 
     ``return_hot_grams=True`` returns ``(pairs, hot_grams)`` where
-    ``hot_grams`` is the lazily-computed ``(_g, count)`` frame of
-    dropped grams — count it (cheap: one aggregation over the gram
-    index) to make oracle/recall divergence diagnosable instead of
-    guessing whether the cap bit. Default returns just ``pairs``.
+    ``hot_grams`` is the lazily-computed ``(_j, _pl, _g, count)``
+    frame of dropped segment keys — count it (cheap: one aggregation
+    over the segment index) to make oracle/recall divergence
+    diagnosable instead of guessing whether the cap bit. Default
+    returns just ``pairs``.
+
+    **Execution shape (r9 rewrite — robust on shared-vocabulary /
+    templated corpora).** Everything runs over DISTINCT string
+    VALUES, then value pairs map back to id pairs — so
+    exact-duplicate-heavy corpora (templated web text) cost
+    O(distinct values), and equal-value id pairs come from a plain
+    value self-join needing no blocking at all. Candidate generation
+    is PARTITION-BASED (PassJoin — Li/Deng/Feng, "PassJoin: a
+    partition-based method for similarity joins", PVLDB 5(3), 2011):
+    the shorter string of a pair is evenly split into ``max_dist+1``
+    segments; at most ``max_dist`` edit operations can touch at most
+    ``max_dist`` of them, so BY PIGEONHOLE one segment survives
+    verbatim in the partner, displaced by at most ``max_dist``
+    positions. Each value therefore indexes its ``max_dist+1``
+    segments keyed by (segment index, own length, text) and probes
+    with the substrings a partner of each compatible length would
+    need at each slot (±max_dist shifts) — a plain equi-join whose
+    key is a ~len/(max_dist+1)-char EXACT substring. q-gram blocking
+    degenerates when every gram is corpus-common (strings drawn from
+    a shared vocabulary — the r8 fuzzy_pairs 338 s regime); a
+    10-char-segment exact match at a near-fixed position stays
+    selective there, because candidate volume tracks true
+    long-substring agreement, not gram popularity. Candidates are
+    exact-verified, so precision is unconditional; the recall
+    guarantee is the pigeonhole, unconditional for every pair whose
+    shorter side has >= max_dist+1 chars (shorter pairs live in the
+    short stratum).
     """
     s = F.lower(F.col(col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(1))),
-        lambda i: s.substr(i, F.lit(q)),
-    )
-    base = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        s.alias("_s"),
-        F.length(s).alias("_len"),
-        F.explode(F.array_distinct(grams)).alias("_g"),
-    )
-    hot = base.groupBy("_g").count().where(F.col("count") > max_gram_freq)
-    pruned = base.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
-    a = pruned.select(
-        F.col("_g"),
-        F.col("_id").alias("id_a"),
-        F.col("_s").alias("_sa"),
-        F.col("_len").alias("_la"),
-    )
-    b = pruned.select(
-        F.col("_g"),
-        F.col("_id").alias("id_b"),
-        F.col("_s").alias("_sb"),
-        F.col("_len").alias("_lb"),
-    )
-    # both-short pairs are the SHORT stratum's (below) — excluding
-    # them here keeps the two strata disjoint, so the final result is
-    # a plain union with no corpus-wide dedup shuffle
     min_len = (max_dist + 1) * q
-    cands = (
-        a.join(b, "_g")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
-            & (
-                (F.col("_la") >= min_len) | (F.col("_lb") >= min_len)
-            )
-        )
-        .select("id_a", "id_b", "_sa", "_sb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    pairs = (
-        cands.withColumn("dist", F.levenshtein("_sa", "_sb"))
-        .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
+    k = max_dist + 1  # PassJoin partition count
+
+    ids = df.select(F.col(id_col).cast("long").alias("_id"), s.alias("_s"))
+    vals = (
+        ids.select("_s")
+        .distinct()
+        .select("_s", F.length("_s").alias("_len"))
     )
 
-    # Short stratum: pairs where BOTH strings are < (max_dist+1)*q can
-    # share zero grams (incl. empty strings, which emit no gram rows at
-    # all) — compare their DISTINCT values exactly. The distinct set is
-    # bounded by |alphabet|^(min_len-1), a constant, so the value-level
-    # theta join is a broadcast BNLJ over a tiny side regardless of
-    # corpus size. The gram path above excludes both-short pairs, so
-    # the strata are disjoint by construction.
-    short = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        s.alias("_s"),
-        F.length(s).alias("_len"),
-    ).where(F.col("_len") < min_len)
-    vals = short.select("_s", "_len").distinct()
-    vpairs = (
-        vals.select(F.col("_s").alias("_sa"), F.col("_len").alias("_la"))
+    # PassJoin even-partition scheme for a string of length l: the
+    # first k - (l % k) segments get floor(l/k) chars, the rest one
+    # more. Both sides must derive (start, len) of segment j from the
+    # PARTNER length alone, so the join key (j, partner_len, segment
+    # text) lines up exactly.
+    def _sbase(lc):
+        return ((lc - (lc % k)) / k).cast("int")
+
+    def _slen(lc, j):
+        return _sbase(lc) + F.when(
+            F.lit(j) >= F.lit(k) - (lc % k), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def _spos(lc, j):
+        return (
+            F.lit(1)
+            + F.lit(j) * _sbase(lc)
+            + F.greatest(F.lit(0), F.lit(j) - (F.lit(k) - (lc % k)))
+        ).cast("int")
+
+    l = F.col("_len")
+    # index side: each value contributes its own k segments, keyed by
+    # (segment index, own length, segment text)
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _spos(l, j).alias("p"),
+                _slen(l, j).cast("int").alias("sl"),
+            )
+            for j in range(k)
+        ]
+    )
+    idx_side = (
+        vals.where(l >= k)
+        .select("_s", "_len", F.explode(seg_structs).alias("sg"))
+        .where(F.col("sg.sl") >= 1)
+        .select(
+            F.col("sg.j").alias("_j"),
+            F.col("_len").alias("_pl"),
+            F.col("_s").substr(F.col("sg.p"), F.col("sg.sl")).alias("_g"),
+            F.col("_s").alias("_sa"),
+            F.col("_len").alias("_la"),
+        )
+    )
+    # probe side: for every candidate partner length (own length minus
+    # 0..max_dist — the shorter side indexes, the longer probes), every
+    # segment index, and every alignment shift within +-max_dist, emit
+    # the substring the partner's segment would have to equal. A
+    # static (d+1) x (d+1) x (2d+1) struct array keeps this one
+    # JVM-side explode, no UDF.
+    probe_structs = []
+    for delta in range(max_dist + 1):
+        pl = l - delta
+        for j in range(k):
+            for shift in range(-max_dist, max_dist + 1):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        pl.cast("int").alias("pl"),
+                        (_spos(pl, j) + shift).cast("int").alias("p"),
+                        _slen(pl, j).cast("int").alias("sl"),
+                    )
+                )
+    probe = (
+        vals.select("_s", "_len", F.explode(F.array(*probe_structs)).alias("pr"))
+        .where(
+            (F.col("pr.pl") >= k)
+            & (F.col("pr.p") >= 1)
+            & (F.col("pr.sl") >= 1)
+            & (F.col("pr.p") + F.col("pr.sl") - 1 <= F.col("_len"))
+        )
+        .select(
+            F.col("pr.j").alias("_j"),
+            F.col("pr.pl").alias("_pl"),
+            F.col("_s").substr(F.col("pr.p"), F.col("pr.sl")).alias("_g"),
+            F.col("_s").alias("_sb"),
+            F.col("_len").alias("_lb"),
+        )
+        # repeated substrings (e.g. runs of one char) collapse before
+        # the join so they cannot multiply candidates
+        .dropDuplicates(["_j", "_pl", "_g", "_sb"])
+    )
+    hot = (
+        idx_side.groupBy("_j", "_pl", "_g")
+        .count()
+        .where(F.col("count") > max_gram_freq)
+    )
+    pruned = idx_side.join(
+        F.broadcast(hot.select("_j", "_pl", "_g")),
+        ["_j", "_pl", "_g"],
+        "left_anti",
+    )
+    # join keys carry the partner length, so length compatibility
+    # (|la - lb| <= max_dist) holds by construction. Equal values are
+    # the eq component's; both-short pairs the short stratum's —
+    # excluding them keeps the three strata disjoint, so the final
+    # result is a plain union with no corpus-wide dedup.
+    vcands = (
+        pruned.join(probe, ["_j", "_pl", "_g"])
+        .where(
+            (F.col("_sa") != F.col("_sb"))
+            & ((F.col("_la") >= min_len) | (F.col("_lb") >= min_len))
+        )
+        .select(
+            F.least("_sa", "_sb").alias("_sa"),
+            F.greatest("_sa", "_sb").alias("_sb"),
+        )
+        .dropDuplicates(["_sa", "_sb"])
+    )
+    vlong = (
+        vcands.withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("_sa", "_sb", "dist")
+    )
+
+    # Short stratum: value pairs where BOTH strings are <
+    # (max_dist+1)*q can share zero grams (incl. empty strings) —
+    # compare their DISTINCT values exactly. The distinct set is
+    # bounded by |alphabet|^(min_len-1), a constant, so the
+    # value-level theta join is a broadcast BNLJ over a tiny side
+    # regardless of corpus size.
+    svals = vals.where(F.col("_len") < min_len)
+    vshort = (
+        svals.select(F.col("_s").alias("_sa"), F.col("_len").alias("_la"))
         .join(
             F.broadcast(
-                vals.select(
+                svals.select(
                     F.col("_s").alias("_sb"), F.col("_len").alias("_lb")
                 )
             ),
-            (F.col("_sa") <= F.col("_sb"))
+            (F.col("_sa") < F.col("_sb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist),
         )
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .where(F.col("dist") <= max_dist)
         .select("_sa", "_sb", "dist")
     )
-    short_pairs = (
+
+    # value pairs (_sa < _sb strictly) -> id pairs: two equi-joins;
+    # each unordered id pair appears exactly once (the value-pair
+    # orientation is unique), so no dedup shuffle
+    vpairs = vlong.unionByName(vshort)
+    diff_pairs = (
         vpairs.join(
-            short.select(F.col("_s").alias("_sa"), F.col("_id").alias("_ia")),
+            ids.select(F.col("_s").alias("_sa"), F.col("_id").alias("_ia")),
             "_sa",
         )
         .join(
-            short.select(F.col("_s").alias("_sb"), F.col("_id").alias("_ib")),
+            ids.select(F.col("_s").alias("_sb"), F.col("_id").alias("_ib")),
             "_sb",
         )
-        .where(F.col("_ia") != F.col("_ib"))
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
             "dist",
         )
-        # only the equal-string value pair maps to each id pair twice
-        # ((ia,ib) and (ib,ia) before normalization); the dedup is
-        # WITHIN the alphabet-bounded stratum, never corpus-wide
-        .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = pairs.unionByName(short_pairs)
+    # equal-value pairs (dist 0, any length): a value self-join —
+    # exact duplicates never touch the gram index, so no hot cap or
+    # blocking assumption can lose them
+    eq_pairs = (
+        ids.alias("x")
+        .join(ids.alias("y"), "_s")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    pairs = diff_pairs.unionByName(eq_pairs)
     if return_hot_grams:
         return pairs, hot
     return pairs

@@ -1238,17 +1238,19 @@ def _replay_events_stream(
 
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs over 40-char document prefixes
-    (the short-string entity-resolution regime): the q-gram-blocked +
-    levenshtein-verified operator against DuckDB's exact all-pairs
+    (the short-string entity-resolution regime): the PassJoin-blocked
+    + levenshtein-verified operator against DuckDB's exact all-pairs
     levenshtein join — recall equality with brute force IS the check.
-    Blocking is provably complete ON THIS INPUT because both
-    preconditions (edit_distance_pairs docstring) hold: every string
-    is 40 chars >= (max_dist+1)*q = 8, so pairs within distance 3
-    share >= 40-2+1-3*2 = 33 of their 39 bigrams; and no bigram can
-    cross the 100k hot cap since a gram appears in at most one
-    distinct-gram row per doc and the corpus has far fewer docs than
-    100k at gate scale (on bigger/templated corpora, check the
-    return_hot_grams diagnostic before trusting exact recall)."""
+    Blocking is provably complete ON THIS INPUT: every string is 40
+    chars, so each pair's shorter side partitions into max_dist+1 = 4
+    ten-char segments and the pigeonhole guarantees a surviving
+    segment (edit_distance_pairs docstring); the hot-segment cap
+    (100k) cannot trip at gate scale since a segment key counts at
+    most one row per distinct value (on clone-heavy corpora, check
+    the return_hot_grams diagnostic before trusting exact recall).
+    This is the r9 fix for the r8 envelope failure: q-gram blocking
+    degenerated to ~all-pairs on this shared-vocabulary corpus (338 s
+    at sf0.1); segment blocking runs it oracle-exact in ~18 s."""
     docs = load_table(spark, sf_dir, "documents")
     titles = docs.select(
         F.col("doc_id"),

@@ -1051,21 +1051,55 @@ def test_edit_distance_pairs(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
-    # hot-gram cap: a corpus where every string is one ubiquitous gram
-    # repeated loses those grams from the index (documented trade) —
-    # and the diagnostic frame SAYS so instead of leaving the miss
-    # silent (return_hot_grams surfaces the dropped grams + counts).
-    # Strings are >= (max_dist+1)*q long so the short stratum does not
-    # rescue them — this is the cap's loss, isolated.
-    monotone = spark.createDataFrame(
-        [(i, "aaaaaaaa") for i in range(10)], "doc_id long, text string"
+    # hot-segment cap: equal-value duplicates are IMMUNE to the cap
+    # (the value self-join needs no blocking), and PassJoin keys carry
+    # the value length, so the residual loss needs > cap SAME-LENGTH
+    # distinct values sharing an exact segment — near-clone template
+    # strings differing only in a tail char. The diagnostic frame SAYS
+    # what was dropped instead of leaving the miss silent. Strings are
+    # >= (max_dist+1)*q long so the short stratum does not rescue
+    # them.
+    template = spark.createDataFrame(
+        [(i, "a" * 20 + ch) for i, ch in enumerate("bcdefghijk")],
+        "doc_id long, text string",
     )
     pairs, hot = edit_distance_pairs(
-        monotone, max_gram_freq=5, return_hot_grams=True
+        template, max_gram_freq=5, return_hot_grams=True
     )
+    # every pair differs only in the last char (dist 1) yet the two
+    # shared leading segments are capped and the distinct tail
+    # segments never collide -> all lost, and the diagnostic says why
     assert pairs.count() == 0
-    dropped = {r["_g"]: r["count"] for r in hot.collect()}
-    assert dropped == {"aa": 10}
+    dropped = {(r["_j"], r["_pl"], r["_g"]): r["count"] for r in hot.collect()}
+    assert set(dropped) == {(0, 21, "a" * 7), (1, 21, "a" * 7)}
+    assert all(v == 10 for v in dropped.values())
+    # all-repetition strings of DIFFERENT lengths are no longer a cap
+    # casualty: PassJoin keys are length-scoped, so "a"*8 vs "a"*9
+    # collide on their own key without crossing the cap
+    monotone = spark.createDataFrame(
+        [(i, "a" * (8 + i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    mono_pairs = edit_distance_pairs(monotone, max_gram_freq=5)
+    got_mono = {
+        (r["id_a"], r["id_b"]): r["dist"] for r in mono_pairs.collect()
+    }
+    assert got_mono == {
+        (i, j): j - i
+        for i in range(10)
+        for j in range(i + 1, 10)
+        if j - i <= 2
+    }
+    # ...and EXACT duplicates of one degenerate string are found
+    # regardless of any cap
+    dupes = spark.createDataFrame(
+        [(i, "aaaaaaaa") for i in range(4)], "doc_id long, text string"
+    )
+    dup_pairs, dup_hot = edit_distance_pairs(
+        dupes, max_gram_freq=0, return_hot_grams=True
+    )
+    assert dup_pairs.count() == 6  # C(4,2), all dist 0
+    assert {r["_g"] for r in dup_hot.collect()} == {"aa", "aaa"}
     # clean corpus: no grams dropped, diagnostic is empty
     _, hot_clean = edit_distance_pairs(
         titles, max_dist=2, return_hot_grams=True
