@@ -157,6 +157,62 @@ def _overwrite_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     return _cached(spark, sf_dir, "orders_ovw", build)
 
 
+def _overwrite_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
+    """Same final state as :func:`_overwrite_index`, but the update
+    batch arrives through the STREAMING maintenance path — the change
+    batch is staged as files, read back with ``readStream``, and
+    applied by ``stream_into`` (``writeStream.foreachBatch`` ->
+    ``update()``, availableNow trigger). The reference Index IS a
+    change-stream sink (index.js:121, 173); this drives the actual
+    writeStream wrapper through the driver's oracle gate instead of
+    leaving it pytest-only (VERDICT r8 #3)."""
+
+    def build():
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tf
+
+        from level_mapreduce_spark.streaming.sink import stream_into
+
+        orders = load_table(spark, sf_dir, "orders")
+        idx = MapIndex(
+            spark,
+            f"orders_ovw_st_{abs(hash(sf_dir)) % 10**8}",
+            _orders_mapper(),
+            _store(),
+            doc_key="o_orderkey",
+        )
+        idx.build(orders, assume_unique=True)
+        upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        )
+        work = _tf.mkdtemp(prefix="lmr_gate_ovw_stream_")
+        try:
+            src = _os.path.join(work, "src")
+            upd.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(upd.schema).parquet(src)
+            q = stream_into(
+                idx,
+                stream,
+                checkpoint=_os.path.join(work, "ckpt"),
+                available_now=True,
+                # o_orderkey is unique corpus-wide, so unique within
+                # any micro-batch split availableNow chooses
+                assume_unique=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming overwrite gate did not drain within "
+                    "300 s; refusing to serve a partially-updated index"
+                )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+        return idx
+
+    return _cached(spark, sf_dir, "orders_ovw_stream", build)
+
+
 def _chained_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     """A: orders->(priority, price); B consumes A's output docs and
     re-keys each pair as 'by_'||key (reference pipe, index.js:250-253).
@@ -546,8 +602,24 @@ def q_tombstone(spark, sf_dir):
 
 
 def q_overwrite(spark, sf_dir):
-    """Operator #2: incremental overwrite (delete-old-emits + insert)."""
-    return _overwrite_index(spark, sf_dir).read().select("index_key", "value")
+    """Operator #2: incremental overwrite (delete-old-emits + insert),
+    in BOTH maintenance realizations as a tagged union: 'batch' =
+    direct update(), 'stream' = the same change batch applied through
+    the writeStream.foreachBatch sink (stream_into, availableNow).
+    Identical rows under both tags prove the streaming wrapper
+    converges to the batch semantics — gate-checked, not just
+    pytest-replayed."""
+    batch = (
+        _overwrite_index(spark, sf_dir)
+        .read()
+        .select(F.lit("batch").alias("variant"), "index_key", "value")
+    )
+    stream = (
+        _overwrite_stream_index(spark, sf_dir)
+        .read()
+        .select(F.lit("stream").alias("variant"), "index_key", "value")
+    )
+    return batch.unionByName(stream)
 
 
 def q_chained(spark, sf_dir):
@@ -2094,9 +2166,14 @@ ORACLES: dict[str, str] = {
       FROM orders
     """,
     "overwrite": """
-      SELECT o_orderpriority AS index_key,
+      SELECT 'batch' AS variant, o_orderpriority AS index_key,
              CASE WHEN o_orderkey % 10 = 0
                   THEN o_totalprice * 1.5 ELSE o_totalprice END AS value
+      FROM orders
+      UNION ALL
+      SELECT 'stream', o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice * 1.5 ELSE o_totalprice END
       FROM orders
     """,
     "chained_index": """
