@@ -221,6 +221,7 @@ def cosine_neardup_pairs_blocked(
     threshold: float = 0.95,
     max_rows: int = 2_000_000,
     matrix_dir: str | None = None,
+    small_rows: int = 32_768,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiply — the
     vectorized Arrow path for the same result as
@@ -244,25 +245,25 @@ def cosine_neardup_pairs_blocked(
     may differ in the last digit (BLAS pairwise summation vs
     sequential fold), so the DuckDB-oracle query keeps the expression
     form.
+
+    Corpora at or below ``small_rows`` take a FAST PATH: the
+    normalized matrix is collected (bounded — <= small_rows x dim
+    doubles, ~16 MB at the default) and shipped as a Spark broadcast
+    instead of staged through parquet, so a small batch pays no write
+    + re-read + per-worker file load. The per-pair arithmetic is
+    bit-identical either way (each sim is one dot product; the
+    staging only changes how workers obtain the reference matrix).
+    Above the threshold the distributed staging keeps the driver out
+    of the data path entirely.
     """
     import tempfile
 
     spark = embeddings.sparkSession
-    n = embeddings.count()
-    if n > max_rows:
-        raise ValueError(
-            f"corpus has {n} rows > max_rows={max_rows}: the dense "
-            "reference matrix would not fit executor memory — use "
-            "cosine_neardup_pairs_lsh (bucketed, never dense) instead"
-        )
     sides = _with_norm(embeddings)
     normalized = sides.select(
         "vec_id",
         F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
     )
-    path = tempfile.mkdtemp(prefix="lmr_blocked_", dir=matrix_dir)
-    normalized.write.mode("overwrite").parquet(path)
-
     n_part = spark.sparkContext.defaultParallelism
     out_schema = T.StructType(
         [
@@ -272,11 +273,11 @@ def cosine_neardup_pairs_blocked(
         ]
     )
 
-    def block(pdfs):
+    def _pairs_block(pdfs, get_matrix):
         import numpy as np
         import pandas as pd
 
-        all_ids, all_m = _load_matrix(path)
+        all_ids, all_m = get_matrix()
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -297,6 +298,53 @@ def cosine_neardup_pairs_blocked(
                     "sim": s[ii, jj][keep],
                 }
             )
+
+    # single size+content probe: limit(small_rows+1) both decides the
+    # path and, when small, IS the collected matrix — one job instead
+    # of a count job followed by a collect job
+    rows = (
+        normalized.limit(small_rows + 1).collect() if small_rows > 0 else None
+    )
+    if rows is not None and len(rows) <= small_rows:
+        import numpy as np
+
+        if rows:
+            mat = (
+                np.array([r["vec_id"] for r in rows], dtype=np.int64),
+                np.array(
+                    [r["_u"] for r in rows], dtype=np.float64
+                ).reshape(len(rows), -1),
+            )
+        else:
+            mat = (np.empty(0, dtype=np.int64), np.empty((0, 1)))
+        bcast = spark.sparkContext.broadcast(mat)
+
+        def block_small(pdfs):
+            yield from _pairs_block(pdfs, lambda: bcast.value)
+
+        # the probe rows are already on the driver — re-parallelize
+        # them instead of recomputing the normalization over the
+        # source. createDataFrame slices the local rows across the
+        # default parallelism at source, so no repartition stage is
+        # needed: the whole fast path is one probe job + one
+        # single-stage compute job.
+        stream = spark.createDataFrame(
+            rows, schema="vec_id long, _u array<double>"
+        )
+        return stream.mapInPandas(block_small, schema=out_schema)
+
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"corpus has {n} rows > max_rows={max_rows}: the dense "
+            "reference matrix would not fit executor memory — use "
+            "cosine_neardup_pairs_lsh (bucketed, never dense) instead"
+        )
+    path = tempfile.mkdtemp(prefix="lmr_blocked_", dir=matrix_dir)
+    normalized.write.mode("overwrite").parquet(path)
+
+    def block(pdfs):
+        yield from _pairs_block(pdfs, lambda: _load_matrix(path))
 
     stream = spark.read.parquet(path)
     return stream.repartition(n_part, "vec_id").mapInPandas(

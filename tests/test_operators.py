@@ -278,6 +278,25 @@ def test_blocked_neardup_matches_expression(spark, emb):
     for k in expr:
         assert abs(expr[k] - blocked[k]) <= 1e-5, (k, expr[k], blocked[k])
 
+    # small-batch fast path (default small_rows): the reference matrix
+    # travels as a broadcast, NOT through a parquet staging dir — the
+    # plan must not scan any lmr_blocked_ staging path...
+    fast_df = cosine_neardup_pairs_blocked(emb, threshold=0.42)
+    fast_plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "lmr_blocked_" not in fast_plan
+    # ...while forcing small_rows=0 takes the staged path (the 100 TB
+    # shape), scanning the staged matrix — and both paths agree
+    # bit-for-bit
+    staged_df = cosine_neardup_pairs_blocked(
+        emb, threshold=0.42, small_rows=0
+    )
+    staged_plan = staged_df._jdf.queryExecution().executedPlan().toString()
+    assert "lmr_blocked_" in staged_plan
+    staged = {
+        (r["vec_id_a"], r["vec_id_b"]): r["sim"] for r in staged_df.collect()
+    }
+    assert staged == blocked
+
 
 def test_hll_sketch_error_bound(spark, sf_dir):
     """approx_count_distinct's HLL++ estimate must land within 5% of
