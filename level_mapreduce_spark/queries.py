@@ -134,6 +134,54 @@ def _tombstone_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     return _cached(spark, sf_dir, "orders_tomb", build)
 
 
+def _tombstone_compacted_index(spark: SparkSession, sf_dir: str) -> MapIndex:
+    """The partial-compaction gate twin (r9): replays the tombstone
+    scenario, layers two overwrite epochs on top, then folds the
+    epochs with BOTH partial tiers — a minor (newest-K) fold that must
+    retain the tombstones guarding the unfolded base, then a major
+    (oldest-K) fold that reclaims them — before the entry reads the
+    result. The final rows must equal the never-compacted semantics,
+    proving the bounded fold preserves the read view through the
+    driver's hash gate (engine/index.py::_compact_partial)."""
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders")
+        idx = MapIndex(
+            spark,
+            f"orders_tombc_{abs(hash(sf_dir)) % 10**8}",
+            _orders_mapper(),
+            _store(),
+            doc_key="o_orderkey",
+            auto_compact=False,
+        )
+        idx.build(orders, assume_unique=True)
+        dels = orders.where(F.col("o_orderstatus") == "F").withColumn(
+            "deleted", F.lit(True)
+        )
+        idx.update(dels, assume_unique=True)
+        idx.delete_range(start="4", end="6")
+        # two overwrite epochs (each re-creates its slice, deleted or
+        # not — update() semantics) so the segment store holds a base
+        # epoch plus two deltas for the folds to work on
+        idx.update(
+            orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.5
+            ),
+            assume_unique=True,
+        )
+        idx.update(
+            orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2.0
+            ),
+            assume_unique=True,
+        )
+        idx.compact(max_epochs=2, tier="newest")  # fold the two deltas
+        idx.compact(max_epochs=2, tier="oldest")  # fold base + delta
+        return idx
+
+    return _cached(spark, sf_dir, "orders_tombc", build)
+
+
 def _overwrite_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     """Build, then overwrite every 10th order with a re-priced doc
     (incremental maintenance, reference index.js:182-186, 232-242)."""
@@ -584,9 +632,13 @@ def q_tombstone(spark, sf_dir):
       post-'F'-delete / pre-range-delete snapshot.
     - ``asof_build``: ``read(as_of_epoch=0)`` time-travel to the
       initial build — proves later tombstones don't leak backwards.
+    - ``partial_compact`` (r9): the same scenario + two overwrite
+      epochs on a TWIN index, folded by a newest-tier then an
+      oldest-tier bounded compaction before reading — gates
+      engine/index.py::_compact_partial's view preservation.
 
-    Every variant is a partition-pruned epoch filter over the same
-    stored segments; all three are oracle-exact in SQL."""
+    The first three variants are partition-pruned epoch filters over
+    the same stored segments; all four are oracle-exact in SQL."""
     idx = _tombstone_index(spark, sf_dir)
 
     def tag(df, v):
@@ -594,10 +646,16 @@ def q_tombstone(spark, sf_dir):
             F.lit(v).alias("variant"), "index_key", "value"
         )
 
+    cidx = _tombstone_compacted_index(spark, sf_dir)
     return (
         tag(idx.read(), "current")
         .unionByName(tag(idx.read(as_of_epoch=1), "asof_tombstone"))
         .unionByName(tag(idx.read(as_of_epoch=0), "asof_build"))
+        # r9: same scenario + two overwrite epochs, folded with BOTH
+        # partial-compaction tiers before reading — the bounded fold
+        # must preserve the read view (docstring of
+        # _tombstone_compacted_index)
+        .unionByName(tag(cidx.read(), "partial_compact"))
     )
 
 
@@ -2338,6 +2396,18 @@ ORACLES: dict[str, str] = {
       UNION ALL
       SELECT 'asof_build', o_orderpriority, o_totalprice
       FROM orders
+      UNION ALL
+      -- partial_compact: the same deletes plus two overwrite epochs
+      -- (x1.5 for key%10=0, then x2.0 for key%7=0 — last wins), the
+      -- whole stack folded by a newest-tier then an oldest-tier
+      -- partial compaction; the fold must preserve this exact view
+      SELECT 'partial_compact', o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.5
+                  ELSE o_totalprice END
+      FROM orders
+      WHERE o_orderkey % 7 = 0 OR o_orderkey % 10 = 0
+         OR (o_orderstatus <> 'F' AND o_orderpriority < '4')
     """,
     "overwrite": """
       SELECT 'batch' AS variant, o_orderpriority AS index_key,
