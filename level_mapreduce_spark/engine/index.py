@@ -692,11 +692,9 @@ class MapIndex:
         )
         self._tomb_bytes_cache = None
 
-        self.compaction_due = epoch >= AUTO_COMPACT_EPOCHS or (
-            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-        )
+        self._set_compaction_due()
         if self.compaction_due and self.auto_compact:
-            self.compact()  # refreshes views itself
+            self._auto_fold()  # refreshes views itself
         else:
             self._refresh_views()
 
@@ -704,6 +702,47 @@ class MapIndex:
         for down in self._downstreams:
             down.update(feed, assume_unique=True)
         return feed
+
+    def _set_compaction_due(self) -> None:
+        """Maintenance flag from LIVE storage state, not the write
+        counter. (The pre-r9 form compared the monotonically growing
+        epoch NUMBER against AUTO_COMPACT_EPOCHS, which stays true
+        forever once the counter passes the threshold — with
+        auto_compact on, every batch after the 24th paid a full
+        O(index) rewrite.)"""
+        n_seg = len(_list_epochs(self.spark, self.segments_path))
+        n_tomb = len(_list_epochs(self.spark, self.tombstones_path))
+        # tombstone epochs get a HIGHER threshold than segment epochs:
+        # minor folds cannot reduce them (they still guard the
+        # unfolded base), so counting them against the segment
+        # threshold would re-trigger maintenance every batch; only
+        # the occasional full fold reclaims them
+        self.compaction_due = (
+            n_seg >= AUTO_COMPACT_EPOCHS
+            or n_tomb >= 4 * AUTO_COMPACT_EPOCHS
+            or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+        )
+
+    def _auto_fold(self) -> None:
+        """Tiered inline maintenance for ``auto_compact=True``: while
+        the pressure is segment read amplification, MINOR-fold the
+        delta epochs (base epoch untouched — cost tracks the deltas,
+        the scale-safe default); escalate to the full fold only when
+        the tombstone side itself is the pressure (bytes past the
+        broadcast budget, or tombstone epoch count at the threshold)
+        — reclaiming those requires a prefix/full fold. Large
+        deployments still pass ``auto_compact=False`` and schedule
+        :meth:`compact` off the hot path themselves."""
+        seg = _list_epochs(self.spark, self.segments_path)
+        tomb = _list_epochs(self.spark, self.tombstones_path)
+        if (
+            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+            or len(tomb) >= 4 * AUTO_COMPACT_EPOCHS
+            or len(seg) < 3
+        ):
+            self.compact()
+        else:
+            self.compact(max_epochs=len(seg) - 1, tier="newest")
 
     @_writer
     def delete_range(
@@ -751,12 +790,9 @@ class MapIndex:
                 .parquet(self.tombstones_path)
             )
             self._tomb_bytes_cache = None
-            self.compaction_due = (
-                epoch >= AUTO_COMPACT_EPOCHS
-                or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-            )
+            self._set_compaction_due()
             if self.compaction_due and self.auto_compact:
-                self.compact()  # refreshes views itself
+                self._auto_fold()  # refreshes views itself
             else:
                 self._refresh_views()
             # downstream propagation consumes the feed eagerly (their
@@ -1318,11 +1354,7 @@ class MapIndex:
         self._clear_fold_intent()
         self._sweep_dead_tombstones()
         self._tomb_bytes_cache = None
-        self.compaction_due = len(
-            _list_epochs(self.spark, self.segments_path)
-        ) >= AUTO_COMPACT_EPOCHS or (
-            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-        )
+        self._set_compaction_due()
         self._refresh_views()
         return self
 

@@ -600,3 +600,64 @@ def test_partial_compact_full_equivalence_under_churn(spark, store):
     idx_b.compact(max_epochs=2, tier="oldest")
     idx_b.compact(max_epochs=4, tier="newest")
     assert live_rows(idx_b) == live_rows(idx_a) == exp
+
+
+def test_auto_compact_is_tiered_and_counter_bug_fixed(spark, store, monkeypatch):
+    """auto_compact=True maintenance is tiered (r9): crossing the
+    epoch threshold minor-folds the DELTA epochs (base untouched),
+    the due flag derives from live storage state — NOT the monotonic
+    epoch counter, which in the r8 form stayed past the threshold
+    forever and forced a full O(index) rewrite on EVERY subsequent
+    batch — and tombstone pressure escalates to the full fold."""
+    import os
+
+    from level_mapreduce_spark.engine import index as index_mod
+
+    monkeypatch.setattr(index_mod, "AUTO_COMPACT_EPOCHS", 6)
+    idx = kv_index(spark, store, "tiered")
+    idx.build(
+        kv_df(
+            spark,
+            [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(6)],
+        ),
+        assume_unique=True,
+    )
+    expected = {f"d{i}": ("a", float(i)) for i in range(6)}
+    base_dir = idx.segments_path + "/epoch=0"
+    base_files = sorted(os.listdir(base_dir))
+
+    epoch_counts = []
+    for b in range(1, 13):
+        idx.update(
+            kv_df(spark, [{"doc_key": f"d{b % 6}", "k": "b", "v": 100.0 + b}]),
+            assume_unique=True,
+        )
+        expected[f"d{b % 6}"] = ("b", 100.0 + b)
+        epoch_counts.append(len(_epochs(idx)))
+
+    # bounded read amplification: never grows past the threshold + 1
+    assert max(epoch_counts) <= 7
+    # r8 counter bug regression: after the first fold the count must
+    # GROW again across batches (a fold is NOT happening every batch)
+    post_fold = epoch_counts[6:]
+    assert any(b > a for a, b in zip(post_fold, post_fold[1:]))
+    # minor folds never rewrote the base epoch
+    assert sorted(os.listdir(base_dir)) == base_files
+    # tombstones are retained by minor folds (they guard the base)
+    assert _tomb_epochs(idx)
+    assert live_rows(idx) == sorted(
+        (d, k, v) for d, (k, v) in expected.items()
+    )
+
+    # tombstone pressure escalates to the FULL fold: everything
+    # reclaimed, single epoch, view preserved
+    monkeypatch.setattr(index_mod, "TOMBSTONE_BROADCAST_BYTES", 1)
+    idx.update(
+        kv_df(spark, [{"doc_key": "d0", "k": "c", "v": 999.0}]),
+        assume_unique=True,
+    )
+    expected["d0"] = ("c", 999.0)
+    assert len(_epochs(idx)) == 1 and _tomb_epochs(idx) == []
+    assert live_rows(idx) == sorted(
+        (d, k, v) for d, (k, v) in expected.items()
+    )
