@@ -17,9 +17,12 @@ headline operator shapes once at 1x and once at Nx, recording
 Caveats: wall clock at these sizes is partly job-overhead; the
 exponent matters more than the absolute numbers, and sub-second keys
 round-trip noise (exponents below ~0.3 mean "overhead-bound", not
-"sublinear magic"). neardup_lsh at Nx includes the replica planted
-duplicates, so its OUTPUT grows ~Nx by construction — candidate
-generation is what's being scaled.
+"sublinear magic"). Replication preserves each key's OUTPUT density:
+embeddings get a per-replica sign pattern (within-replica cosines
+exact, cross-replica ~0), near-dup text gets per-replica token
+suffixes (within-replica Jaccard exact, cross-replica 0), while
+bm25/dedup_exact keep the shared-vocabulary md5-prefix replicas so
+their candidate sets grow with the corpus as they would in reality.
 
 Usage::
 
@@ -64,8 +67,65 @@ def rep_ids(df, n: int, cols: dict[str, int]):
     return out
 
 
+def rep_emb(emb, n: int, base: int):
+    """n replicas with a replica-specific +-1 SIGN PATTERN applied per
+    coordinate: cos(S.a, S.b) = cos(a, b) exactly (s_i^2 = 1), so
+    within-replica geometry — including the planted duplicates the
+    neardup_lsh key adds — is preserved bit-for... value-for-value,
+    while cross-replica sims decorrelate to ~0 (no replica cliques:
+    corpus grows Nx, dup density stays the base corpus's)."""
+    reps = []
+    for r in range(n):
+        d = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * base))
+        if r:
+            d = d.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    * F.when(
+                        F.pmod(F.hash(F.lit(r) * 4096 + i), 2) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+            )
+        reps.append(d)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def rep_docs_distinct(docs, n: int, base: int):
+    """n replicas with a replica token SUFFIXED TO EVERY WORD: the
+    per-doc shingle/token set maps bijectively, so within-replica
+    Jaccard (minhash, band index) is preserved exactly while
+    cross-replica overlap drops to zero — corpus grows Nx with the
+    base corpus's dup density. (The md5-PREFIX replication keeps the
+    vocabulary shared instead — right for bm25/tfidf-style keys whose
+    candidate sets should grow with the corpus.)"""
+    reps = []
+    for r in range(n):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * base))
+        if r:
+            d = d.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~r{r}"),
+            )
+        reps.append(d)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def run_scale(spark, tables, store, tag) -> dict:
-    orders, docs, emb, events = tables
+    # docs_shared: md5-prefix replicas (vocabulary stays corpus-wide —
+    # bm25/dedup_exact candidate sets grow with the corpus);
+    # docs_distinct: token-suffix replicas (dup density stays the base
+    # corpus's — minhash/band outputs must not grow quadratically)
+    orders, docs_shared, docs_distinct, emb, events = tables
+    docs = docs_shared
     times = {}
     flags = {}
 
@@ -110,7 +170,7 @@ def run_scale(spark, tables, store, tag) -> dict:
 
     def minhash_cold():
         spark.catalog.clearCache()
-        materialize(minhash_lsh_pairs(docs, threshold=0.7))
+        materialize(minhash_lsh_pairs(docs_distinct, threshold=0.7))
 
     timed("dedup_minhash", minhash_cold)
     timed(
@@ -131,7 +191,9 @@ def run_scale(spark, tables, store, tag) -> dict:
     )
     timed(
         "band_index_build",
-        lambda: build_band_index(spark, docs, store, name=f"scale_band_{tag}"),
+        lambda: build_band_index(
+            spark, docs_distinct, store, name=f"scale_band_{tag}"
+        ),
     )
 
     def asof():
@@ -178,7 +240,8 @@ def main() -> None:
     big = (
         rep_ids(orders, n, {"o_orderkey": counts["orders"] * 2}),
         replicate_docs(docs, n, counts["docs"]),
-        rep_ids(emb, n, {"vec_id": counts["emb"] * 2}),
+        rep_docs_distinct(docs, n, counts["docs"]),
+        rep_emb(emb, n, counts["emb"] * 2),
         rep_ids(
             events,
             n,
@@ -191,7 +254,7 @@ def main() -> None:
     # materialize the Nx corpus as parquet so both runs read files
     # (unions of 10 scans would change the 1x-vs-Nx plan shapes)
     work = tempfile.mkdtemp(prefix="lmr_scale_corpus_")
-    names = ("orders", "docs", "emb", "events")
+    names = ("orders", "docs_shared", "docs_distinct", "emb", "events")
     big_tables = []
     for name, df in zip(names, big):
         p = os.path.join(work, name)
@@ -202,12 +265,13 @@ def main() -> None:
     # discarded warmup pass at 1x: otherwise the x1 measurement pays
     # all the codegen/JIT that xN then gets for free and every
     # exponent reads spuriously low
+    base_tables = (orders, docs, docs, emb, events)
     warm_store = tempfile.mkdtemp(prefix="lmr_scale_warm_")
     try:
-        run_scale(spark, (orders, docs, emb, events), warm_store, "warm")
+        run_scale(spark, base_tables, warm_store, "warm")
     finally:
         shutil.rmtree(warm_store, ignore_errors=True)
-    for tag, tables in (("x1", (orders, docs, emb, events)),
+    for tag, tables in (("x1", base_tables),
                         ("xN", tuple(big_tables))):
         store = tempfile.mkdtemp(prefix=f"lmr_scale_{tag}_")
         try:
