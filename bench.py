@@ -310,6 +310,19 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     from level_mapreduce_spark.operators.text import text_repetition
 
     timed("chunk_dedup", lambda: materialize(chunk_dedup(docs, chunk_tokens=20)))
+    # r9: PassJoin-blocked edit-distance pairs over 40-char prefixes —
+    # the operator whose q-gram form was the documented out-of-envelope
+    # regime on this corpus (338 s at sf0.1); the segment-blocked form
+    # is a headline key now that it runs in-envelope here
+    from level_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    titles = docs.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, 40).alias("text")
+    )
+    timed(
+        "fuzzy_pairs",
+        lambda: materialize(edit_distance_pairs(titles, max_dist=3)),
+    )
     probes = emb.where(F.col("vec_id") < 5)
     timed("knn_join", lambda: materialize(knn_join(emb, probes, k=10)))
     # grouped mode: the shuffle-based scale plan. The default expr plan
