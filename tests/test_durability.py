@@ -661,3 +661,80 @@ def test_auto_compact_is_tiered_and_counter_bug_fixed(spark, store, monkeypatch)
     assert live_rows(idx) == sorted(
         (d, k, v) for d, (k, v) in expected.items()
     )
+
+
+def test_partial_fold_precommit_abort_is_invisible(spark, store):
+    """A .fold_tmp staged WITHOUT the fold.json journal is a
+    pre-commit abort: readers must serve the intact index (the dot
+    dir is hidden from partition discovery) and must NOT delete the
+    leftover (they hold no lease); the next WRITE-path entry cleans
+    it."""
+    import os
+
+    idx, exp = _churned_index(spark, store, "pf_abort", n_batches=4)
+    before = live_rows(idx)
+    os.makedirs(idx._fold_tmp_path, exist_ok=True)
+    with open(os.path.join(idx._fold_tmp_path, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    fresh = kv_index(spark, store, "pf_abort")
+    assert live_rows(fresh) == before          # read path: unaffected
+    assert os.path.exists(fresh._fold_tmp_path)  # ...and not deleted
+    fresh.update(
+        kv_df(spark, [{"doc_key": "d0", "k": "w", "v": 1.0}]),
+        assume_unique=True,
+    )
+    assert not os.path.exists(fresh._fold_tmp_path)  # writer cleaned
+
+
+def test_partial_fold_random_interleaving_property(spark, tmp_path_factory):
+    """Property (hypothesis): ANY interleaving of churn chunks with
+    minor/major/full folds converges to the same live view as never
+    compacting — the bounded fold is invisible to reads wherever it
+    lands in the write history."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        store = str(tmp_path_factory.mktemp("pfold"))
+        idx = kv_index(spark, store, "pf")
+        idx.auto_compact = False
+        twin = kv_index(spark, store, "pf_twin")
+        twin.auto_compact = False
+        docs0 = [
+            {"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(5)
+        ]
+        idx.build(kv_df(spark, docs0), assume_unique=True)
+        twin.build(kv_df(spark, docs0), assume_unique=True)
+        n_steps = data.draw(st.integers(2, 5))
+        for s in range(n_steps):
+            doc = data.draw(st.integers(0, 4))
+            deleted = data.draw(st.booleans())
+            row = (
+                {"doc_key": f"d{doc}", "deleted": True}
+                if deleted
+                else {"doc_key": f"d{doc}", "k": "m", "v": float(100 + s)}
+            )
+            idx.update(kv_df(spark, [row]), assume_unique=True)
+            twin.update(kv_df(spark, [row]), assume_unique=True)
+            action = data.draw(
+                st.sampled_from(["none", "minor", "major", "full"])
+            )
+            from level_mapreduce_spark.engine.index import _list_epochs
+
+            n_seg = len(_list_epochs(spark, idx.segments_path))
+            if action == "minor" and n_seg > 2:
+                idx.compact(max_epochs=2, tier="newest")
+            elif action == "major" and n_seg > 2:
+                idx.compact(max_epochs=2, tier="oldest")
+            elif action == "full":
+                idx.compact()
+        assert live_rows(idx) == live_rows(twin)
+
+    run()
