@@ -1601,10 +1601,14 @@ def q_sketch_range_estimate(spark, sf_dir):
         F.sum((F.col("value") <= F.col("q_5")).cast("long")).alias("le50"),
         F.sum((F.col("value") < F.col("q_99")).cast("long")).alias("lt99"),
         F.sum((F.col("value") <= F.col("q_99")).cast("long")).alias("le99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.first("q_5").alias("q5"),
+        F.first("q_99").alias("q99"),
     )
-    for tag, lt, le, p in (
-        ("kll_p50", "lt50", "le50", 0.5),
-        ("kll_p99", "lt99", "le99", 0.99),
+    for tag, lt, le, est_col, p in (
+        ("kll_p50", "lt50", "le50", "q5", 0.5),
+        ("kll_p99", "lt99", "le99", "q99", 0.99),
     ):
         rows.append(
             kstats.select(
@@ -1613,6 +1617,13 @@ def q_sketch_range_estimate(spark, sf_dir):
                 (
                     (F.col(lt) / F.col("n") <= p + KLL_EPS)
                     & (F.col(le) / F.col("n") >= p - KLL_EPS)
+                    # value-domain guard: the rank interval saturates
+                    # at 1.0 for p99, so an estimate ABOVE the max
+                    # observed value would pass the rank test alone; a
+                    # KLL quantile is always one of the inserted
+                    # values, so leaving [vmin, vmax] means the sketch
+                    # is broken
+                    & F.col(est_col).between(F.col("vmin"), F.col("vmax"))
                 )
                 .cast("long")
                 .alias("within_bound"),
