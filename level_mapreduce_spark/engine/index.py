@@ -735,14 +735,37 @@ class MapIndex:
         :meth:`compact` off the hot path themselves."""
         seg = _list_epochs(self.spark, self.segments_path)
         tomb = _list_epochs(self.spark, self.tombstones_path)
+
+        def tomb_pressure():
+            return (
+                self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+                or len(_list_epochs(self.spark, self.tombstones_path))
+                >= 4 * AUTO_COMPACT_EPOCHS
+            )
+
         if (
             self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
             or len(tomb) >= 4 * AUTO_COMPACT_EPOCHS
-            or len(seg) < 3
         ):
-            self.compact()
-        else:
+            # cheapest relief first: superseded-marker consolidation
+            # touches no segment; only if the pressure survives it
+            # (disjoint-doc churn — nothing superseded) pay the full
+            # fold that reclaims tombstones for real
+            self.compact_tombstones()
+            if tomb_pressure():
+                self.compact()
+                return
+            seg = _list_epochs(self.spark, self.segments_path)
+        if len(seg) < 3:
+            if len(seg) >= AUTO_COMPACT_EPOCHS:  # degenerate tiny config
+                self.compact()
+            else:
+                self._refresh_views()
+            return
+        if len(seg) >= AUTO_COMPACT_EPOCHS:
             self.compact(max_epochs=len(seg) - 1, tier="newest")
+        else:
+            self._refresh_views()
 
     @_writer
     def delete_range(
@@ -1211,6 +1234,11 @@ class MapIndex:
         if intent is None:
             if cleanup:
                 _delete_path(self.spark, self._fold_tmp_path)
+                # a crashed compact_tombstones() leaves only this
+                # staging dir (its protocol needs no journal)
+                _delete_path(
+                    self.spark, self.tombstones_path + ".consolidating"
+                )
             return
         fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
         P = jvm.org.apache.hadoop.fs.Path
@@ -1262,6 +1290,117 @@ class MapIndex:
                     True,
                 )
         self._tomb_bytes_cache = None
+
+    @_writer
+    def compact_tombstones(self) -> int:
+        """Drop superseded tombstone markers WITHOUT touching any
+        segment: only a doc's max-epoch tombstone has any effect
+        (read() applies the per-doc max), so every (doc, T) row with
+        a higher-T marker elsewhere is pure debris. Under churn that
+        re-touches the same documents, this reclaims most tombstone
+        bytes and empties old tombstone epoch dirs at O(tombstones)
+        cost — the third maintenance tier between "do nothing" and a
+        segment fold. Returns the number of epoch dirs emptied.
+
+        Crash-safe WITHOUT a journal, by construction: the surviving
+        rows of every epoch are APPENDED as new files into their own
+        epoch dirs first (one Spark job), and only then are the
+        pre-listed original files deleted. A crash at any point
+        leaves either duplicate live markers (harmless — the read
+        path aggregates per-doc max, so duplicates are idempotent)
+        or partially-deleted superseded rows (harmless — superseded
+        by definition). Concurrent readers see the same states.
+
+        Time travel: a snapshot between a doc's superseded marker and
+        its surviving one stops observing the older delete — the
+        same history-horizon rule as the folds; current reads are
+        identical before and after.
+        """
+        self._recover_swap()
+        tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
+        if len(tomb_epochs) < 2:
+            return 0
+        fs, tomb_root, jvm = _hadoop_fs(self.spark, self.tombstones_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        # snapshot the ORIGINAL data files per epoch before the append
+        originals: dict[int, list] = {}
+        for t in tomb_epochs:
+            d = P(posixpath.join(self.tombstones_path, f"epoch={t}"))
+            files = []
+            if fs.exists(d):
+                for st in fs.listStatus(d):
+                    name = st.getPath().getName()
+                    if not (name.startswith("_") or name.startswith(".")):
+                        files.append(st.getPath())
+            originals[t] = files
+        tombs = self.spark.read.parquet(self.tombstones_path)
+        w = Window.partitionBy(DOC_KEY)
+        keep = (
+            tombs.withColumn("_max", F.max("epoch").over(w))
+            .where(F.col("epoch") == F.col("_max"))
+            .drop("_max")
+            # only epochs that actually LOSE rows need a rewrite;
+            # fully-live epochs keep their original files untouched
+        )
+        losing = {
+            r["epoch"]
+            for r in tombs.groupBy("epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(
+                keep.groupBy("epoch").agg(F.count(F.lit(1)).alias("k")),
+                "epoch",
+                "left",
+            )
+            .where(F.coalesce(F.col("k"), F.lit(0)) < F.col("n"))
+            .collect()
+        }
+        if not losing:
+            return 0
+        # stage the survivors in a sibling dir (appending to the path
+        # being read is a Spark no-no), then move the files in with
+        # metadata-only renames BEFORE deleting any original — the
+        # crash-safety argument above is unchanged
+        tmp = self.tombstones_path + ".consolidating"
+        _delete_path(self.spark, tmp)
+        (
+            keep.where(F.col("epoch").isin([int(t) for t in losing]))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(tmp)
+        )
+        for t in losing:
+            src_dir = posixpath.join(tmp, f"epoch={int(t)}")
+            src = P(src_dir)
+            if not fs.exists(src):
+                continue
+            dst_dir = posixpath.join(
+                self.tombstones_path, f"epoch={int(t)}"
+            )
+            if not fs.exists(P(dst_dir)):
+                fs.mkdirs(P(dst_dir))
+            for st in fs.listStatus(src):
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                fs.rename(
+                    st.getPath(), P(posixpath.join(dst_dir, name))
+                )
+        emptied = 0
+        for t in losing:
+            for p in originals.get(t, []):
+                fs.delete(p, False)
+            d = P(posixpath.join(self.tombstones_path, f"epoch={int(t)}"))
+            if fs.exists(d) and not any(
+                not st.getPath().getName().startswith(("_", "."))
+                for st in fs.listStatus(d)
+            ):
+                fs.delete(d, True)
+                emptied += 1
+        _delete_path(self.spark, tmp)
+        self._tomb_bytes_cache = None
+        self._set_compaction_due()
+        self._refresh_views()
+        return emptied
 
     def _compact_partial(self, fold_epochs: list[int]) -> "MapIndex":
         """Fold a CONTIGUOUS run of epochs into one segment at

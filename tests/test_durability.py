@@ -340,25 +340,46 @@ def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
         kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
         assume_unique=True,
     )
+    def wait_for(pred, timeout=30.0):
+        # poll with a deadline: fixed sleeps flake when a loaded box
+        # starves the heartbeat thread's py4j FS calls
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = pred()
+            if got is not None:
+                return got
+            time.sleep(0.1)
+        raise AssertionError("condition not reached within deadline")
+
     idx._acquire_lease()  # long-running mutation stand-in
     try:
-        time.sleep(1.2)
-        lock1 = idx._read_lock()
+        lock1 = wait_for(
+            lambda: (
+                lambda l: l
+                if l and l.get("heartbeat_unix") is not None
+                else None
+            )(idx._read_lock())
+        )
         assert lock1["writer_id"] == idx._writer_id
-        assert lock1.get("heartbeat_unix") is not None
         assert lock1["heartbeat_unix"] >= lock1["acquired_unix"]
         ent = {d["name"]: d for d in list_indexes(spark, store)}["hb"]
         assert ent["lease_held"] is True
         assert ent["lease_age_secs"] is not None
         assert ent["lease_heartbeat_age_secs"] is not None
         assert ent["lease_heartbeat_age_secs"] <= ent["lease_age_secs"]
-        # live holder: heartbeat still advancing
-        time.sleep(2.5)
-        lock2 = idx._read_lock()
-        assert lock2["heartbeat_unix"] > lock1["heartbeat_unix"]
+        # live holder: heartbeat still advancing (int-second stamp, so
+        # wait for a strictly larger value)
+        wait_for(
+            lambda: (
+                True
+                if idx._read_lock()["heartbeat_unix"]
+                > lock1["heartbeat_unix"]
+                else None
+            )
+        )
         # dead holder: heartbeat stops, wall clock moves on — age grows
         idx._lease_hb_stop.set()
-        idx._lease_hb_thread.join(timeout=10)
+        idx._lease_hb_thread.join(timeout=30)
         frozen = idx._read_lock()["heartbeat_unix"]
         time.sleep(2.5)
         assert idx._read_lock()["heartbeat_unix"] == frozen
@@ -738,3 +759,69 @@ def test_partial_fold_random_interleaving_property(spark, tmp_path_factory):
         assert live_rows(idx) == live_rows(twin)
 
     run()
+
+
+def test_compact_tombstones_drops_superseded_markers(spark, store):
+    """compact_tombstones: only a doc's max-epoch marker matters, so
+    superseded rows are reclaimed and emptied epoch dirs deleted —
+    with NO segment IO and the live view unchanged. Duplicate live
+    markers (the protocol's worst crash residue) are harmless and
+    cleaned by the next run."""
+    import glob
+    import os
+    import shutil
+
+    idx = kv_index(spark, store, "tombc")
+    idx.auto_compact = False
+    idx.build(
+        kv_df(
+            spark,
+            [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(4)],
+        ),
+        assume_unique=True,
+    )
+    # churn the SAME doc three times -> two superseded markers; churn
+    # another doc once -> its marker is live and must survive
+    for v in (10.0, 11.0, 12.0):
+        idx.update(
+            kv_df(spark, [{"doc_key": "d0", "k": "a", "v": v}]),
+            assume_unique=True,
+        )
+    idx.update(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 99.0}]),
+        assume_unique=True,
+    )
+    before = live_rows(idx)
+    tomb_rows_before = spark.read.parquet(idx.tombstones_path).count()
+    assert tomb_rows_before == 4  # d0 x3 + d1 x1
+    n_epochs_before = len(_tomb_epochs(idx))
+
+    emptied = idx.compact_tombstones()
+    assert emptied == 2  # d0's two superseded epochs held only d0
+    assert live_rows(idx) == before
+    tombs_after = spark.read.parquet(idx.tombstones_path)
+    assert tombs_after.count() == 2  # one live marker per doc
+    assert len(_tomb_epochs(idx)) == n_epochs_before - 2
+    # segments untouched throughout (no segment IO)
+    assert ("d0", "a", 12.0) in live_rows(idx)
+
+    # crash residue: duplicate a live marker file -> read unchanged
+    # (per-doc max absorbs duplicates); the next consolidation is a
+    # no-op on duplicates of the SAME epoch (no higher marker) but
+    # must not corrupt anything
+    live_epoch = _tomb_epochs(idx)[-1]
+    d = f"{idx.tombstones_path}/epoch={live_epoch}"
+    f = glob.glob(d + "/part-*")[0]
+    shutil.copy(f, d + "/part-dup-copy.parquet")
+    assert live_rows(idx) == before
+    idx.compact_tombstones()
+    assert live_rows(idx) == before
+
+    # leftover staging dir from a crashed run is cleaned by the next
+    # write-path entry
+    os.makedirs(idx.tombstones_path + ".consolidating", exist_ok=True)
+    idx.update(
+        kv_df(spark, [{"doc_key": "d2", "k": "a", "v": 7.0}]),
+        assume_unique=True,
+    )
+    assert not os.path.exists(idx.tombstones_path + ".consolidating")
