@@ -355,13 +355,24 @@ class MapIndex:
         # whose create() is not atomic — see docstring). On a
         # double-create the lock holds ONE of the two writer ids; the
         # loser backs off WITHOUT deleting (the lock is the winner's).
-        lock = self._read_lock()
+        # Distinguish the three read-back outcomes carefully (r9
+        # review): a TRANSIENT read error must not strand this
+        # writer's own freshly-created lock as an orphan — retry,
+        # and if the store stays unreadable, delete our create and
+        # surface the underlying error (we provably cannot hold a
+        # lease we cannot read).
+        try:
+            lock = self._read_lock(raise_errors=True)
+        except Exception:
+            fs.delete(hpath, False)
+            raise
         if lock is None or lock.get("writer_id") != self._writer_id:
             raise ConcurrentWriterError(
                 f"index '{self.name}': lease read-back found "
                 f"{'no lock' if lock is None else 'another writer ' + str(lock.get('writer_id'))} "
                 f"after this writer's create — a concurrent writer won a "
-                f"non-atomic create-if-absent race; backing off"
+                f"non-atomic create-if-absent race (or broke the lease); "
+                f"backing off without touching the surviving lock"
             )
         self._lease_thread = me
         self._lease_depth = 1
@@ -377,13 +388,22 @@ class MapIndex:
         self._lease_hb_thread = hb
         hb.start()
 
-    def _read_lock(self) -> dict | None:
-        """Current writer.lock payload, or None (no lock / unreadable
-        torn write — callers treat both as 'not provably ours')."""
-        try:
-            return self.get_sidecar(name="writer.lock")
-        except Exception:
-            return None
+    def _read_lock(self, raise_errors: bool = False) -> dict | None:
+        """Current writer.lock payload, or None for a MISSING lock.
+        With ``raise_errors=False`` a read failure also maps to None
+        ('not provably ours' — fine for release/heartbeat decisions);
+        acquire passes True so a transient store error retries and
+        then SURFACES instead of masquerading as a lost race."""
+        last = None
+        for _ in range(3 if raise_errors else 1):
+            try:
+                return self.get_sidecar(name="writer.lock")
+            except Exception as e:  # noqa: BLE001 — policy per flag
+                last = e
+                time.sleep(0.1)
+        if raise_errors and last is not None:
+            raise last
+        return None
 
     def _lease_heartbeat_loop(
         self, stop: threading.Event, interval: float
@@ -394,7 +414,18 @@ class MapIndex:
         lock has vanished or records another writer — i.e. an operator
         broke a LIVE lease and someone re-acquired — stop touching
         (the lock is not ours to stamp) and flag the theft so
-        release raises instead of deleting the new holder's lock."""
+        release raises instead of deleting the new holder's lock.
+
+        Residual race, documented: the read-check and the rename are
+        not one atomic step, so a tick that read its own id, was
+        descheduled across a break_lease()+re-acquire, and then
+        completed its rename OVERWRITES the successor's lock — the
+        successor's next tick then flags ITS lease lost while this
+        writer finishes unaware. This is a sub-case of the documented
+        break-a-LIVE-holder hazard (break_lease docstring: only safe
+        on a dead holder, whose heartbeat cannot race anything); on
+        stores with a conditional-put primitive, fencing the rename
+        on the read generation closes it."""
         while not stop.wait(interval):
             try:
                 lock = self._read_lock()
@@ -417,8 +448,20 @@ class MapIndex:
         # and block every future writer.
         if self._lease_hb_stop is not None:
             self._lease_hb_stop.set()
-            if self._lease_hb_thread is not None:
-                self._lease_hb_thread.join(timeout=60)
+            hb = self._lease_hb_thread
+            if hb is not None:
+                hb.join(timeout=60)
+                if hb.is_alive():
+                    # a tick hung inside put_sidecar could complete
+                    # AFTER a delete below and resurrect the lock —
+                    # refuse to release rather than plant that orphan
+                    # (r9 review: the join result went unchecked)
+                    raise IOError(
+                        f"lease heartbeat thread for '{self.name}' did "
+                        f"not stop within 60 s (store hung?); NOT "
+                        f"deleting writer.lock to avoid a resurrection "
+                        f"race — investigate, then break_lease()"
+                    )
             self._lease_hb_stop = None
             self._lease_hb_thread = None
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
@@ -608,11 +651,27 @@ class MapIndex:
 
         ``assume_unique=True`` declares docs one-row-per-key (e.g. a
         primary-keyed source table) and skips the dedup shuffle.
+
+        Crash safety of the REBUILD-over-existing case: the new
+        segment is written at an epoch ABOVE every existing tombstone
+        (``_next_epoch``), not at 0 — read() keeps rows where
+        ``seg.epoch >= tomb_epoch``, so if a crash lands between the
+        segment overwrite and the tombstone cleanup, the stale
+        tombstones cannot kill any rebuilt row (the same argument
+        compact() uses for its fold epoch). Tombstone deletion is
+        pure cleanup, not a correctness step. A FRESH index (no
+        tombstones) builds at epoch 0 as before; a rebuild resets the
+        time-travel horizon either way (full rematerialization).
         """
         changes = self._normalize_changes(docs, assume_unique=assume_unique)
         live = changes.where(~F.col("deleted"))
         emits = self._emits(live)
-        self._write_segment(emits, epoch=0, mode="overwrite")
+        build_epoch = (
+            self._next_epoch()
+            if _list_epochs(self.spark, self.tombstones_path)
+            else 0
+        )
+        self._write_segment(emits, epoch=build_epoch, mode="overwrite")
         _delete_path(self.spark, self.tombstones_path)
         # a full rebuild supersedes any crashed partial-fold journal
         self._clear_fold_intent()
@@ -692,9 +751,13 @@ class MapIndex:
         )
         self._tomb_bytes_cache = None
 
-        self._set_compaction_due()
+        # one post-write listing pair, shared by the due check and the
+        # fold policy (object-store LIST calls are the hot-path tax)
+        seg_eps = _list_epochs(self.spark, self.segments_path)
+        tomb_eps = _list_epochs(self.spark, self.tombstones_path)
+        self._set_compaction_due(seg_eps, tomb_eps)
         if self.compaction_due and self.auto_compact:
-            self._auto_fold()  # refreshes views itself
+            self._auto_fold(seg_eps, tomb_eps)  # refreshes views itself
         else:
             self._refresh_views()
 
@@ -703,15 +766,29 @@ class MapIndex:
             down.update(feed, assume_unique=True)
         return feed
 
-    def _set_compaction_due(self) -> None:
+    def _set_compaction_due(
+        self,
+        seg_eps: list[int] | None = None,
+        tomb_eps: list[int] | None = None,
+    ) -> None:
         """Maintenance flag from LIVE storage state, not the write
         counter. (The pre-r9 form compared the monotonically growing
         epoch NUMBER against AUTO_COMPACT_EPOCHS, which stays true
         forever once the counter passes the threshold — with
         auto_compact on, every batch after the 24th paid a full
-        O(index) rewrite.)"""
-        n_seg = len(_list_epochs(self.spark, self.segments_path))
-        n_tomb = len(_list_epochs(self.spark, self.tombstones_path))
+        O(index) rewrite.) Callers that already hold fresh epoch
+        listings pass them in — the update() hot path must not pay
+        repeated LIST calls on an object store."""
+        n_seg = len(
+            _list_epochs(self.spark, self.segments_path)
+            if seg_eps is None
+            else seg_eps
+        )
+        n_tomb = len(
+            _list_epochs(self.spark, self.tombstones_path)
+            if tomb_eps is None
+            else tomb_eps
+        )
         # tombstone epochs get a HIGHER threshold than segment epochs:
         # minor folds cannot reduce them (they still guard the
         # unfolded base), so counting them against the segment
@@ -723,7 +800,11 @@ class MapIndex:
             or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
         )
 
-    def _auto_fold(self) -> None:
+    def _auto_fold(
+        self,
+        seg: list[int] | None = None,
+        tomb: list[int] | None = None,
+    ) -> None:
         """Tiered inline maintenance for ``auto_compact=True``: while
         the pressure is segment read amplification, MINOR-fold the
         delta epochs (base epoch untouched — cost tracks the deltas,
@@ -733,20 +814,20 @@ class MapIndex:
         — reclaiming those requires a prefix/full fold. Large
         deployments still pass ``auto_compact=False`` and schedule
         :meth:`compact` off the hot path themselves."""
-        seg = _list_epochs(self.spark, self.segments_path)
-        tomb = _list_epochs(self.spark, self.tombstones_path)
+        if seg is None:
+            seg = _list_epochs(self.spark, self.segments_path)
+        if tomb is None:
+            tomb = _list_epochs(self.spark, self.tombstones_path)
 
-        def tomb_pressure():
+        def tomb_pressure(tomb_eps=None):
+            if tomb_eps is None:
+                tomb_eps = _list_epochs(self.spark, self.tombstones_path)
             return (
                 self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-                or len(_list_epochs(self.spark, self.tombstones_path))
-                >= 4 * AUTO_COMPACT_EPOCHS
+                or len(tomb_eps) >= 4 * AUTO_COMPACT_EPOCHS
             )
 
-        if (
-            self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-            or len(tomb) >= 4 * AUTO_COMPACT_EPOCHS
-        ):
+        if tomb_pressure(tomb):
             # cheapest relief first: superseded-marker consolidation
             # touches no segment; only if the pressure survives it
             # (disjoint-doc churn — nothing superseded) pay the full
@@ -813,9 +894,11 @@ class MapIndex:
                 .parquet(self.tombstones_path)
             )
             self._tomb_bytes_cache = None
-            self._set_compaction_due()
+            seg_eps = _list_epochs(self.spark, self.segments_path)
+            tomb_eps = _list_epochs(self.spark, self.tombstones_path)
+            self._set_compaction_due(seg_eps, tomb_eps)
             if self.compaction_due and self.auto_compact:
-                self._auto_fold()  # refreshes views itself
+                self._auto_fold(seg_eps, tomb_eps)
             else:
                 self._refresh_views()
             # downstream propagation consumes the feed eagerly (their

@@ -80,38 +80,33 @@ def write_shuffled(
         .partitionBy("shard")
         .parquet(path)
     )
-    # Manifest: per-shard row counts + an order-sensitive content hash
-    # (the trainer-side integrity check: a re-export, a partial copy,
-    # or a shard served out of order is detectable without re-reading
-    # the corpus). Reading back ALSO verifies the write is complete
-    # and parseable. The hash must be computable with BOUNDED memory:
-    # at 100 TB a shard's key stream is gigabytes, so it can never be
-    # collected into one aggregation buffer. Instead each row is
-    # ranked within its shard's canonical order (window row_number —
-    # sort-based, spills) and the shard hash is a commutative XOR fold
-    # of xxhash64(rank, shuffle_key, id): order-sensitivity lives in
-    # the rank baked into every per-row hash, while the fold itself is
-    # O(1) state per shard. Any reorder permutes the rank assignment
-    # and flips the fold with overwhelming probability.
-    from pyspark.sql import Window
-
-    written = docs.sparkSession.read.parquet(path)
-    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
-    mani_rows = (
-        written.withColumn("_rank", F.row_number().over(w))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(
-                F.xxhash64("_rank", "shuffle_key", F.col(id_col))
-            ).alias("content_hash"),
+    # Manifest: per-shard row counts + a PHYSICALLY order-sensitive
+    # content hash (the trainer-side integrity check: a re-export, a
+    # partial copy, or a shard stored/served out of order is
+    # detectable without re-reading the corpus). The per-row rank
+    # comes from ``_metadata.row_index`` — the row's ACTUAL position
+    # in its shard file — not from re-sorting (a recomputed canonical
+    # rank would hash a reordered file identically; r9 review). The
+    # fold is a commutative XOR of xxhash64(row_index, shuffle_key,
+    # id): O(1) aggregation state per shard (at 100 TB a shard's key
+    # stream can never be collected into one buffer), with
+    # order-sensitivity baked into every per-row hash. Reading back
+    # ALSO verifies the write is complete and parseable, and the
+    # writer asserts the one-file-per-shard layout the row_index
+    # ranking relies on (repartition(n, shard) gives each shard one
+    # writing task).
+    mani_rows = _shard_hashes(docs.sparkSession, path, id_col)
+    bad = [r for r in mani_rows if r["n_files"] != 1]
+    if bad:
+        raise IOError(
+            f"write_shuffled: shards {[int(r['shard']) for r in bad]} "
+            "landed in more than one file — the physical-order hash "
+            "is only defined for the one-file-per-shard layout"
         )
-        .orderBy("shard")
-        .collect()
-    )
     manifest = {
         "seed": seed,
         "n_shards": int(n),
+        "id_col": id_col,
         "total_rows": int(sum(r["rows"] for r in mani_rows)),
         "shards": {
             int(r["shard"]): {
@@ -133,6 +128,84 @@ def write_shuffled(
     finally:
         out.close()
     return manifest
+
+
+def _shard_hashes(spark, path: str, id_col: str):
+    """Per-shard (rows, content_hash, n_files) from the PHYSICAL file
+    order: hash fold of xxhash64(_metadata.row_index, shuffle_key,
+    id). Shared by the writer (manifest) and :func:`verify_shuffled`
+    (recompute + compare)."""
+    written = spark.read.parquet(path).select(
+        "shard",
+        F.col("_metadata.file_path").alias("_file"),
+        F.xxhash64(
+            F.col("_metadata.row_index"),
+            F.col("shuffle_key"),
+            F.col(id_col),
+        ).alias("_h"),
+    )
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor("_h").alias("content_hash"),
+            F.count_distinct("_file").alias("n_files"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+
+
+def read_manifest(spark, path: str) -> dict:
+    """The ``_MANIFEST.json`` a :func:`write_shuffled` export wrote
+    (Hadoop FS read — works on HDFS/object stores)."""
+    fs_path = path.rstrip("/") + "/_MANIFEST.json"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(fs_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, True)
+    return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+
+
+def verify_shuffled(spark, path: str) -> dict:
+    """Trainer-side integrity verifier: recompute every shard's
+    physical-order hash and row count and compare against the
+    manifest. Returns ``{"ok": bool, "mismatches": [...]}`` where
+    each mismatch names the shard and what diverged (missing shard,
+    row count, content/order hash, or a multi-file shard whose
+    physical order is undefined). One aggregation pass over the
+    export — no sort, no collect beyond O(shards)."""
+    mani = read_manifest(spark, path)
+    got = {
+        int(r["shard"]): r
+        for r in _shard_hashes(spark, path, mani["id_col"])
+    }
+    mismatches = []
+    for shard, want in mani["shards"].items():
+        shard = int(shard)
+        r = got.pop(shard, None)
+        if r is None:
+            mismatches.append({"shard": shard, "error": "missing"})
+        elif r["n_files"] != 1:
+            mismatches.append(
+                {"shard": shard, "error": f"{r['n_files']} files"}
+            )
+        elif int(r["rows"]) != want["rows"]:
+            mismatches.append(
+                {
+                    "shard": shard,
+                    "error": f"rows {r['rows']} != {want['rows']}",
+                }
+            )
+        elif int(r["content_hash"]) != want["content_hash"]:
+            mismatches.append(
+                {"shard": shard, "error": "content/order hash mismatch"}
+            )
+    for shard in got:
+        mismatches.append({"shard": shard, "error": "unexpected shard"})
+    return {"ok": not mismatches, "mismatches": mismatches}
 
 
 def read_shuffled(spark, path: str) -> DataFrame:

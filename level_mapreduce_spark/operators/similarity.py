@@ -216,6 +216,12 @@ def _round_half_up(v, decimals: int = 6):
     return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
 
 
+#: cells (rows x dim float64) the blocked fast path may collect to the
+#: driver for the broadcast matrix — ~32 MB of doubles. Row budget =
+#: min(small_rows, max_rows, _FAST_CELLS // observed_dim).
+_FAST_CELLS = 4_194_304
+
+
 def cosine_neardup_pairs_blocked(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -246,15 +252,17 @@ def cosine_neardup_pairs_blocked(
     sequential fold), so the DuckDB-oracle query keeps the expression
     form.
 
-    Corpora at or below ``small_rows`` take a FAST PATH: the
-    normalized matrix is collected (bounded — <= small_rows x dim
-    doubles, ~16 MB at the default) and shipped as a Spark broadcast
-    instead of staged through parquet, so a small batch pays no write
-    + re-read + per-worker file load. The per-pair arithmetic is
-    bit-identical either way (each sim is one dot product; the
-    staging only changes how workers obtain the reference matrix).
-    Above the threshold the distributed staging keeps the driver out
-    of the data path entirely.
+    Corpora at or below ``min(small_rows, max_rows, _FAST_CELLS/dim)``
+    take a FAST PATH: the normalized matrix is collected (bounded by
+    the cells cap — ~32 MB of doubles regardless of vector width, via
+    a two-phase probe that observes the dimension before any large
+    collect) and shipped as a Spark broadcast instead of staged
+    through parquet, so a small batch pays no write + re-read +
+    per-worker file load. ``max_rows`` binds both paths identically.
+    The per-pair arithmetic is bit-identical either way (each sim is
+    one dot product; the staging only changes how workers obtain the
+    reference matrix). Above the threshold the distributed staging
+    keeps the driver out of the data path entirely.
     """
     import tempfile
 
@@ -299,13 +307,31 @@ def cosine_neardup_pairs_blocked(
                 }
             )
 
-    # single size+content probe: limit(small_rows+1) both decides the
-    # path and, when small, IS the collected matrix — one job instead
-    # of a count job followed by a collect job
+    # Size+content probe, two-phase so a fat-vector corpus cannot
+    # blow the driver (r9 review): phase 1 collects at most 2048 rows
+    # — the probe both decides the path and, when the corpus fits, IS
+    # the collected matrix (one job, no separate count). If the
+    # corpus is larger, the row budget is re-derived from the
+    # OBSERVED dimension against a cells cap before any bigger
+    # collect, and the caller's max_rows contract binds the fast path
+    # exactly like the staged one (an over-max corpus falls through
+    # to the staged branch, whose count raises).
+    phase1 = min(small_rows, 2048)
     rows = (
-        normalized.limit(small_rows + 1).collect() if small_rows > 0 else None
+        normalized.limit(phase1 + 1).collect() if small_rows > 0 else None
     )
-    if rows is not None and len(rows) <= small_rows:
+    if rows is not None and len(rows) > phase1:
+        dim = next(
+            (len(r["_u"]) for r in rows if r["_u"] is not None), 1
+        ) or 1
+        budget = min(small_rows, max_rows, _FAST_CELLS // dim)
+        if budget > phase1:
+            rows = normalized.limit(budget + 1).collect()
+            if len(rows) > budget:
+                rows = None
+        else:
+            rows = None
+    if rows is not None and len(rows) <= min(small_rows, max_rows):
         import numpy as np
 
         if rows:

@@ -136,7 +136,7 @@ def _tombstone_index(spark: SparkSession, sf_dir: str) -> MapIndex:
 
 def _tombstone_compacted_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     """The partial-compaction gate twin (r9): replays the tombstone
-    scenario, layers two overwrite epochs on top, then folds the
+    scenario, layers three overwrite epochs on top, then folds the
     epochs with BOTH partial tiers — a minor (newest-K) fold that must
     retain the tombstones guarding the unfolded base, then a major
     (oldest-K) fold that reclaims them — before the entry reads the
@@ -175,8 +175,26 @@ def _tombstone_compacted_index(spark: SparkSession, sf_dir: str) -> MapIndex:
             ),
             assume_unique=True,
         )
-        idx.compact(max_epochs=2, tier="newest")  # fold the two deltas
+        idx.update(
+            orders.where(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 3.0
+            ),
+            assume_unique=True,
+        )
+        # THREE delta epochs so BOTH bounded folds genuinely dispatch
+        # to _compact_partial (r9 review: with only two, the second
+        # call saw len(epochs)==2 and silently ran the FULL fold —
+        # vacuous coverage). The epoch-count asserts keep this loud.
+        from level_mapreduce_spark.engine.index import _list_epochs
+
+        n0 = len(_list_epochs(spark, idx.segments_path))
+        assert n0 >= 4, f"twin expected >=4 segment epochs, got {n0}"
+        idx.compact(max_epochs=2, tier="newest")  # fold two deltas
+        n1 = len(_list_epochs(spark, idx.segments_path))
+        assert n1 == n0 - 1, f"minor fold did not run partially ({n0}->{n1})"
         idx.compact(max_epochs=2, tier="oldest")  # fold base + delta
+        n2 = len(_list_epochs(spark, idx.segments_path))
+        assert n2 == n1 - 1, f"major fold did not run partially ({n1}->{n2})"
         return idx
 
     return _cached(spark, sf_dir, "orders_tombc", build)
@@ -632,7 +650,7 @@ def q_tombstone(spark, sf_dir):
       post-'F'-delete / pre-range-delete snapshot.
     - ``asof_build``: ``read(as_of_epoch=0)`` time-travel to the
       initial build — proves later tombstones don't leak backwards.
-    - ``partial_compact`` (r9): the same scenario + two overwrite
+    - ``partial_compact`` (r9): the same scenario + three overwrite
       epochs on a TWIN index, folded by a newest-tier then an
       oldest-tier bounded compaction before reading — gates
       engine/index.py::_compact_partial's view preservation.
@@ -2408,16 +2426,19 @@ ORACLES: dict[str, str] = {
       SELECT 'asof_build', o_orderpriority, o_totalprice
       FROM orders
       UNION ALL
-      -- partial_compact: the same deletes plus two overwrite epochs
-      -- (x1.5 for key%10=0, then x2.0 for key%7=0 — last wins), the
-      -- whole stack folded by a newest-tier then an oldest-tier
-      -- partial compaction; the fold must preserve this exact view
+      -- partial_compact: the same deletes plus three overwrite epochs
+      -- (x1.5 for key%10=0, then x2.0 for key%7=0, then x3.0 for
+      -- key%13=0 — last wins), the whole stack folded by a
+      -- newest-tier then an oldest-tier partial compaction; the fold
+      -- must preserve this exact view
       SELECT 'partial_compact', o_orderpriority,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 3.0
+                  WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
                   WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.5
                   ELSE o_totalprice END
       FROM orders
-      WHERE o_orderkey % 7 = 0 OR o_orderkey % 10 = 0
+      WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+         OR o_orderkey % 10 = 0
          OR (o_orderstatus <> 'F' AND o_orderpriority < '4')
     """,
     "overwrite": """

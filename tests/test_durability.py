@@ -431,7 +431,7 @@ def test_acquire_readback_detects_lost_race(spark, store):
 
     a = kv_index(spark, store, "race")
     # simulate losing the race: the read-back sees the other writer
-    a._read_lock = lambda: {"writer_id": "someone-else"}
+    a._read_lock = lambda raise_errors=False: {"writer_id": "someone-else"}
     try:
         a._acquire_lease()
         raise AssertionError("lost create race not detected")
@@ -825,3 +825,81 @@ def test_compact_tombstones_drops_superseded_markers(spark, store):
         assume_unique=True,
     )
     assert not os.path.exists(idx.tombstones_path + ".consolidating")
+
+
+def test_rebuild_crash_window_stale_tombstones_harmless(spark, store):
+    """r9 review finding: build() over an existing index used to write
+    at epoch 0, so a crash between the segment overwrite and the
+    tombstone cleanup left stale higher-epoch tombstones silently
+    killing rebuilt rows (and a later compact() made the loss
+    permanent). The rebuild now lands above every tombstone: restore
+    the tombstone dir post-build (the crash state) and the view must
+    be exactly the rebuilt corpus, before and after compact()."""
+    import shutil
+
+    idx = kv_index(spark, store, "rebuild_crash")
+    idx.build(
+        kv_df(
+            spark,
+            [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(4)],
+        ),
+        assume_unique=True,
+    )
+    idx.update(
+        kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 50.0}]),
+        assume_unique=True,
+    )
+    idx.update(
+        kv_df(spark, [{"doc_key": "d1", "deleted": True}]),
+        assume_unique=True,
+    )
+    tomb_bak = store + "/rebuild_tomb_bak"
+    shutil.copytree(idx.tombstones_path, tomb_bak)
+
+    rebuilt_docs = [
+        {"doc_key": f"d{i}", "k": "b", "v": float(10 + i)} for i in range(3)
+    ]
+    idx.build(kv_df(spark, rebuilt_docs), assume_unique=True)
+    # crash state: the old tombstones survived the rebuild
+    shutil.copytree(tomb_bak, idx.tombstones_path)
+    idx._tomb_bytes_cache = None
+
+    want = sorted((f"d{i}", "b", float(10 + i)) for i in range(3))
+    assert live_rows(idx) == want          # d0/d1 tombstones inert
+    idx.compact()                          # must not bake in a loss
+    assert live_rows(idx) == want
+    # and the index keeps accepting updates with sane epoch numbering
+    idx.update(
+        kv_df(spark, [{"doc_key": "d2", "k": "c", "v": 3.0}]),
+        assume_unique=True,
+    )
+    assert ("d2", "c", 3.0) in live_rows(idx)
+
+
+def test_acquire_readback_transient_error_leaves_no_orphan(spark, store):
+    """r9 review: a transient store error during the post-create
+    read-back must surface as ITSELF (after retries) with this
+    writer's own fresh lock deleted — not masquerade as a lost race
+    that strands an orphan lock blocking every future writer."""
+    a = kv_index(spark, store, "rerr")
+    orig = a.get_sidecar
+
+    def flaky(name="meta.json"):
+        if name == "writer.lock":
+            raise RuntimeError("store hiccup")
+        return orig(name=name)
+
+    a.get_sidecar = flaky
+    try:
+        try:
+            a._acquire_lease()
+            raise AssertionError("read error was swallowed")
+        except RuntimeError as e:
+            assert "hiccup" in str(e)
+    finally:
+        a.get_sidecar = orig
+    assert a._lease_depth == 0
+    # no orphan: a fresh writer acquires and releases cleanly
+    b = kv_index(spark, store, "rerr")
+    b._acquire_lease()
+    b._release_lease()

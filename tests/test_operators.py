@@ -297,6 +297,42 @@ def test_blocked_neardup_matches_expression(spark, emb):
     }
     assert staged == blocked
 
+    # max_rows binds the fast path exactly like the staged one (r9
+    # review: the first fast-path cut silently bypassed it)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        cosine_neardup_pairs_blocked(
+            emb, threshold=0.42, max_rows=3
+        ).collect()
+    # fat-vector guard: for corpora past the phase-1 probe, the row
+    # budget derives from the OBSERVED dimension against the cells
+    # cap — an over-cap corpus falls through to the staged plan
+    # instead of a huge driver collect
+    from level_mapreduce_spark.operators import similarity as sim_mod
+
+    big = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("double"),
+            (F.col("id") % 11 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    orig = sim_mod._FAST_CELLS
+    try:
+        sim_mod._FAST_CELLS = 1  # any real dim exceeds the cap
+        capped = cosine_neardup_pairs_blocked(big, threshold=1.01)
+        assert "lmr_blocked_" in (
+            capped._jdf.queryExecution().executedPlan().toString()
+        )
+        sim_mod._FAST_CELLS = orig
+        fast_big = cosine_neardup_pairs_blocked(big, threshold=1.01)
+        assert "lmr_blocked_" not in (
+            fast_big._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        sim_mod._FAST_CELLS = orig
+
 
 def test_hll_sketch_error_bound(spark, sf_dir):
     """approx_count_distinct's HLL++ estimate must land within 5% of
@@ -1621,3 +1657,54 @@ def test_sessionize_property_vs_python_reference(spark):
         assert got == want, (deltas, got, want)
 
     run()
+
+
+def test_verify_shuffled_detects_reordered_shard(spark, tmp_path):
+    """The manifest hash is PHYSICALLY order-sensitive (r9 review fix:
+    a recomputed canonical rank hashed a reordered file identically):
+    verify_shuffled passes on the intact export, and fails on a shard
+    whose file was rewritten with the same rows in reverse order —
+    the exact 'served out of order' case the manifest exists for."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from level_mapreduce_spark.operators.export import (
+        verify_shuffled,
+        write_shuffled,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "vshuf")
+    write_shuffled(docs, out, n_shards=4, seed=5)
+    assert verify_shuffled(spark, out) == {"ok": True, "mismatches": []}
+
+    import os as _os
+
+    def _drop_crc(fp):
+        crc = _os.path.join(
+            _os.path.dirname(fp), "." + _os.path.basename(fp) + ".crc"
+        )
+        if _os.path.exists(crc):
+            _os.remove(crc)
+
+    # reverse one shard's file in place: same multiset, wrong order
+    shard_dir = sorted(glob.glob(out + "/shard=*"))[0]
+    [f] = glob.glob(shard_dir + "/part-*")
+    t = pq.read_table(f)
+    pq.write_table(t.take(list(range(t.num_rows - 1, -1, -1))), f)
+    _drop_crc(f)
+    res = verify_shuffled(spark, out)
+    assert res["ok"] is False
+    assert any("hash" in m["error"] for m in res["mismatches"])
+
+    # a truncated shard (partial copy) is also caught
+    write_shuffled(docs, out, n_shards=4, seed=5)  # restore
+    [f2] = glob.glob(sorted(glob.glob(out + "/shard=*"))[1] + "/part-*")
+    t2 = pq.read_table(f2)
+    pq.write_table(t2.slice(0, max(1, t2.num_rows - 1)), f2)
+    _drop_crc(f2)
+    res2 = verify_shuffled(spark, out)
+    assert res2["ok"] is False and any(
+        "rows" in m["error"] for m in res2["mismatches"]
+    )
