@@ -764,6 +764,14 @@ def edit_distance_pairs(
                         _slen(pl, j).cast("int").alias("sl"),
                     )
                 )
+    # partner lengths that do not EXIST in the corpus can never match
+    # an index row — prune those probe rows before the substring
+    # extraction and dedup shuffle (a fixed-length corpus otherwise
+    # generates (max_dist)/(max_dist+1) of its probe rows for nothing;
+    # the distinct-length set is tiny, so the semi-join broadcasts)
+    lengths = vals.where(F.col("_len") >= k).select(
+        F.col("_len").alias("_pl")
+    ).distinct()
     probe = (
         vals.select("_s", "_len", F.explode(F.array(*probe_structs)).alias("pr"))
         .where(
@@ -779,6 +787,7 @@ def edit_distance_pairs(
             F.col("_s").alias("_sb"),
             F.col("_len").alias("_lb"),
         )
+        .join(F.broadcast(lengths), "_pl", "left_semi")
         # repeated substrings (e.g. runs of one char) collapse before
         # the join so they cannot multiply candidates
         .dropDuplicates(["_j", "_pl", "_g", "_sb"])
