@@ -43,12 +43,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. ``dedup_simhash``,
-    ``ann_lsh_ivf``, ``multimodal_features``,
-    ``sketch_range_estimate``, and ``neardup_cosine_blocked`` are
-    intentionally absent (hash-function / k-means bucketing,
-    byte-level decode, DataSketches HLL/KLL/theta internals, BLAS
-    summation order not expressible in DuckDB SQL) → driver records
-    the rows-only check; their semantics vs the exact operators are
-    asserted in pytest."""
+    """DuckDB-runnable ANSI SQL per query. Exactly three entries are
+    intentionally absent — ``dedup_simhash`` (64-bit hash bucketing),
+    ``ann_lsh_ivf`` (k-means bucketing), ``multimodal_features``
+    (byte-level codec decode) — none expressible in DuckDB SQL →
+    driver records the rows-only check; their semantics vs the exact
+    operators are asserted in pytest (exact-twin, recall-floor, and
+    codec property tests). ``sketch_range_estimate`` and
+    ``neardup_cosine_blocked`` graduated to hash-gated in r9 via
+    output shaping (exact value + error-envelope bit; expression-twin
+    agreement bit)."""
     return dict(_q.ORACLES)

@@ -689,11 +689,32 @@ def edit_distance_pairs(
     shorter side has >= max_dist+1 chars (shorter pairs live in the
     short stratum).
     """
+    if q < 2:
+        # Recall hole at q=1 (r9 review): the blocked stratum indexes
+        # only values with >= max_dist+1 chars and the short stratum
+        # requires BOTH sides under (max_dist+1)*q, so a mixed pair
+        # like ('a', 'abc') at max_dist=2, q=1 (dist 2) falls between
+        # the strata and is silently missed. q >= 2 forces the mixed
+        # pair's shorter side to >= max_dist+2 chars — enough segments
+        # to pigeonhole — which the completeness argument relies on.
+        raise ValueError(
+            f"q must be >= 2 (got {q}): at q=1 the short-stratum "
+            "cutoff (max_dist+1)*q equals the segment-index minimum "
+            "length max_dist+1, so mixed short/long pairs are covered "
+            "by neither stratum and recall is silently incomplete"
+        )
     s = F.lower(F.col(col))
     min_len = (max_dist + 1) * q
     k = max_dist + 1  # PassJoin partition count
 
     ids = df.select(F.col(id_col).cast("long").alias("_id"), s.alias("_s"))
+    # one row per id is a correctness precondition downstream: the
+    # value->id equi-joins and the eq self-join emit one row per id
+    # OCCURRENCE, so duplicated input rows would duplicate (id_a,
+    # id_b) pairs (r9 review — the PassJoin rewrite dropped the old
+    # pair-level dropDuplicates). Restoring uniqueness here costs one
+    # shuffle at ids cardinality, never at pair cardinality.
+    ids = ids.dropDuplicates(["_id"])
     vals = (
         ids.select("_s")
         .distinct()

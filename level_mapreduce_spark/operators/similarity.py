@@ -221,6 +221,12 @@ def _round_half_up(v, decimals: int = 6):
 #: min(small_rows, max_rows, _FAST_CELLS // observed_dim).
 _FAST_CELLS = 4_194_304
 
+#: row ceiling for the fully-driver-side tier of the blocked fast
+#: path: the O(rows^2) sim matrix is materialized in driver numpy, so
+#: 4096 rows = 128 MB of doubles — above it the matrix broadcasts and
+#: pairs compute distributed instead
+_DRIVER_ROWS = 4096
+
 
 def cosine_neardup_pairs_blocked(
     embeddings: DataFrame,
@@ -253,16 +259,18 @@ def cosine_neardup_pairs_blocked(
     form.
 
     Corpora at or below ``min(small_rows, max_rows, _FAST_CELLS/dim)``
-    take a FAST PATH: the normalized matrix is collected (bounded by
-    the cells cap — ~32 MB of doubles regardless of vector width, via
-    a two-phase probe that observes the dimension before any large
-    collect) and shipped as a Spark broadcast instead of staged
-    through parquet, so a small batch pays no write + re-read +
-    per-worker file load. ``max_rows`` binds both paths identically.
-    The per-pair arithmetic is bit-identical either way (each sim is
-    one dot product; the staging only changes how workers obtain the
-    reference matrix). Above the threshold the distributed staging
-    keeps the driver out of the data path entirely.
+    take a FAST PATH: a one-row dimension probe bounds the collect to
+    ~32 MB of doubles regardless of vector width, then the normalized
+    matrix is collected once. At or below ``_DRIVER_ROWS`` the
+    thresholded pair set is computed driver-side in numpy and only the
+    result is parallelized (one cluster job total); between that and
+    the budget the matrix ships as a broadcast and pairs compute
+    distributed via Arrow. ``max_rows`` binds all paths identically.
+    The per-pair arithmetic is identical everywhere (each sim is one
+    rounded BLAS dot; the tiers only change how the reference matrix
+    travels), asserted equal across tiers in tests. Above the budget
+    the distributed staging keeps the driver out of the data path
+    entirely.
     """
     import tempfile
 
@@ -307,57 +315,100 @@ def cosine_neardup_pairs_blocked(
                 }
             )
 
-    # Size+content probe, two-phase so a fat-vector corpus cannot
-    # blow the driver (r9 review): phase 1 collects at most 2048 rows
-    # — the probe both decides the path and, when the corpus fits, IS
-    # the collected matrix (one job, no separate count). If the
-    # corpus is larger, the row budget is re-derived from the
-    # OBSERVED dimension against a cells cap before any bigger
-    # collect, and the caller's max_rows contract binds the fast path
-    # exactly like the staged one (an over-max corpus falls through
-    # to the staged branch, whose count raises).
-    phase1 = min(small_rows, 2048)
-    rows = (
-        normalized.limit(phase1 + 1).collect() if small_rows > 0 else None
-    )
-    if rows is not None and len(rows) > phase1:
-        dim = next(
-            (len(r["_u"]) for r in rows if r["_u"] is not None), 1
-        ) or 1
-        budget = min(small_rows, max_rows, _FAST_CELLS // dim)
-        if budget > phase1:
-            rows = normalized.limit(budget + 1).collect()
-            if len(rows) > budget:
-                rows = None
-        else:
-            rows = None
-    if rows is not None and len(rows) <= min(small_rows, max_rows):
-        import numpy as np
-
-        if rows:
-            mat = (
-                np.array([r["vec_id"] for r in rows], dtype=np.int64),
-                np.array(
-                    [r["_u"] for r in rows], dtype=np.float64
-                ).reshape(len(rows), -1),
-            )
-        else:
-            mat = (np.empty(0, dtype=np.int64), np.empty((0, 1)))
-        bcast = spark.sparkContext.broadcast(mat)
-
-        def block_small(pdfs):
-            yield from _pairs_block(pdfs, lambda: bcast.value)
-
-        # the probe rows are already on the driver — re-parallelize
-        # them instead of recomputing the normalization over the
-        # source. createDataFrame slices the local rows across the
-        # default parallelism at source, so no repartition stage is
-        # needed: the whole fast path is one probe job + one
-        # single-stage compute job.
-        stream = spark.createDataFrame(
-            rows, schema="vec_id long, _u array<double>"
+    # Small-batch fast paths. A one-row dimension probe runs FIRST so
+    # every subsequent collect is budgeted from the OBSERVED dimension
+    # (r9 review closed the >2048-row fat-vector hole; this closes the
+    # <=2048-row one too — previously the phase-1 collect itself could
+    # pull e.g. 2048 x 1M-dim doubles onto the driver before any cells
+    # check ran). No path may collect more than ~_FAST_CELLS doubles
+    # (+1 sentinel row). Two tiers under the budget:
+    #   - <= _DRIVER_ROWS rows: the probe collect already paid for the
+    #     whole matrix, so the thresholded pair set is computed right
+    #     here in numpy and only the (tiny) result is parallelized —
+    #     ONE cluster job instead of probe + Arrow compute (r9 bench:
+    #     those two fixed ~0.4 s jobs put neardup_blocked at 2.03x the
+    #     anchor on a 2,000-row corpus). The arithmetic is the same
+    #     rounded BLAS dot per pair, asserted bit-equal to the staged
+    #     path in tests.
+    #   - larger, still under budget: matrix ships as a broadcast and
+    #     pairs compute distributed via mapInPandas (the driver never
+    #     holds the O(rows^2) sim matrix).
+    # max_rows binds all paths identically: an over-max corpus falls
+    # through to the staged branch, whose count raises.
+    if small_rows > 0:
+        # collect the RAW cast embeddings, not the normalized frame:
+        # the plain parquet-scan plan compiles and runs ~2x faster
+        # than the HOF normalize plan, and the normalization is
+        # replicated driver-side BIT-FOR-BIT (the acc-loop below is
+        # the same left-associated ``acc + x*x`` fold as the Spark
+        # ``aggregate``, and ``E / n`` the same per-element division
+        # as the ``transform`` — asserted equal in tests)
+        raw = embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _as_double_array(F.col("embedding")).alias("_e"),
         )
-        return stream.mapInPandas(block_small, schema=out_schema)
+        dprobe = (
+            raw.where(F.col("_e").isNotNull())
+            .select(F.size("_e").alias("d"))
+            .first()
+        )
+        dim = int(dprobe["d"]) if dprobe is not None and dprobe["d"] else 0
+        budget = min(small_rows, max_rows, _FAST_CELLS // dim) if dim else 0
+        rows = raw.limit(budget + 1).collect() if budget > 0 else None
+        if rows is not None and len(rows) <= budget:
+            import numpy as np
+
+            ids_arr = np.array(
+                [r["vec_id"] for r in rows], dtype=np.int64
+            )
+            E = np.array(
+                [r["_e"] for r in rows], dtype=np.float64
+            ).reshape(len(rows), -1)
+            acc = np.zeros(len(rows))
+            for kk in range(E.shape[1]):
+                acc = acc + E[:, kk] * E[:, kk]
+            # zero-norm rows divide to inf/nan exactly like Spark's
+            # double division (ANSI divide-by-zero is integral-only);
+            # their nan sims fail every >= comparison in numpy on both
+            # the driver and staged paths, matching the expression
+            # twin's null-sim drop
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mat = E / np.sqrt(acc)[:, None]
+                if len(rows) <= _DRIVER_ROWS:
+                    import pandas as pd
+
+                    s = _round_half_up(mat @ mat.T)
+                    ii, jj = np.nonzero(
+                        (s >= threshold)
+                        & (ids_arr[:, None] < ids_arr[None, :])
+                    )
+                    pdf = pd.DataFrame(
+                        {
+                            "vec_id_a": ids_arr[ii],
+                            "vec_id_b": ids_arr[jj],
+                            "sim": s[ii, jj],
+                        }
+                    )
+                    return spark.createDataFrame(pdf, schema=out_schema)
+            bcast = spark.sparkContext.broadcast((ids_arr, mat))
+
+            def block_small(pdfs):
+                yield from _pairs_block(pdfs, lambda: bcast.value)
+
+            # the normalized matrix is already on the driver —
+            # re-parallelize it instead of recomputing the
+            # normalization over the source. createDataFrame slices
+            # the local rows across the default parallelism at source,
+            # so no repartition stage is needed.
+            import pandas as _pd
+
+            stream = spark.createDataFrame(
+                _pd.DataFrame(
+                    {"vec_id": ids_arr, "_u": list(mat.tolist())}
+                ),
+                schema="vec_id long, _u array<double>",
+            )
+            return stream.mapInPandas(block_small, schema=out_schema)
 
     n = embeddings.count()
     if n > max_rows:

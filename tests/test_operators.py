@@ -278,12 +278,14 @@ def test_blocked_neardup_matches_expression(spark, emb):
     for k in expr:
         assert abs(expr[k] - blocked[k]) <= 1e-5, (k, expr[k], blocked[k])
 
-    # small-batch fast path (default small_rows): the reference matrix
-    # travels as a broadcast, NOT through a parquet staging dir — the
-    # plan must not scan any lmr_blocked_ staging path...
+    # small-batch fast path (default small_rows): this corpus is under
+    # _DRIVER_ROWS, so pairs are computed driver-side and the plan is
+    # a local-relation parallelize — no parquet staging dir AND no
+    # mapInPandas stage
     fast_df = cosine_neardup_pairs_blocked(emb, threshold=0.42)
     fast_plan = fast_df._jdf.queryExecution().executedPlan().toString()
     assert "lmr_blocked_" not in fast_plan
+    assert "FlatMapGroups" not in fast_plan and "MapInPandas" not in fast_plan
     # ...while forcing small_rows=0 takes the staged path (the 100 TB
     # shape), scanning the staged matrix — and both paths agree
     # bit-for-bit
@@ -296,6 +298,26 @@ def test_blocked_neardup_matches_expression(spark, emb):
         (r["vec_id_a"], r["vec_id_b"]): r["sim"] for r in staged_df.collect()
     }
     assert staged == blocked
+
+    # mid tier: above _DRIVER_ROWS but under the cells budget, the
+    # matrix broadcasts and pairs compute via mapInPandas — same
+    # result, still no staging dir
+    from level_mapreduce_spark.operators import similarity as _sm
+
+    orig_driver_rows = _sm._DRIVER_ROWS
+    try:
+        _sm._DRIVER_ROWS = 0
+        mid_df = cosine_neardup_pairs_blocked(emb, threshold=0.42)
+        mid_plan = mid_df._jdf.queryExecution().executedPlan().toString()
+        assert "lmr_blocked_" not in mid_plan
+        assert "MapInPandas" in mid_plan
+        mid = {
+            (r["vec_id_a"], r["vec_id_b"]): r["sim"]
+            for r in mid_df.collect()
+        }
+        assert mid == blocked
+    finally:
+        _sm._DRIVER_ROWS = orig_driver_rows
 
     # max_rows binds the fast path exactly like the staged one (r9
     # review: the first fast-path cut silently bypassed it)
@@ -324,6 +346,14 @@ def test_blocked_neardup_matches_expression(spark, emb):
         capped = cosine_neardup_pairs_blocked(big, threshold=1.01)
         assert "lmr_blocked_" in (
             capped._jdf.queryExecution().executedPlan().toString()
+        )
+        # the cap must bind for SMALL corpora too (r9 advice: a
+        # <=2048-row corpus with fat vectors used to skip the cells
+        # check entirely) — the dim probe budgets every collect now
+        tiny = big.limit(10)
+        capped_tiny = cosine_neardup_pairs_blocked(tiny, threshold=1.01)
+        assert "lmr_blocked_" in (
+            capped_tiny._jdf.queryExecution().executedPlan().toString()
         )
         sim_mod._FAST_CELLS = orig
         fast_big = cosine_neardup_pairs_blocked(big, threshold=1.01)
@@ -1180,6 +1210,23 @@ def test_edit_distance_pairs(spark):
         (2, 3): 2, (2, 4): 2, (2, 5): 2,
         (3, 4): 2, (3, 5): 2, (4, 5): 2,
     }
+
+    # q=1 would leave mixed short/long pairs (e.g. 'a' vs 'abc' at
+    # max_dist=2) covered by NEITHER stratum — refused loudly instead
+    # of returning silently incomplete recall (r9 advice)
+    with pytest.raises(ValueError, match="q must be >= 2"):
+        edit_distance_pairs(titles, max_dist=2, q=1)
+
+    # duplicated input rows per id must not duplicate output pairs:
+    # the value->id joins emit per id occurrence, so uniqueness is
+    # enforced on the ids frame (r9 advice — the PassJoin rewrite had
+    # dropped the old pair-level dedup)
+    doubled = titles.unionByName(titles)
+    got_doubled = [
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(doubled, max_dist=2).collect()
+    ]
+    assert sorted(got_doubled) == [(1, 2, 2), (1, 3, 1)]
 
 
 def test_rolling_user_value_range_frame(spark):
