@@ -677,7 +677,9 @@ def edit_distance_pairs(
     positions. Each value therefore indexes its ``max_dist+1``
     segments keyed by (segment index, own length, text) and probes
     with the substrings a partner of each compatible length would
-    need at each slot (±max_dist shifts) — a plain equi-join whose
+    need at each slot (length-aware shifts: only
+    ``|shift| + |delta - shift| <= max_dist`` can match) — a plain
+    equi-join whose
     key is a ~len/(max_dist+1)-char EXACT substring. q-gram blocking
     degenerates when every gram is corpus-common (strings drawn from
     a shared vocabulary — the r8 fuzzy_pairs 338 s regime); a
@@ -726,33 +728,39 @@ def edit_distance_pairs(
     # more. Both sides must derive (start, len) of segment j from the
     # PARTNER length alone, so the join key (j, partner_len, segment
     # text) lines up exactly.
-    def _sbase(lc):
-        return ((lc - (lc % k)) / k).cast("int")
+    #
+    # Both struct arrays are rendered as ONE SQL expression string and
+    # parsed JVM-side: building them through the Column API costs ~1 ms
+    # of py4j round-trips per element (measured 5-8 s of pure driver
+    # time for the probe array at max_dist=3 — the dominant cost of the
+    # whole operator before this), while parse+analyze of the same tree
+    # from text is milliseconds.
+    def _sql_sbase(lv):
+        return f"CAST((({lv}) - (({lv}) % {k})) / {k} AS INT)"
 
-    def _slen(lc, j):
-        return _sbase(lc) + F.when(
-            F.lit(j) >= F.lit(k) - (lc % k), F.lit(1)
-        ).otherwise(F.lit(0))
-
-    def _spos(lc, j):
+    def _sql_slen(lv, j):
         return (
-            F.lit(1)
-            + F.lit(j) * _sbase(lc)
-            + F.greatest(F.lit(0), F.lit(j) - (F.lit(k) - (lc % k)))
-        ).cast("int")
+            f"({_sql_sbase(lv)} + IF({j} >= ({k} - (({lv}) % {k})),"
+            " 1, 0))"
+        )
+
+    def _sql_spos(lv, j):
+        return (
+            f"CAST(1 + {j} * {_sql_sbase(lv)} + GREATEST(0, {j} -"
+            f" ({k} - (({lv}) % {k}))) AS INT)"
+        )
 
     l = F.col("_len")
     # index side: each value contributes its own k segments, keyed by
     # (segment index, own length, segment text)
-    seg_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                _spos(l, j).alias("p"),
-                _slen(l, j).cast("int").alias("sl"),
-            )
+    seg_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('j', {j}, 'p', {_sql_spos('_len', j)},"
+            f" 'sl', CAST({_sql_slen('_len', j)} AS INT))"
             for j in range(k)
-        ]
+        )
+        + ")"
     )
     idx_side = (
         vals.where(l >= k)
@@ -768,23 +776,35 @@ def edit_distance_pairs(
     )
     # probe side: for every candidate partner length (own length minus
     # 0..max_dist — the shorter side indexes, the longer probes), every
-    # segment index, and every alignment shift within +-max_dist, emit
-    # the substring the partner's segment would have to equal. A
-    # static (d+1) x (d+1) x (2d+1) struct array keeps this one
-    # JVM-side explode, no UDF.
+    # segment index, and every LENGTH-AWARE alignment shift, emit the
+    # substring the partner's segment would have to equal. A static
+    # struct array keeps this one JVM-side explode, no UDF.
+    #
+    # Shift pruning (PassJoin's length-aware substring selection,
+    # Li/Deng/Feng PVLDB'11 §4.1): if partner segment j survives
+    # verbatim at displacement `shift` in the prober, the edits before
+    # it number >= |shift| (net position drift) and the edits after it
+    # >= |delta - shift| (net remaining-length drift, delta = own len -
+    # partner len), so |shift| + |delta - shift| <= max_dist is
+    # NECESSARY for any true match — shifts outside it cannot produce
+    # a pair and are never emitted. This cuts the struct count from
+    # (d+1)^2(2d+1) to about half, and for equal-length corpora cuts
+    # per-value probe rows ~2.3x (only |shift| <= d/2 survives at
+    # delta=0).
     probe_structs = []
     for delta in range(max_dist + 1):
-        pl = l - delta
+        lv = f"(_len - {delta})"
         for j in range(k):
             for shift in range(-max_dist, max_dist + 1):
+                if abs(shift) + abs(delta - shift) > max_dist:
+                    continue
                 probe_structs.append(
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        pl.cast("int").alias("pl"),
-                        (_spos(pl, j) + shift).cast("int").alias("p"),
-                        _slen(pl, j).cast("int").alias("sl"),
-                    )
+                    f"named_struct('j', {j},"
+                    f" 'pl', CAST({lv} AS INT),"
+                    f" 'p', CAST(({_sql_spos(lv, j)}) + ({shift}) AS INT),"
+                    f" 'sl', CAST({_sql_slen(lv, j)} AS INT))"
                 )
+    probe_array = F.expr("array(" + ",".join(probe_structs) + ")")
     # partner lengths that do not EXIST in the corpus can never match
     # an index row — prune those probe rows before the substring
     # extraction and dedup shuffle (a fixed-length corpus otherwise
@@ -794,7 +814,7 @@ def edit_distance_pairs(
         F.col("_len").alias("_pl")
     ).distinct()
     probe = (
-        vals.select("_s", "_len", F.explode(F.array(*probe_structs)).alias("pr"))
+        vals.select("_s", "_len", F.explode(probe_array).alias("pr"))
         .where(
             (F.col("pr.pl") >= k)
             & (F.col("pr.p") >= 1)
