@@ -322,6 +322,74 @@ def _chained_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     return _cached(spark, sf_dir, "chain_b", build)
 
 
+def _chained_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
+    """Same final B state as :func:`_chained_index`, but the overwrite
+    batch reaches A through the STREAMING maintenance path
+    (``stream_into`` -> ``writeStream.foreachBatch`` -> ``update()``,
+    availableNow) and must still cascade through the pipe into B —
+    the reference's replication scenario
+    (tests/test-replication.js:27-51) driven as a live change stream
+    rather than a batch call. Identical rows under both tags prove
+    the streaming wrapper preserves chained propagation."""
+
+    def build():
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tf
+
+        from level_mapreduce_spark.streaming.sink import stream_into
+
+        a = MapIndex(
+            spark,
+            f"chain_st_a_{abs(hash(sf_dir)) % 10**8}",
+            _orders_mapper(),
+            _store(),
+            doc_key="o_orderkey",
+        )
+        b_mapper = ExprMapper(
+            F.transform(
+                F.col("value"),
+                lambda p: F.struct(
+                    F.concat(F.lit("by_"), p["index_key"]).alias("index_key"),
+                    p["value"].alias("value"),
+                ),
+            ),
+            value_type=T.DoubleType(),
+        )
+        b = MapIndex(
+            spark, f"chain_st_b_{abs(hash(sf_dir)) % 10**8}", b_mapper, _store()
+        )
+        a.pipe(b)
+        orders = load_table(spark, sf_dir, "orders")
+        a.build(orders, assume_unique=True)
+        upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        )
+        work = _tf.mkdtemp(prefix="lmr_gate_chain_stream_")
+        try:
+            src = _os.path.join(work, "src")
+            upd.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(upd.schema).parquet(src)
+            q = stream_into(
+                a,
+                stream,
+                checkpoint=_os.path.join(work, "ckpt"),
+                available_now=True,
+                assume_unique=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming chained gate did not drain within "
+                    "300 s; refusing to serve a partially-updated chain"
+                )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+        return b
+
+    return _cached(spark, sf_dir, "chain_b_stream", build)
+
+
 def _kv_export_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     """North-star ingestion bridge: orders -> JSONL KV dump
     ({key, value, deleted, seq}, the reference input contract as a
@@ -699,8 +767,24 @@ def q_overwrite(spark, sf_dir):
 
 
 def q_chained(spark, sf_dir):
-    """Operator #6: index chaining / replication."""
-    return _chained_index(spark, sf_dir).read().select("index_key", "value")
+    """Operator #6: index chaining / replication, in BOTH maintenance
+    realizations as a tagged union: 'batch' = direct update() through
+    the pipe, 'stream' = the same change batch applied to A via
+    stream_into (writeStream.foreachBatch, availableNow), cascading
+    through the pipe into B. Identical rows under both tags prove the
+    streaming wrapper preserves chained propagation — gate-checked,
+    not just pytest-replayed (VERDICT r9 #5)."""
+    batch = (
+        _chained_index(spark, sf_dir)
+        .read()
+        .select(F.lit("batch").alias("variant"), "index_key", "value")
+    )
+    stream = (
+        _chained_stream_index(spark, sf_dir)
+        .read()
+        .select(F.lit("stream").alias("variant"), "index_key", "value")
+    )
+    return batch.unionByName(stream)
 
 
 # ----------------------------------------------------- LLM-pipeline ops
@@ -2453,9 +2537,14 @@ ORACLES: dict[str, str] = {
       FROM orders
     """,
     "chained_index": """
-      SELECT 'by_' || o_orderpriority AS index_key,
+      SELECT 'batch' AS variant, 'by_' || o_orderpriority AS index_key,
              CASE WHEN o_orderkey % 10 = 0
                   THEN o_totalprice * 1.5 ELSE o_totalprice END AS value
+      FROM orders
+      UNION ALL
+      SELECT 'stream', 'by_' || o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice * 1.5 ELSE o_totalprice END
       FROM orders
     """,
     "dedup_exact": """
