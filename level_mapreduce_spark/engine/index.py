@@ -258,20 +258,23 @@ class MapIndex:
     def _acquire_lease(self) -> None:
         """Take the single-writer lease, or raise loudly.
 
-        Primitive: ``FileSystem.create(path, overwrite=False)`` — an
-        atomic create-if-absent on HDFS. On other stores this is
-        BEST-EFFORT, not atomic: S3A (without conditional-put support)
-        checks existence at ``create()`` but materializes the object
-        at ``close()``, and RawLocalFileSystem is check-then-create —
-        on those stores two near-simultaneous writers can BOTH pass
-        ``create()``. To narrow that race the acquirer reads the lock
-        back after writing it and verifies its own ``writer_id``
+        Primitive: a conditional create-if-absent where the store has
+        one (:meth:`_create_lock_conditional` — POSIX ``O_EXCL`` on
+        local paths, connector conditional-put asserted via
+        ``spark.lmr.lease.conditionalCreate``; both truly atomic, so
+        exactly one of N simultaneous acquirers wins). Elsewhere:
+        ``FileSystem.create(path, overwrite=False)`` — atomic on HDFS
+        but BEST-EFFORT on stores like S3A-without-conditional-put
+        (existence checked at ``create()``, object materialized at
+        ``close()``), where two near-simultaneous writers can BOTH
+        pass ``create()``. To narrow that race the fallback reads the
+        lock back after writing it and verifies its own ``writer_id``
         survived (last-writer-wins on a double-create means exactly
         one of the two sees its id; the other raises). That closes
         every race except both writers reading back inside the other's
-        create-to-close window — on stores where that matters, deploy
-        with a conditional-put lock (S3 If-None-Match, GCS
-        generation-match) behind the same file path.
+        create-to-close window — on stores where that matters, enable
+        the conditional flag (S3 If-None-Match, GCS generation-match)
+        instead of relying on the read-back.
 
         The lock file records writer id, pid, and acquisition time so
         the loser's error says WHO holds it, and a heartbeat thread
@@ -301,79 +304,70 @@ class MapIndex:
             return
         fs, hpath, jvm = _hadoop_fs(self.spark, self._lease_hpath)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.root))
-        try:
-            out = fs.create(hpath, False)
-        except Exception as e:
-            # Only "the lock already exists" means a concurrent writer.
-            # Any other failure (bad credentials, unreachable store,
-            # vanished parent) must surface as itself — mapping it to
-            # ConcurrentWriterError sends the operator to break_lease
-            # for an infrastructure problem.
-            msg = str(e)
-            if not (
-                "FileAlreadyExists" in msg
-                or "already exists" in msg.lower()
-                or "file exists" in msg.lower()
-            ):
-                raise
-            holder = None
+        payload = json.dumps(
+            {
+                "writer_id": self._writer_id,
+                "pid": os.getpid(),
+                "acquired_unix": int(time.time()),
+            }
+        ).encode("utf-8")
+        if not self._create_lock_conditional(fs, hpath, payload):
+            # Fallback: best-effort create-if-absent + read-back verify
+            # (see docstring for the residual window it cannot close).
             try:
-                holder = self.get_sidecar(name="writer.lock")
-            except Exception:
-                pass
-            raise ConcurrentWriterError(
-                f"index '{self.name}' is being mutated by another "
-                f"writer (lock {self._lease_hpath}"
-                + (f", holder {holder}" if holder else "")
-                + "); retry after it finishes, or break_lease() if the "
-                "holder is dead"
-            ) from None
-        try:
-            out.write(
-                bytearray(
-                    json.dumps(
-                        {
-                            "writer_id": self._writer_id,
-                            "pid": os.getpid(),
-                            "acquired_unix": int(time.time()),
-                        }
-                    ).encode("utf-8")
-                )
-            )
-            out.close()
-        except Exception:
-            # The lock file exists but this writer is about to abort:
-            # clean it up so the failure does not orphan the lease and
-            # block every future writer until a manual break_lease.
+                out = fs.create(hpath, False)
+            except Exception as e:
+                # Only "the lock already exists" means a concurrent
+                # writer. Any other failure (bad credentials,
+                # unreachable store, vanished parent) must surface as
+                # itself — mapping it to ConcurrentWriterError sends
+                # the operator to break_lease for an infrastructure
+                # problem.
+                msg = str(e)
+                if not (
+                    "FileAlreadyExists" in msg
+                    or "already exists" in msg.lower()
+                    or "file exists" in msg.lower()
+                ):
+                    raise
+                self._raise_lock_held()
             try:
+                out.write(bytearray(payload))
                 out.close()
             except Exception:
-                pass
-            fs.delete(hpath, False)
-            raise
-        # Read-back verify (the double-acquire detector for stores
-        # whose create() is not atomic — see docstring). On a
-        # double-create the lock holds ONE of the two writer ids; the
-        # loser backs off WITHOUT deleting (the lock is the winner's).
-        # Distinguish the three read-back outcomes carefully (r9
-        # review): a TRANSIENT read error must not strand this
-        # writer's own freshly-created lock as an orphan — retry,
-        # and if the store stays unreadable, delete our create and
-        # surface the underlying error (we provably cannot hold a
-        # lease we cannot read).
-        try:
-            lock = self._read_lock(raise_errors=True)
-        except Exception:
-            fs.delete(hpath, False)
-            raise
-        if lock is None or lock.get("writer_id") != self._writer_id:
-            raise ConcurrentWriterError(
-                f"index '{self.name}': lease read-back found "
-                f"{'no lock' if lock is None else 'another writer ' + str(lock.get('writer_id'))} "
-                f"after this writer's create — a concurrent writer won a "
-                f"non-atomic create-if-absent race (or broke the lease); "
-                f"backing off without touching the surviving lock"
-            )
+                # The lock file exists but this writer is about to
+                # abort: clean it up so the failure does not orphan the
+                # lease and block every future writer until a manual
+                # break_lease.
+                try:
+                    out.close()
+                except Exception:
+                    pass
+                fs.delete(hpath, False)
+                raise
+            # Read-back verify (the double-acquire detector for stores
+            # whose create() is not atomic — see docstring). On a
+            # double-create the lock holds ONE of the two writer ids;
+            # the loser backs off WITHOUT deleting (the lock is the
+            # winner's). Distinguish the three read-back outcomes
+            # carefully (r9 review): a TRANSIENT read error must not
+            # strand this writer's own freshly-created lock as an
+            # orphan — retry, and if the store stays unreadable, delete
+            # our create and surface the underlying error (we provably
+            # cannot hold a lease we cannot read).
+            try:
+                lock = self._read_lock(raise_errors=True)
+            except Exception:
+                fs.delete(hpath, False)
+                raise
+            if lock is None or lock.get("writer_id") != self._writer_id:
+                raise ConcurrentWriterError(
+                    f"index '{self.name}': lease read-back found "
+                    f"{'no lock' if lock is None else 'another writer ' + str(lock.get('writer_id'))} "
+                    f"after this writer's create — a concurrent writer won a "
+                    f"non-atomic create-if-absent race (or broke the lease); "
+                    f"backing off without touching the surviving lock"
+                )
         self._lease_thread = me
         self._lease_depth = 1
         self._lease_lost = False
@@ -387,6 +381,103 @@ class MapIndex:
         self._lease_hb_stop = stop
         self._lease_hb_thread = hb
         hb.start()
+
+    def _raise_lock_held(self) -> None:
+        """Raise the standard 'another writer holds the lease' error,
+        naming the holder when the lock payload is readable."""
+        holder = None
+        try:
+            holder = self.get_sidecar(name="writer.lock")
+        except Exception:
+            pass
+        raise ConcurrentWriterError(
+            f"index '{self.name}' is being mutated by another "
+            f"writer (lock {self._lease_hpath}"
+            + (f", holder {holder}" if holder else "")
+            + "); retry after it finishes, or break_lease() if the "
+            "holder is dead"
+        ) from None
+
+    def _create_lock_conditional(self, fs, hpath, payload: bytes) -> bool:
+        """Create writer.lock with a TRULY ATOMIC create-if-absent
+        where the store provides one; return False when it does not
+        (caller falls back to best-effort create + read-back verify).
+
+        Two conditional realizations:
+
+        - ``file://`` (and scheme-less local paths): POSIX
+          ``open(O_CREAT|O_EXCL)`` — atomic on every local/NFSv4
+          filesystem, unlike Hadoop's RawLocalFileSystem
+          check-then-create. Exactly one of N simultaneous acquirers
+          wins (fault-injection tested with a thread barrier race).
+        - Stores whose connector implements conditional create under
+          ``create(path, overwrite=false)`` (S3 If-None-Match, GCS
+          if-generation-match 0): the deployer asserts it with
+          ``spark.lmr.lease.conditionalCreate=true`` and the same
+          call becomes contractually atomic, so the read-back verify
+          and its residual create-to-close window are skipped. The
+          flag is opt-in because the FileSystem API offers no
+          portable way to DETECT conditional semantics — claiming
+          atomicity on a store that lacks it would readmit the
+          double-writer silently.
+
+        Raises :class:`ConcurrentWriterError` when the lock already
+        exists on either conditional path."""
+        uri = hpath.toUri()
+        scheme = uri.getScheme()
+        if scheme in (None, "file"):
+            local = uri.getPath()
+            try:
+                fd = os.open(
+                    local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                self._raise_lock_held()
+            try:
+                os.write(fd, payload)
+            except Exception:
+                os.close(fd)
+                os.unlink(local)
+                raise
+            os.close(fd)
+            return True
+        try:
+            asserted = (
+                str(
+                    self.spark.conf.get(
+                        "spark.lmr.lease.conditionalCreate", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            asserted = False
+        if not asserted:
+            return False
+        try:
+            out = fs.create(hpath, False)
+        except Exception as e:
+            msg = str(e)
+            if not (
+                "FileAlreadyExists" in msg
+                or "already exists" in msg.lower()
+                or "file exists" in msg.lower()
+            ):
+                raise
+            self._raise_lock_held()
+        try:
+            out.write(bytearray(payload))
+            out.close()
+        except Exception:
+            # a conditional store materializes (and checks) at close —
+            # an aborted write leaves nothing, but delete defensively
+            try:
+                out.close()
+            except Exception:
+                pass
+            fs.delete(hpath, False)
+            raise
+        return True
 
     def _read_lock(self, raise_errors: bool = False) -> dict | None:
         """Current writer.lock payload, or None for a MISSING lock.

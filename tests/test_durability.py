@@ -430,6 +430,10 @@ def test_acquire_readback_detects_lost_race(spark, store):
     from level_mapreduce_spark.engine.index import ConcurrentWriterError
 
     a = kv_index(spark, store, "race")
+    # local stores take the O_EXCL conditional path where this race is
+    # impossible — force the best-effort fallback to exercise its
+    # read-back detector
+    a._create_lock_conditional = lambda *args, **kw: False
     # simulate losing the race: the read-back sees the other writer
     a._read_lock = lambda raise_errors=False: {"writer_id": "someone-else"}
     try:
@@ -439,8 +443,61 @@ def test_acquire_readback_detects_lost_race(spark, store):
         assert "race" in str(e)
     assert a._lease_depth == 0 and a._lease_thread is None
     del a._read_lock
+    del a._create_lock_conditional
     # the surviving lock belongs to "the winner" — operator clears it
     assert a.break_lease() is True
+
+
+def test_lease_conditional_create_single_winner(spark, store):
+    """VERDICT r9 #6: on the conditional path (POSIX O_EXCL for local
+    stores) a simulated double-create — N handles racing through a
+    barrier — admits EXACTLY one winner; every loser raises
+    ConcurrentWriterError without damaging the winner's lock, and
+    after the winner releases, a loser can acquire."""
+    import threading
+
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    handles = [kv_index(spark, store, "cond_race") for _ in range(6)]
+    results: dict[int, str] = {}
+    barrier = threading.Barrier(len(handles))
+
+    def go(i, h):
+        barrier.wait()
+        try:
+            h._acquire_lease()
+            results[i] = "won"
+        except ConcurrentWriterError:
+            results[i] = "lost"
+
+    threads = [
+        threading.Thread(target=go, args=(i, h))
+        for i, h in enumerate(handles)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    wins = [i for i, r in results.items() if r == "won"]
+    assert len(results) == len(handles)
+    assert len(wins) == 1, results
+    winner = handles[wins[0]]
+    # the surviving lock is the winner's
+    lock = winner._read_lock()
+    assert lock is not None and lock["writer_id"] == winner._writer_id
+    # losers backed off cleanly: no depth, no heartbeat thread
+    for i, h in enumerate(handles):
+        if i != wins[0]:
+            assert h._lease_depth == 0 and h._lease_thread is None
+    winner._release_lease()
+    assert winner._read_lock() is None
+    # the namespace is reusable after release
+    loser = handles[(wins[0] + 1) % len(handles)]
+    loser._acquire_lease()
+    try:
+        assert loser._read_lock()["writer_id"] == loser._writer_id
+    finally:
+        loser._release_lease()
 
 
 def _epochs(idx):
@@ -882,6 +939,9 @@ def test_acquire_readback_transient_error_leaves_no_orphan(spark, store):
     writer's own fresh lock deleted — not masquerade as a lost race
     that strands an orphan lock blocking every future writer."""
     a = kv_index(spark, store, "rerr")
+    # the read-back only runs on the best-effort fallback; the local
+    # O_EXCL conditional path never needs it
+    a._create_lock_conditional = lambda *args, **kw: False
     orig = a.get_sidecar
 
     def flaky(name="meta.json"):
