@@ -65,6 +65,22 @@ AUTO_COMPACT_EPOCHS = 24
 # Tombstone bytes past which read() stops broadcasting the anti-join
 # side and lets AQE pick the strategy (sort-merge / shuffled-hash).
 TOMBSTONE_BROADCAST_BYTES = 64 * 1024 * 1024
+# Bytes-ratio (leveled) compaction trigger: when the delta epochs'
+# total bytes exceed this fraction of the base epoch's bytes — with at
+# least two delta epochs to merge — auto_compact pays a FULL fold.
+# Epoch COUNT alone misses skewed-size sequences (a handful of
+# base-sized deltas multiplies read bytes long before 24 epochs);
+# triggering the full fold (not a minor one, which leaves total live
+# bytes unchanged) re-absorbs the deltas so read amplification is
+# bounded by (1 + ratio) x base while write amplification amortizes to
+# (1 + ratio)/ratio per ingested byte, and the trigger stays quiet
+# until another ratio's worth accumulates — no per-batch refold.
+COMPACT_SIZE_RATIO = 0.5
+# The ratio trigger only engages once the deltas are material: below
+# this many delta bytes, read amplification is irrelevant at any
+# ratio (a 1-row parquet file's fixed footer overhead would otherwise
+# dwarf a tiny base and force gratuitous folds on small indexes).
+COMPACT_SIZE_MIN_DELTA_BYTES = 64 * 1024 * 1024
 # While a mutation runs, the lease holder re-touches writer.lock every
 # this-many seconds (heartbeat_unix field). break_lease() decisions
 # then have evidence: a live-but-slow writer's heartbeat age stays
@@ -192,6 +208,11 @@ class MapIndex:
         # re-walk the tombstone dir (getContentSummary is a recursive
         # listing — expensive on object stores).
         self._tomb_bytes_cache: tuple[tuple[int, ...], int] | None = None
+        # (epoch signature, base bytes, total bytes) for the segment
+        # dir — the bytes-ratio compaction trigger's cache. Epoch dirs
+        # are immutable once written, so the epoch list IS the content
+        # signature.
+        self._seg_bytes_cache: tuple[tuple[int, ...], int, int] | None = None
         # writer lease state (see _acquire_lease): per-HANDLE identity
         # + reentrancy depth for update() -> auto compact()
         self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
@@ -870,7 +891,7 @@ class MapIndex:
         O(index) rewrite.) Callers that already hold fresh epoch
         listings pass them in — the update() hot path must not pay
         repeated LIST calls on an object store."""
-        n_seg = len(
+        seg = (
             _list_epochs(self.spark, self.segments_path)
             if seg_eps is None
             else seg_eps
@@ -886,10 +907,46 @@ class MapIndex:
         # threshold would re-trigger maintenance every batch; only
         # the occasional full fold reclaims them
         self.compaction_due = (
-            n_seg >= AUTO_COMPACT_EPOCHS
+            len(seg) >= AUTO_COMPACT_EPOCHS
             or n_tomb >= 4 * AUTO_COMPACT_EPOCHS
             or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
+            or self._seg_size_pressure(seg)
         )
+
+    def _seg_size_pressure(self, seg_eps: list[int] | None = None) -> bool:
+        """Bytes-ratio compaction trigger (see COMPACT_SIZE_RATIO):
+        true when the delta epochs' bytes exceed the ratio of the base
+        epoch's bytes and there are at least two deltas to merge.
+        Bytes come from two ``getContentSummary`` calls cached per
+        epoch-list signature (epoch dirs are immutable), so the
+        update() hot path pays at most one dir walk per batch."""
+        eps = (
+            _list_epochs(self.spark, self.segments_path)
+            if seg_eps is None
+            else seg_eps
+        )
+        if len(eps) < 3:
+            # 0-1 deltas: a full fold would just rewrite the base for
+            # nothing (and a single big delta would re-trigger every
+            # batch) — epoch-count pressure covers this regime
+            return False
+        sig = tuple(eps)
+        cached = self._seg_bytes_cache
+        if cached is None or cached[0] != sig:
+            base = _path_bytes(
+                self.spark,
+                posixpath.join(self.segments_path, f"epoch={eps[0]}"),
+            )
+            total = _path_bytes(self.spark, self.segments_path)
+            self._seg_bytes_cache = (sig, base, total)
+        else:
+            _, base, total = cached
+        delta = total - base
+        if delta < COMPACT_SIZE_MIN_DELTA_BYTES:
+            return False
+        if base <= 0:
+            return True
+        return delta > COMPACT_SIZE_RATIO * base
 
     def _auto_fold(
         self,
@@ -928,6 +985,14 @@ class MapIndex:
                 self.compact()
                 return
             seg = _list_epochs(self.spark, self.segments_path)
+        if self._seg_size_pressure(seg):
+            # bytes pressure: the deltas are a large fraction of the
+            # base, so a minor fold (which leaves total live bytes
+            # unchanged) cannot relieve it — pay the full fold and
+            # reset delta bytes to zero (COMPACT_SIZE_RATIO docstring
+            # has the amortization argument)
+            self.compact()
+            return
         if len(seg) < 3:
             if len(seg) >= AUTO_COMPACT_EPOCHS:  # degenerate tiny config
                 self.compact()

@@ -153,6 +153,70 @@ def run_mode(spark, orders, store: str, name: str, n_batches: int,
     }
 
 
+def run_skewed_auto(spark, orders, store: str, n_batches: int) -> dict:
+    """Bytes-ratio trigger evidence (r10, VERDICT #7): drive a SKEWED
+    epoch sequence — mostly 1% deltas with a 25% slab every 6th batch
+    — through ``auto_compact=True`` with the size floor lowered to
+    probe scale. Done-criterion: the post-maintenance delta/base byte
+    ratio stays bounded (read amplification in BYTES, not just epoch
+    count), and full folds fire only at ratio crossings — a handful
+    over the run, never one per batch (the gratuitous-refold failure
+    mode the >=2-delta guard exists for)."""
+    from level_mapreduce_spark.engine import index as index_mod
+    from level_mapreduce_spark.engine.index import _path_bytes
+
+    orig_floor = index_mod.COMPACT_SIZE_MIN_DELTA_BYTES
+    index_mod.COMPACT_SIZE_MIN_DELTA_BYTES = 1
+    try:
+        idx = MapIndex(
+            spark, "skew_auto", q._orders_mapper(), store,
+            doc_key="o_orderkey", auto_compact=True,
+        )
+        t0 = time.time()
+        idx.build(orders, assume_unique=True)
+        build_s = round(time.time() - t0, 3)
+        curve = []
+        full_folds = 0
+        for i in range(1, n_batches + 1):
+            if i % 6 == 0:
+                # the skew: a base-sized slab (25% of the corpus)
+                churn = orders.where(F.col("o_orderkey") % 4 == (i // 6) % 4)
+            else:
+                churn = orders.where(F.col("o_orderkey") % 100 == i)
+            churn = churn.withColumn(
+                "o_totalprice", F.col("o_totalprice") * (1.0 + i / 100.0)
+            )
+            t0 = time.time()
+            idx.update(churn, assume_unique=True)
+            update_s = time.time() - t0
+            eps = _list_epochs(spark, idx.segments_path)
+            base = _path_bytes(spark, f"{idx.segments_path}/epoch={eps[0]}")
+            total = _path_bytes(spark, idx.segments_path)
+            folded = len(eps) == 1 and i > 1
+            full_folds += int(folded)
+            curve.append({
+                "batch": i,
+                "slab": i % 6 == 0,
+                "epochs": len(eps),
+                "delta_over_base": round((total - base) / base, 3)
+                if base else None,
+                "full_fold": folded,
+                "update_s": round(update_s, 3),
+            })
+        ratios = [p["delta_over_base"] for p in curve if p["delta_over_base"] is not None]
+        return {
+            "mode": "skewed_auto_ratio",
+            "build_s": build_s,
+            "batches": n_batches,
+            "full_folds": full_folds,
+            "max_delta_over_base": max(ratios) if ratios else None,
+            "final_epochs": curve[-1]["epochs"],
+            "curve": curve,
+        }
+    finally:
+        index_mod.COMPACT_SIZE_MIN_DELTA_BYTES = orig_floor
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,6 +236,14 @@ def main() -> None:
             print(json.dumps(out))
         finally:
             shutil.rmtree(store, ignore_errors=True)
+
+    store = tempfile.mkdtemp(prefix="lmr_churn_")
+    try:
+        out = run_skewed_auto(spark, orders, store, n_batches)
+        out["sf_dir"] = sf_dir
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -741,6 +741,79 @@ def test_auto_compact_is_tiered_and_counter_bug_fixed(spark, store, monkeypatch)
     )
 
 
+def test_auto_compact_bytes_ratio_trigger(spark, store, monkeypatch):
+    """r10 (VERDICT #7): epoch COUNT alone misses skewed-size epoch
+    sequences — a few base-sized deltas multiply read bytes long
+    before 24 epochs. The bytes-ratio trigger full-folds when delta
+    bytes exceed COMPACT_SIZE_RATIO x base with >= 2 deltas, and
+    stays quiet for single-delta / sub-floor states (no gratuitous
+    refold cascade)."""
+    from level_mapreduce_spark.engine import index as index_mod
+
+    monkeypatch.setattr(index_mod, "COMPACT_SIZE_MIN_DELTA_BYTES", 1)
+    idx = kv_index(spark, store, "ratio")
+    idx.build(
+        kv_df(
+            spark,
+            [
+                {"doc_key": f"d{i:03d}", "k": "a", "v": float(i)}
+                for i in range(100)
+            ],
+        ),
+        assume_unique=True,
+    )
+    expected = {f"d{i:03d}": ("a", float(i)) for i in range(100)}
+
+    def grow(lo, hi):
+        batch = [
+            {"doc_key": f"n{i:03d}", "k": "b", "v": float(i)}
+            for i in range(lo, hi)
+        ]
+        idx.update(kv_df(spark, batch), assume_unique=True)
+        expected.update({b["doc_key"]: ("b", b["v"]) for b in batch})
+
+    # one base-sized delta: ratio exceeded but only ONE delta epoch —
+    # a fold would rewrite the base for nothing, so none happens
+    grow(0, 60)
+    assert len(_epochs(idx)) == 2
+    # second delta: >= 2 deltas over the ratio -> FULL fold, read
+    # amplification re-bounded, view preserved
+    grow(60, 120)
+    assert len(_epochs(idx)) == 1
+    assert _tomb_epochs(idx) == []
+    assert live_rows(idx) == sorted(
+        (d, k, v) for d, (k, v) in expected.items()
+    )
+    # after the fold the trigger is quiet again: a small delta does
+    # not refold (delta bytes reset to zero by the full fold)
+    grow(120, 121)
+    assert len(_epochs(idx)) == 2
+    assert live_rows(idx) == sorted(
+        (d, k, v) for d, (k, v) in expected.items()
+    )
+
+    # the byte floor guards tiny indexes: with the default 64 MB
+    # floor, the same skewed sequence only accumulates epochs
+    monkeypatch.setattr(
+        index_mod,
+        "COMPACT_SIZE_MIN_DELTA_BYTES",
+        64 * 1024 * 1024,
+    )
+    idx2 = kv_index(spark, store, "ratio_floor")
+    idx2.build(
+        kv_df(spark, [{"doc_key": "d0", "k": "a", "v": 0.0}]),
+        assume_unique=True,
+    )
+    for b in range(1, 4):
+        idx2.update(
+            kv_df(
+                spark, [{"doc_key": f"d{b}", "k": "a", "v": float(b)}]
+            ),
+            assume_unique=True,
+        )
+    assert len(_epochs(idx2)) == 4
+
+
 def test_partial_fold_precommit_abort_is_invisible(spark, store):
     """A .fold_tmp staged WITHOUT the fold.json journal is a
     pre-commit abort: readers must serve the intact index (the dot
