@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 from level_mapreduce_spark import MapIndex, get_spark
 from level_mapreduce_spark import queries as q
 from level_mapreduce_spark.sources.tables import load_table
-from scripts.fuzzy_scale_probe import replicate as replicate_docs
 
 
 def materialize(df):
@@ -96,6 +95,30 @@ def rep_emb(emb, n: int, base: int):
     return out
 
 
+def rep_docs_shared(docs, n: int, base: int):
+    """n replicas, doc_id shifted, text prefixed with a
+    replica-distinct md5 12-char token (pairwise prefix distance far
+    exceeds any max_dist; sequential counters would differ by one
+    digit and plant quadratic near-dup cliques) — the SHARED-vocabulary
+    model: posting lists / candidate sets grow with the corpus. All
+    non-text columns (lang/source) ride along unchanged so schema-full
+    keys (split_sample's lang strata) see the real table shape;
+    n_chars is recomputed to keep its length(text) invariant."""
+    import hashlib
+
+    reps = []
+    for r in range(n):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * base))
+        if r:
+            prefix = hashlib.md5(f"rep{r}".encode()).hexdigest()[:12] + " "
+            d = d.withColumn("text", F.concat(F.lit(prefix), F.col("text")))
+        reps.append(d)
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    return out.withColumn("n_chars", F.length("text").cast("long"))
+
+
 def rep_docs_distinct(docs, n: int, base: int):
     """n replicas with a replica token SUFFIXED TO EVERY WORD: the
     per-doc shingle/token set maps bijectively, so within-replica
@@ -103,14 +126,33 @@ def rep_docs_distinct(docs, n: int, base: int):
     cross-replica overlap drops to zero — corpus grows Nx with the
     base corpus's dup density. (The md5-PREFIX replication keeps the
     vocabulary shared instead — right for bm25/tfidf-style keys whose
-    candidate sets should grow with the corpus.)"""
+    candidate sets should grow with the corpus.)
+
+    Realization (r10): a per-replica ALPHABET ROTATION (substitution
+    cipher via ``translate``). Token suffixes looked equivalent but
+    are not: they change which characters fall inside fixed-width
+    windows (the fuzzy_pairs 40-char title), and suffix padding made
+    within-replica titles MORE similar while single-digit replica
+    markers left cross-replica titles within levenshtein max_dist —
+    measured 13-15x pair growth at 10x corpus, faking a superlinear
+    exponent. A character bijection preserves every within-replica
+    edit distance and token set EXACTLY (windows included), while
+    across replicas no alphabetic character can agree (the rotation
+    difference is a constant nonzero shift), so cross-replica
+    jaccard ~ 0 and cross-replica titles differ in ~every alpha
+    position."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
     reps = []
     for r in range(n):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * base))
         if r:
+            shift = (r - 1) % 25 + 1  # never the identity
+            rot_l = lower[shift:] + lower[:shift]
+            rot_u = rot_l.upper()
             d = d.withColumn(
                 "text",
-                F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~r{r}"),
+                F.translate(F.col("text"), lower + upper, rot_l + rot_u),
             )
         reps.append(d)
     out = reps[0]
@@ -119,103 +161,82 @@ def rep_docs_distinct(docs, n: int, base: int):
     return out
 
 
-def run_scale(spark, tables, store, tag) -> dict:
-    # docs_shared: md5-prefix replicas (vocabulary stays corpus-wide —
-    # bm25/dedup_exact candidate sets grow with the corpus);
-    # docs_distinct: token-suffix replicas (dup density stays the base
-    # corpus's — minhash/band outputs must not grow quadratically)
-    orders, docs_shared, docs_distinct, emb, events = tables
-    docs = docs_shared
-    times = {}
-    flags = {}
+#: bench keys whose doc inputs carry DUP-DENSITY / near-match
+#: semantics — their exponent is read from the token-suffix
+#: (distinct-vocabulary) corpus run, where within-replica structure
+#: is exact and cross-replica matches are zero. The md5-PREFIX
+#: replication would be the wrong model for these: a 13-char replica
+#: prefix shared by every doc in a replica turns each replica into
+#: one boilerplate template — PassJoin's leading segment key then
+#: holds ~all of a replica's distinct values (4.7k² candidates per
+#: replica, skewed into one verify task) and the jaccard keys plant
+#: artificial full-corpus cliques. Every other doc key reads from the
+#: md5-prefix (shared-vocabulary) run, where posting lists /
+#: candidate sets grow with the corpus as they would in reality.
+#: Non-doc keys read from the shared run too (same workload either
+#: way); the distinct pass runs ONLY this set, so the probe never
+#: executes a key against a corpus model its semantics reject.
+DISTINCT_CORPUS_KEYS = {
+    "dedup_minhash",
+    "band_index_build",
+    "band_index_update_1pct",
+    "chunk_dedup",
+    "dedup_lines",
+    "fuzzy_pairs",
+}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
 
+def run_bench_pass(spark, sf_dir: str, tag: str, only=None, skip=None) -> dict:
+    """One full bench pass (every key in bench._run, repeat=1) against
+    ``sf_dir``, with per-key isolation — full 48-key coverage comes
+    from REUSING the bench body, so the probe can never drift from
+    what the driver measures (r9 VERDICT #2: the unprobed set
+    included the heaviest keys). ``only``/``skip`` restrict which
+    keys execute (the fn is simply not called — safe because bench
+    state dependencies stay within one key family)."""
+    import bench as bench_mod
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name, fn, repeat: int = 1):
+        if only is not None and name not in only:
+            return
+        if skip is not None and name in skip:
+            return
+        try:
+            t0 = time.time()
+            fn()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+
+    store = tempfile.mkdtemp(prefix=f"lmr_scale_{tag}_")
+    try:
+        bench_mod._run(spark, sf_dir, store, timed)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return {"times": times, "errors": errors}
+
+
+def flag_check(spark, sf_dir: str, store: str, tag: str) -> dict:
+    """Plan-flip indicators at one scale: does read()'s tombstone
+    anti-join still broadcast after a 1% churn batch?"""
+    orders = load_table(spark, sf_dir, "orders")
     idx = MapIndex(
-        spark,
-        f"scale_orders_{tag}",
-        q._orders_mapper(),
-        store,
+        spark, f"scale_flags_{tag}", q._orders_mapper(), store,
         doc_key="o_orderkey",
     )
-    timed("build_orders", lambda: idx.build(orders, assume_unique=True))
+    idx.build(orders, assume_unique=True)
     churn = orders.where(F.col("o_orderkey") % 100 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 1.5
     )
-    timed("update_1pct", lambda: idx.update(churn, assume_unique=True))
+    idx.update(churn, assume_unique=True)
     plan = idx.read()._jdf.queryExecution().executedPlan().toString()
-    flags["tombstone_antijoin_broadcast"] = "BroadcastHashJoin" in plan
-    flags["tombstone_bytes"] = idx._tomb_bytes()
-    timed("count_by_key", lambda: materialize(idx.count_by_key()))
-    timed("range_scan", lambda: materialize(idx.scan(start="2", end="4")))
-
-    from level_mapreduce_spark.operators import (
-        brute_topk,
-        exact_dedup,
-        minhash_lsh_pairs,
-    )
-    from level_mapreduce_spark.operators.indexed import build_band_index
-    from level_mapreduce_spark.operators.joins import asof_join
-    from level_mapreduce_spark.operators.similarity import (
-        cosine_neardup_pairs_lsh,
-        probe_vector,
-    )
-    from level_mapreduce_spark.operators.text import bm25_topk
-    from level_mapreduce_spark.operators.events import windowed_counts
-
-    timed("dedup_exact", lambda: materialize(exact_dedup(docs)))
-
-    def minhash_cold():
-        spark.catalog.clearCache()
-        materialize(minhash_lsh_pairs(docs_distinct, threshold=0.7))
-
-    timed("dedup_minhash", minhash_cold)
-    timed(
-        "bm25_topk", lambda: materialize(bm25_topk(docs, q._BM25_QUERY, k=10))
-    )
-    probe = probe_vector(emb, 0)
-    timed("ann_topk", lambda: materialize(brute_topk(emb, probe, k=10)))
-    emb_aug = emb.unionByName(
-        emb.where(F.col("vec_id") % 10 == 0).withColumn(
-            "vec_id", F.col("vec_id") + F.lit(10_000_000)
-        )
-    )
-    timed(
-        "neardup_lsh",
-        lambda: materialize(
-            cosine_neardup_pairs_lsh(emb_aug, threshold=0.95)
-        ),
-    )
-    timed(
-        "band_index_build",
-        lambda: build_band_index(
-            spark, docs_distinct, store, name=f"scale_band_{tag}"
-        ),
-    )
-
-    def asof():
-        clicks = events.where(F.col("event_type") == "click")
-        purchases = events.where(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id", "value"
-        )
-        df = asof_join(clicks, purchases, on="user_id", ts="ts")
-        materialize(df)
-
-    timed("asof_join", asof)
-    timed("events_window", lambda: materialize(windowed_counts(events)))
-
-    from level_mapreduce_spark.operators.export import write_shuffled
-
-    timed(
-        "export_shuffled",
-        lambda: write_shuffled(
-            docs, os.path.join(store, f"exp_{tag}"), n_shards=32, seed=1
-        ),
-    )
-    return {"times": times, "flags": flags}
+    return {
+        "tombstone_antijoin_broadcast": "BroadcastHashJoin" in plan,
+        "tombstone_bytes": idx._tomb_bytes(),
+    }
 
 
 def main() -> None:
@@ -226,7 +247,7 @@ def main() -> None:
     spark = get_spark(app_name="lmr-scale-probe")
 
     orders = load_table(spark, sf_dir, "orders")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     events = load_table(spark, sf_dir, "events")
     counts = {
@@ -237,12 +258,11 @@ def main() -> None:
         "users": events.agg(F.count_distinct("user_id")).first()[0],
     }
 
-    big = (
-        rep_ids(orders, n, {"o_orderkey": counts["orders"] * 2}),
-        replicate_docs(docs, n, counts["docs"]),
-        rep_docs_distinct(docs, n, counts["docs"]),
-        rep_emb(emb, n, counts["emb"] * 2),
-        rep_ids(
+    shared = {
+        "orders": rep_ids(orders, n, {"o_orderkey": counts["orders"] * 2}),
+        "documents": rep_docs_shared(docs, n, counts["docs"]),
+        "embeddings": rep_emb(emb, n, counts["emb"] * 2),
+        "events": rep_ids(
             events,
             n,
             {
@@ -250,42 +270,65 @@ def main() -> None:
                 "user_id": counts["users"] * 2,
             },
         ),
-    )
-    # materialize the Nx corpus as parquet so both runs read files
-    # (unions of 10 scans would change the 1x-vs-Nx plan shapes)
+    }
+    # The two Nx corpora differ only in the documents table; the other
+    # three replicas are symlinked, not rewritten.
     work = tempfile.mkdtemp(prefix="lmr_scale_corpus_")
-    names = ("orders", "docs_shared", "docs_distinct", "emb", "events")
-    big_tables = []
-    for name, df in zip(names, big):
-        p = os.path.join(work, name)
-        df.write.mode("overwrite").parquet(p)
-        big_tables.append(spark.read.parquet(p))
+    shared_dir = os.path.join(work, "xN_shared")
+    distinct_dir = os.path.join(work, "xN_distinct")
+    os.makedirs(shared_dir)
+    os.makedirs(distinct_dir)
+    for name, df in shared.items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(shared_dir, f"{name}.parquet")
+        )
+    rep_docs_distinct(docs, n, counts["docs"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(distinct_dir, "documents.parquet"))
+    for name in ("orders", "embeddings", "events"):
+        os.symlink(
+            os.path.join(shared_dir, f"{name}.parquet"),
+            os.path.join(distinct_dir, f"{name}.parquet"),
+        )
 
     out = {"sf_dir": sf_dir, "n": n, "base_counts": counts}
     # discarded warmup pass at 1x: otherwise the x1 measurement pays
     # all the codegen/JIT that xN then gets for free and every
     # exponent reads spuriously low
-    base_tables = (orders, docs, docs, emb, events)
-    warm_store = tempfile.mkdtemp(prefix="lmr_scale_warm_")
-    try:
-        run_scale(spark, base_tables, warm_store, "warm")
-    finally:
-        shutil.rmtree(warm_store, ignore_errors=True)
-    for tag, tables in (("x1", base_tables),
-                        ("xN", tuple(big_tables))):
-        store = tempfile.mkdtemp(prefix=f"lmr_scale_{tag}_")
+    run_bench_pass(spark, sf_dir, "warm")
+    out["x1"] = run_bench_pass(spark, sf_dir, "x1")
+    out["xN_shared"] = run_bench_pass(
+        spark, shared_dir, "xNs", skip=DISTINCT_CORPUS_KEYS
+    )
+    out["xN_distinct"] = run_bench_pass(
+        spark, distinct_dir, "xNd", only=DISTINCT_CORPUS_KEYS
+    )
+
+    for tag, d in (("x1", sf_dir), ("xN", shared_dir)):
+        store = tempfile.mkdtemp(prefix="lmr_scale_flags_")
         try:
-            out[tag] = run_scale(spark, tables, store, tag)
+            out[f"flags_{tag}"] = flag_check(spark, d, store, tag)
         finally:
             shutil.rmtree(store, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
 
     exps = {}
+    chosen = {}
     for k, t1 in out["x1"]["times"].items():
-        tn = out["xN"]["times"].get(k)
+        if k in DISTINCT_CORPUS_KEYS:
+            tn, corpus = out["xN_distinct"]["times"].get(k), "distinct"
+        else:
+            tn, corpus = out["xN_shared"]["times"].get(k), "shared"
         if tn and t1 and t1 > 0:
-            exps[k] = round(math.log(tn / t1) / math.log(n), 2)
-    out["scaling_exponent"] = exps
+            exps[k] = {
+                "t1": t1,
+                "tN": tn,
+                "exp": round(math.log(tn / t1) / math.log(n), 2),
+                "corpus": corpus,
+            }
+            chosen[k] = exps[k]["exp"]
+    out["scaling_exponent"] = chosen
+    out["scaling_detail"] = exps
     print(json.dumps(out))
 
 
