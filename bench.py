@@ -213,9 +213,21 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         pq_state["codes"].count()
 
     timed("pq_train_encode", pq_build, repeat=1)
+
     # state guards: if a one-time build key was skipped (scale_probe
-    # runs _run with a key filter) or failed, dependent keys and the
-    # cleanup must not abort the rest of the run
+    # runs _run with a key filter) or FAILED, dependent keys and the
+    # cleanup must not abort the rest of the run. A failed build still
+    # surfaces its dependents loudly: the raiser routes a clear
+    # "dependency did not complete" through timed() into errors — a
+    # silently-absent key would be indistinguishable from a removed
+    # one — while a probe-filtered dependent stays silent (timed()
+    # filters it before the raiser runs).
+    def dep_failed(name: str, dep: str) -> None:
+        def raiser():
+            raise RuntimeError(f"skipped: dependency {dep} did not complete")
+
+        timed(name, raiser, repeat=1)
+
     if "codes" in pq_state:
         timed(
             "pq_topk",
@@ -224,6 +236,8 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
             ),
         )
         pq_state["codes"].unpersist()
+    else:
+        dep_failed("pq_topk", "pq_train_encode")
 
     # stored IVFPQ: one-time build (train + Column-encode into the
     # MapIndex), then a whole 20-probe workload as ONE batched join —
@@ -260,6 +274,8 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     if "triple" in ivfpq_state:
         timed("ivfpq_knn_join_20", ivfpq_batch)
+    else:
+        dep_failed("ivfpq_knn_join_20", "ivfpq_index_build")
 
     from level_mapreduce_spark.operators.indexed import build_band_index
     from level_mapreduce_spark.operators.joins import asof_join
@@ -284,6 +300,8 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
 
     if "idx" in band_idx:
         timed("band_index_update_1pct", band_update)
+    else:
+        dep_failed("band_index_update_1pct", "band_index_build")
     # embedding near-dup headlines are the two SCALE paths (LSH-bucketed
     # and blocked-BLAS); the exact O(n²) pair join stays out of the bench
     # — it is the sf0.01 correctness oracle twin, not a 100 TB plan
@@ -429,6 +447,8 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
             lambda: update_sketch_index(sk["idx"], tail),
             repeat=1,
         )
+    else:
+        dep_failed("sketch_index_update_10pct", "sketch_index_build")
 
     # KLL quantile + theta set-algebra rollups: one pass to sketch,
     # then any-range answers off KB-sized merges (no raw re-scan)

@@ -208,11 +208,14 @@ class MapIndex:
         # re-walk the tombstone dir (getContentSummary is a recursive
         # listing — expensive on object stores).
         self._tomb_bytes_cache: tuple[tuple[int, ...], int] | None = None
-        # (epoch signature, base bytes, total bytes) for the segment
-        # dir — the bytes-ratio compaction trigger's cache. Epoch dirs
-        # are immutable once written, so the epoch list IS the content
-        # signature.
-        self._seg_bytes_cache: tuple[tuple[int, ...], int, int] | None = None
+        # {epoch: bytes} for the segment dir — the bytes-ratio
+        # compaction trigger's cache. Epoch dirs are immutable BETWEEN
+        # folds, so update() only ever pays a walk of its own new
+        # epoch; paths that rewrite or renumber epoch contents in
+        # place (build() rebuild, compact() full/partial, fold/swap
+        # recovery, drop) clear the whole dict, and vanished epochs
+        # are pruned at read time.
+        self._seg_bytes_by_epoch: dict[int, int] = {}
         # writer lease state (see _acquire_lease): per-HANDLE identity
         # + reentrancy depth for update() -> auto compact()
         self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
@@ -489,14 +492,41 @@ class MapIndex:
         try:
             out.write(bytearray(payload))
             out.close()
-        except Exception:
-            # a conditional store materializes (and checks) at close —
-            # an aborted write leaves nothing, but delete defensively
+        except Exception as e:
+            # A conditional store CHECKS at close(): a close-time
+            # precondition failure (S3 If-None-Match 412, GCS
+            # generation mismatch) is the normal lost-race signal, and
+            # the object that now exists is the WINNER's lock — a blind
+            # delete here would destroy a live writer's lease and
+            # readmit the exact double-writer this path exists to
+            # close. Delete only what is provably ours; a lost race
+            # maps to ConcurrentWriterError like every other path.
             try:
                 out.close()
             except Exception:
                 pass
-            fs.delete(hpath, False)
+            cur = self._read_lock()
+            if cur is not None and cur.get("writer_id") == self._writer_id:
+                # our own object did materialize (failure was after
+                # commit, e.g. a wrapped close raising post-flush):
+                # clean it up so the abort does not orphan the lease
+                try:
+                    fs.delete(hpath, False)
+                except Exception:
+                    pass
+                raise
+            lost_race = cur is not None or any(
+                s in str(e).lower()
+                for s in (
+                    "precondition",
+                    "already exists",
+                    "file exists",
+                    "generation",
+                    "412",
+                )
+            )
+            if lost_race:
+                self._raise_lock_held()
             raise
         return True
 
@@ -788,6 +818,7 @@ class MapIndex:
         # a full rebuild supersedes any crashed partial-fold journal
         self._clear_fold_intent()
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
         self.compaction_due = False
         if self._downstreams:
             # Same feed shape as update(): every input doc key appears,
@@ -917,9 +948,12 @@ class MapIndex:
         """Bytes-ratio compaction trigger (see COMPACT_SIZE_RATIO):
         true when the delta epochs' bytes exceed the ratio of the base
         epoch's bytes and there are at least two deltas to merge.
-        Bytes come from two ``getContentSummary`` calls cached per
-        epoch-list signature (epoch dirs are immutable), so the
-        update() hot path pays at most one dir walk per batch."""
+        Bytes come from per-epoch ``getContentSummary`` walks cached
+        by epoch number (epoch dirs are immutable between folds; the
+        paths that rewrite or renumber an epoch's contents in place
+        clear the cache — see the field comment), so a streaming
+        update() hot path walks only its OWN new epoch per batch, not
+        the whole segments tree."""
         eps = (
             _list_epochs(self.spark, self.segments_path)
             if seg_eps is None
@@ -930,18 +964,18 @@ class MapIndex:
             # nothing (and a single big delta would re-trigger every
             # batch) — epoch-count pressure covers this regime
             return False
-        sig = tuple(eps)
-        cached = self._seg_bytes_cache
-        if cached is None or cached[0] != sig:
-            base = _path_bytes(
-                self.spark,
-                posixpath.join(self.segments_path, f"epoch={eps[0]}"),
-            )
-            total = _path_bytes(self.spark, self.segments_path)
-            self._seg_bytes_cache = (sig, base, total)
-        else:
-            _, base, total = cached
-        delta = total - base
+        cache = self._seg_bytes_by_epoch
+        live = set(eps)
+        for k in [k for k in cache if k not in live]:
+            del cache[k]
+        for e in eps:
+            if e not in cache:
+                cache[e] = _path_bytes(
+                    self.spark,
+                    posixpath.join(self.segments_path, f"epoch={e}"),
+                )
+        base = cache[eps[0]]
+        delta = sum(cache[e] for e in eps[1:])
         if delta < COMPACT_SIZE_MIN_DELTA_BYTES:
             return False
         if base <= 0:
@@ -1428,6 +1462,7 @@ class MapIndex:
         elif has_old:
             fs.rename(old, seg_path)
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
         # fold recovery AFTER the swap recovery: it renames into the
         # (now restored) segments dir
         self._recover_fold(cleanup)
@@ -1501,6 +1536,7 @@ class MapIndex:
         self._clear_fold_intent()
         self._sweep_dead_tombstones()
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
 
     def _clear_fold_intent(self) -> None:
         fs, hpath, _ = _hadoop_fs(
@@ -1732,6 +1768,7 @@ class MapIndex:
         self._clear_fold_intent()
         self._sweep_dead_tombstones()
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
         self._set_compaction_due()
         self._refresh_views()
         return self
@@ -1755,6 +1792,7 @@ class MapIndex:
         self._views.clear()
         _delete_path(self.spark, self.root)
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
         self.compaction_due = False
 
     def stats(self) -> dict:
@@ -1879,6 +1917,7 @@ class MapIndex:
         _delete_path(self.spark, self.tombstones_path)
         _delete_path(self.spark, old)
         self._tomb_bytes_cache = None
+        self._seg_bytes_by_epoch.clear()
         self.compaction_due = False
         self._refresh_views()
         return self

@@ -500,6 +500,73 @@ def test_lease_conditional_create_single_winner(spark, store):
         loser._release_lease()
 
 
+def test_conditional_close_failure_spares_winner_lock(spark, store):
+    """A close-time failure on the ASSERTED-conditional path (S3
+    If-None-Match 412, GCS generation mismatch) is the store's normal
+    lost-race signal — the object that now exists is the WINNER's
+    lock, so the loser must back off with ConcurrentWriterError
+    WITHOUT deleting it (a blind delete would destroy a live writer's
+    lease and readmit the double-writer). Only a lock that reads back
+    as our own writer_id — a failure after the object committed — may
+    be cleaned up, and then the original error surfaces."""
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    a = kv_index(spark, store, "cond_close")
+
+    class FakeUri:
+        def getScheme(self):
+            return "s3a"
+
+    class FakeHPath:
+        def toUri(self):
+            return FakeUri()
+
+    class FakeOut:
+        def write(self, b):
+            raise RuntimeError(
+                "PreconditionFailed: At least one of the preconditions "
+                "you specified did not hold (Status Code: 412)"
+            )
+
+        def close(self):
+            pass
+
+    deleted = []
+
+    class FakeFs:
+        def create(self, p, overwrite):
+            assert overwrite is False
+            return FakeOut()
+
+        def delete(self, p, recursive):
+            deleted.append(p)
+            return True
+
+    spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
+    a._read_lock = lambda raise_errors=False: {"writer_id": "the-winner"}
+    try:
+        try:
+            a._create_lock_conditional(FakeFs(), FakeHPath(), b"{}")
+            raise AssertionError("close-time 412 not mapped to lost race")
+        except ConcurrentWriterError:
+            pass
+        assert deleted == [], "loser deleted the winner's live lock"
+        # failure AFTER the object committed (reads back as ours):
+        # clean up our own lock, surface the original error
+        a._read_lock = lambda raise_errors=False: {
+            "writer_id": a._writer_id
+        }
+        try:
+            a._create_lock_conditional(FakeFs(), FakeHPath(), b"{}")
+            raise AssertionError("post-commit failure swallowed")
+        except RuntimeError as e:
+            assert "PreconditionFailed" in str(e)
+        assert len(deleted) == 1, "own committed lock not cleaned up"
+    finally:
+        spark.conf.unset("spark.lmr.lease.conditionalCreate")
+        del a._read_lock
+
+
 def _epochs(idx):
     from level_mapreduce_spark.engine.index import _list_epochs
 
@@ -812,6 +879,61 @@ def test_auto_compact_bytes_ratio_trigger(spark, store, monkeypatch):
             assume_unique=True,
         )
     assert len(_epochs(idx2)) == 4
+
+
+def test_seg_bytes_cache_cleared_when_epochs_rewrite(spark, store, monkeypatch):
+    """The bytes-ratio trigger caches per-epoch sizes on the premise
+    that epoch dirs are immutable — which build()-rebuild (epoch
+    counter restarts at 0) and compact() (full: new base; partial:
+    fold rewritten in place at epoch hi) violate. Those paths must
+    drop the cache, or the trigger decides from the PREVIOUS corpus's
+    bytes: a spurious inline O(index) fold, or a missed one."""
+    from level_mapreduce_spark.engine import index as index_mod
+
+    # byte floor high enough that the trigger never actually folds —
+    # this test watches only the cache lifecycle
+    monkeypatch.setattr(
+        index_mod, "COMPACT_SIZE_MIN_DELTA_BYTES", 10**12
+    )
+    idx = kv_index(spark, store, "segcache")
+    idx.auto_compact = True
+    idx.build(
+        kv_df(
+            spark,
+            [{"doc_key": f"d{i}", "k": "a", "v": float(i)} for i in range(50)],
+        ),
+        assume_unique=True,
+    )
+    for b in range(2):
+        idx.update(
+            kv_df(spark, [{"doc_key": f"n{b}", "k": "b", "v": 1.0}]),
+            assume_unique=True,
+        )
+    # 3 epochs -> the pressure check populated the per-epoch cache
+    assert set(idx._seg_bytes_by_epoch) == set(_epochs(idx))
+    idx.compact(max_epochs=2, tier="newest")  # rewrites epoch hi in place
+    assert idx._seg_bytes_by_epoch == {}
+    for b in range(2, 4):
+        idx.update(
+            kv_df(spark, [{"doc_key": f"n{b}", "k": "b", "v": 1.0}]),
+            assume_unique=True,
+        )
+    assert idx._seg_bytes_by_epoch != {}
+    idx.compact()  # full fold: brand-new base epoch
+    assert idx._seg_bytes_by_epoch == {}
+    for b in range(4, 6):
+        idx.update(
+            kv_df(spark, [{"doc_key": f"n{b}", "k": "b", "v": 1.0}]),
+            assume_unique=True,
+        )
+    assert idx._seg_bytes_by_epoch != {}
+    # rebuild over existing: epoch numbering restarts with a different
+    # corpus — stale bytes keyed by the same epoch ints must not survive
+    idx.build(
+        kv_df(spark, [{"doc_key": "r0", "k": "a", "v": 0.0}]),
+        assume_unique=True,
+    )
+    assert idx._seg_bytes_by_epoch == {}
 
 
 def test_partial_fold_precommit_abort_is_invisible(spark, store):
