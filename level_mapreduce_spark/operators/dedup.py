@@ -390,11 +390,37 @@ def neardup_clusters(
     return result
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over distinct tokens — per
-    bit, sum +1/-1 votes weighted by the token-hash bit, sign becomes
-    the fingerprint bit. One explode + one groupBy with 64 codegen'd
-    conditional sums."""
+#: hash_fn -> (token-hash Column factory, fingerprint bit width).
+#: 'xxhash64' is the production default (fastest JVM hash, 64 bits).
+#: 'md5_60' instantiates the SAME pipeline on the top 60 bits of
+#: MD5(token) — MD5 is byte-identical across engines, so an oracle
+#: (e.g. DuckDB ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``) can
+#: recompute the fingerprints and gate the whole operator exactly;
+#: 60 = 15 hex digits keeps the value inside a signed 64-bit long.
+_SIMHASH_FNS = {
+    "xxhash64": (lambda c: F.xxhash64(c), 64),
+    "md5_60": (
+        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        60,
+    ),
+}
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash): SimHash over distinct tokens — per bit, sum
+    +1/-1 votes weighted by the token-hash bit, sign becomes the
+    fingerprint bit. One explode + one groupBy with ``nbits``
+    codegen'd conditional sums. ``hash_fn`` picks the token-hash
+    primitive (see ``_SIMHASH_FNS``); everything downstream of the
+    hash is identical."""
+    try:
+        hash_col, nbits = _SIMHASH_FNS[hash_fn]
+    except KeyError:
+        raise ValueError(
+            f"unknown hash_fn {hash_fn!r}; one of {sorted(_SIMHASH_FNS)}"
+        ) from None
     toks = (
         docs.repartition(
             docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
@@ -406,17 +432,17 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .where(F.col("t").isNotNull())
-        .withColumn("h", F.xxhash64("t"))
+        .withColumn("h", hash_col(F.col("t")))
     )
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     per_bit = toks.groupBy("doc_id").agg(*votes)
     fp = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -424,11 +450,15 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return per_bit.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
-    from exact-match 16-bit chunks (complete for max_hamming <= 3 by
-    pigeonhole over 4 chunks)."""
-    fps = simhash(docs)
+    from exact-match chunks (4 chunks of nbits/4 — complete for
+    max_hamming <= 3 by pigeonhole)."""
+    fps = simhash(docs, hash_fn=hash_fn)
+    chunk_bits = _SIMHASH_FNS[hash_fn][1] // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = fps.select(
         "doc_id",
         "simhash",
@@ -438,8 +468,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", chunk_bits * i)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .cast("string"),
                     )
                     for i in range(4)

@@ -836,7 +836,22 @@ def q_dedup_minhash_ngram(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs, hash-gated end-to-end (graduated from
+    rows-only in r10): the gate drives the FULL pipeline — distinct
+    tokens → per-token hash → per-bit ±1 votes → sign fingerprint →
+    pigeonhole chunk bucketing → hamming verify — instantiated with
+    ``hash_fn='md5_60'``, whose token-hash primitive (top 60 bits of
+    MD5) is byte-identical in DuckDB, so the oracle recomputes the
+    fingerprints from scratch and checks the bucketed pair set
+    against a from-first-principles all-pairs hamming filter (the
+    two agree exactly iff the chunk bucketing is pigeonhole-complete
+    and the verify is correct). The production default
+    (``hash_fn='xxhash64'``) differs ONLY in the hash primitive and
+    keeps its pigeonhole-completeness property test in pytest
+    (test_operators.py)."""
+    return dd.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, hash_fn="md5_60"
+    ).select(F.lit("md5_60").alias("variant"), "doc_a", "doc_b", "hamming")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -3168,11 +3183,42 @@ ORACLES: dict[str, str] = {
                    )) * 1.0 / len(bg), 6) AS top_bigram_frac
       FROM b
     """,
-    # dedup_simhash, ann_lsh_ivf: hash-function/bucketing/k-means not
-    # expressible in DuckDB SQL; multimodal_features: binary decode ->
-    # rows-only checks; pytest covers their semantics.
     # (sketch_range_estimate and neardup_cosine_blocked graduated to
-    # hash-gated in r9 via bound/agreement output shaping.)
+    # hash-gated in r9 via bound/agreement output shaping;
+    # dedup_simhash graduated in r10 via the md5_60 hash variant —
+    # MD5 is byte-identical across engines, so the oracle recomputes
+    # the fingerprints and compares the operator's BUCKETED pair set
+    # against an all-pairs hamming filter, proving both the pipeline
+    # and the pigeonhole completeness of the chunk blocking.)
+    "dedup_simhash": """
+      WITH hv AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 )) AS t
+          FROM documents
+        )
+      ),
+      votes AS (
+        SELECT doc_id, b.i AS i,
+               sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS i) b
+        GROUP BY doc_id, b.i
+      ),
+      fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                        ELSE CAST(0 AS BIGINT) END) AS sh
+        FROM votes GROUP BY doc_id
+      )
+      SELECT 'md5_60' AS variant, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
     "neardup_cosine_blocked": """
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -1621,11 +1621,18 @@ def test_shuffled_export_manifest(spark, docs, tmp_path):
     )
 
 
-def test_simhash_pairs_complete_for_hamming_3(spark, docs):
-    """The Manku pigeonhole guarantee, pinned: over a corpus augmented
-    with near-identical variants, chunk-blocked simhash_pairs finds
-    EXACTLY the brute-force hamming<=3 pair set (4 chunks of 16 bits:
-    d<=3 flips at most 3 chunks, so one chunk always matches)."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("hash_fn,nbits", [("xxhash64", 64), ("md5_60", 60)])
+def test_simhash_pairs_complete_for_hamming_3(spark, docs, hash_fn, nbits):
+    """The Manku pigeonhole guarantee, pinned for BOTH hash
+    primitives: over a corpus augmented with near-identical variants,
+    chunk-blocked simhash_pairs finds EXACTLY the brute-force
+    hamming<=3 pair set (4 chunks of nbits/4: d<=3 flips at most 3
+    chunks, so one chunk always matches). 'md5_60' is the
+    oracle-reproducible variant the driver gate runs
+    (q_dedup_simhash); 'xxhash64' is the production default."""
     from level_mapreduce_spark.operators import simhash, simhash_pairs
 
     base = docs.limit(40)
@@ -1637,17 +1644,22 @@ def test_simhash_pairs_complete_for_hamming_3(spark, docs):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).unionByName(variants)
 
-    fps = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(corpus, hash_fn=hash_fn).collect()
+    }
     ids = sorted(fps)
     want = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+        if bin((fps[a] ^ fps[b]) & ((1 << nbits) - 1)).count("1") <= 3
     }
     got = {
         (r["doc_a"], r["doc_b"])
-        for r in simhash_pairs(corpus, max_hamming=3).collect()
+        for r in simhash_pairs(
+            corpus, max_hamming=3, hash_fn=hash_fn
+        ).collect()
     }
     assert got == want
     assert want  # the appended-suffix variants guarantee close pairs
