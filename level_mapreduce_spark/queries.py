@@ -1979,20 +1979,35 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh_ivf(spark, sf_dir):
-    """All four approximate-ANN paths in one tagged union (merged
-    entry — the driver scores 50 registry entries; rows-only:
-    sign-LSH bucketing, k-means assignment, and PQ quantization are
-    not SQL-expressible; recall vs brute force asserted in pytest for
-    each): multiprobe sign-LSH, IVF coarse-quantizer with exact
-    rerank, IVFPQ (coarse routing + 8-byte-code ADC scoring —
-    ``score`` is the approximate squared-L2 ADC distance there, the
-    cosine similarity for the other two), the BATCHED
-    ``ivfpq_knn_join`` over the stored index (one distributed join for
-    a whole probe table — bit-equal to the per-probe serve path,
-    tested in test_pq.py), and a RELOAD variant: the same batch served
-    through ``load_ivfpq_index`` on a fresh handle rebuilt from the
-    persisted sidecar alone, asserted row-identical to the builder
-    handle's answers before emission."""
+    """All four approximate-ANN paths in one tagged union, hash-gated
+    end-to-end (graduated from rows-only in r10) on the
+    (method, vec_id, score, ok) frame:
+
+    - ``lsh``: multiprobe sign-LSH top-10 — gated EXACTLY. The
+      Gaussian hyperplanes are deterministic in (dim, planes, seed)
+      via numpy PCG64, so the oracle inlines them as literal arrays
+      and recomputes bucket ids + hamming<=1 multiprobe + exact
+      cosine rerank from first principles in SQL.
+    - ``ivf_full``: the IVF coarse quantizer probed at
+      nprobe = n_centroids — every inverted list is scanned, so the
+      exact-cosine rerank MUST equal brute-force top-10 regardless of
+      what k-means produced; the oracle is the plain exact-top-10
+      SQL. This gates the list assignment end-to-end: a dropped or
+      double-assigned vector surfaces as a wrong top-10.
+    - ``*_recall`` envelope rows (the r9 sketch-bound shaping
+      pattern): nprobe=4 IVF, inline IVFPQ ADC, the batched
+      ``ivfpq_knn_join`` over the stored index, and the RELOAD
+      variant (same batch served through ``load_ivfpq_index`` on a
+      sidecar-only handle, asserted row-identical to the builder
+      handle in-query before emission) each emit one boolean: their
+      top-10 intersects the exact top-10 in >= floor ids (floors:
+      IVF nprobe-4 >= 6 of 10; ADC paths >= 1 — measured 10/10 and
+      3-6/10 at both gate SFs, margined for quantization noise).
+      Quantizer collapse (empty lists, garbage codes, broken
+      routing) flips a bit -> hash mismatch -> loud red.
+
+    Recall floors and scorer bit-equality are further pinned in
+    test_pq.py; the raw ADC rows stay covered there."""
     from level_mapreduce_spark.operators import ivf as iv
     from level_mapreduce_spark.operators.indexed import (
         build_ivfpq_index,
@@ -2021,7 +2036,10 @@ def q_ann_lsh_ivf(spark, sf_dir):
 
     cached = _cached(spark, sf_dir, "gate_ivfpq", build_stored)
     sidx, cents, books = cached.triple
-    ivf = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
+
+    exact = sim.brute_topk(emb, probe, k=10)
+    ivf_full = iv.ivf_topk(emb, probe, cents, k=10, nprobe=len(cents))
+    ivf4 = iv.ivf_topk(emb, probe, cents, k=10, nprobe=4)
     pq = ivfpq_topk(emb, books, cents, probe, k=10, nprobe=4)
     probes = emb.where(F.col("vec_id") < 2).select(
         F.col("vec_id").cast("long").alias("probe_id"), "embedding"
@@ -2030,34 +2048,6 @@ def q_ann_lsh_ivf(spark, sf_dir):
     # 2-probe gate batch stays pure-JVM like the rest of the registry
     batch = ivfpq_knn_join(
         sidx, cents, books, probes, k=10, nprobe=4, scorer="column"
-    )
-
-    out = lsh.select(
-        F.lit("lsh").alias("method"),
-        "vec_id",
-        F.col("sim").alias("score"),
-    ).unionByName(
-        ivf.select(
-            F.lit("ivf").alias("method"),
-            "vec_id",
-            F.col("sim").alias("score"),
-        )
-    )
-    out = out.unionByName(
-        pq.select(
-            F.lit("ivfpq").alias("method"),
-            "vec_id",
-            F.round("adc_dist", 6).alias("score"),
-        )
-    )
-    out = out.unionByName(
-        batch.select(
-            F.concat(F.lit("knn_batch_"), F.col("probe_id")).alias(
-                "method"
-            ),
-            "vec_id",
-            F.round("adc_dist", 6).alias("score"),
-        )
     )
 
     # reload variant (reference anchor: a named index reopened by a
@@ -2085,15 +2075,55 @@ def q_ann_lsh_ivf(spark, sf_dir):
             "reloaded IVFPQ index served different top-k than the "
             f"builder handle: {sorted(got ^ want)[:5]}"
         )
-    return out.unionByName(
-        reload_batch.select(
-            F.concat(F.lit("knn_reload_"), F.col("probe_id")).alias(
-                "method"
-            ),
-            "vec_id",
-            F.round("adc_dist", 6).alias("score"),
+
+    def frame(method, df):
+        return df.select(
+            F.lit(method).alias("method"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("sim").alias("score"),
+            F.lit(True).alias("ok"),
         )
-    )
+
+    def recall_bit(method, ann_df, floor, exact_df=None):
+        """One (method, -1, 0.0, hits >= floor) row; the join against
+        the exact top-10 happens inside the emitted plan (no extra
+        driver-side action)."""
+        ex = (exact_df if exact_df is not None else exact).select("vec_id")
+        return (
+            ann_df.select("vec_id")
+            .join(ex, "vec_id")
+            .agg(F.count("*").alias("h"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(-1).cast("long").alias("vec_id"),
+                F.lit(0.0).alias("score"),
+                (F.col("h") >= floor).alias("ok"),
+            )
+        )
+
+    kex = sim.knn_join(emb, emb.where(F.col("vec_id") < 2), k=10)
+    out = frame("lsh", lsh).unionByName(frame("ivf_full", ivf_full))
+    out = out.unionByName(recall_bit("ivf4_recall", ivf4, 6))
+    out = out.unionByName(recall_bit("ivfpq_recall", pq, 1))
+    for p in (0, 1):
+        ex_p = kex.where(F.col("probe_id") == p).select("vec_id")
+        out = out.unionByName(
+            recall_bit(
+                f"knn_batch_recall_{p}",
+                batch.where(F.col("probe_id") == p),
+                1,
+                exact_df=ex_p,
+            )
+        )
+        out = out.unionByName(
+            recall_bit(
+                f"knn_reload_recall_{p}",
+                reload_batch.where(F.col("probe_id") == p),
+                1,
+                exact_df=ex_p,
+            )
+        )
+    return out
 
 
 def q_chunk_dedup(spark, sf_dir):
@@ -2283,6 +2313,99 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # --------------------------------------------------------------------------
 
 _TOKS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+# exact cosine top-10 for probe vec_id=0 on the (vec_id, sim) frame —
+# the shared rerank target of ann_topk / ann_lsh_ivf (zero-vector
+# guard mirrors Spark's cosine_sim NULL where DuckDB returns -1.0)
+_EXACT_TOP10 = """
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) = 0
+                OR list_dot_product(pe, pe) = 0
+              THEN NULL
+              ELSE round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), pe), 6)
+         END AS sim
+  FROM embeddings,
+       (SELECT CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id = 0)
+  ORDER BY sim DESC NULLS LAST, vec_id
+  LIMIT 10
+"""
+
+
+def _ann_lsh_ivf_sql() -> str:
+    """Oracle for q_ann_lsh_ivf on the (method, vec_id, score, ok)
+    frame. The 'lsh' block recomputes multiprobe sign-LSH from first
+    principles: the Gaussian hyperplanes are deterministic in
+    (dim, n_planes, seed) via numpy PCG64 (stream-stability is a
+    numpy API guarantee), so they are inlined as literal DOUBLE
+    arrays; a vector is a candidate iff its bucket is within hamming
+    distance 1 of the probe's bucket in ANY table (equivalent to the
+    operator's explicit probe-bucket ^ 1<<j key list), then exact
+    cosine rerank. 'ivf_full' must equal plain exact top-10 (every
+    inverted list probed). The envelope rows are literal TRUE — the
+    Spark side computes the actual recall bits."""
+    n_bits, n_tables, seed, dim = 6, 8, 42, 64  # testdata embedding dim
+    planes = sim._plane_matrix(dim, n_tables * n_bits, seed)
+
+    def arr(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    def bucket(vexpr, t):
+        terms = []
+        for j in range(n_bits):
+            w = 1 << (n_bits - 1 - j)  # MSB-first, as _bucket_ids_np
+            terms.append(
+                f"(CASE WHEN list_dot_product({vexpr}, "
+                f"{arr(planes[t * n_bits + j])}) > 0 THEN {w} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    vb = ", ".join(f"{bucket('v', t)} AS vb{t}" for t in range(n_tables))
+    pb = ", ".join(f"{bucket('pv', t)} AS pb{t}" for t in range(n_tables))
+    cand = " OR ".join(
+        f"bit_count(xor(b.vb{t}, p.pb{t})) <= 1" for t in range(n_tables)
+    )
+    envelope = ", ".join(
+        f"('{m}')"
+        for m in (
+            "ivf4_recall",
+            "ivfpq_recall",
+            "knn_batch_recall_0",
+            "knn_reload_recall_0",
+            "knn_batch_recall_1",
+            "knn_reload_recall_1",
+        )
+    )
+    return f"""
+      WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      ),
+      pe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      p AS (SELECT {pb} FROM pe),
+      b AS (SELECT vec_id, v, {vb} FROM e),
+      lsh AS (
+        SELECT b.vec_id,
+               CASE WHEN list_dot_product(b.v, b.v) = 0
+                      OR list_dot_product(pe.pv, pe.pv) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(b.v, pe.pv), 6)
+               END AS sim
+        FROM b, p, pe
+        WHERE {cand}
+        ORDER BY sim DESC NULLS LAST, vec_id
+        LIMIT 10
+      )
+      SELECT 'lsh' AS method, vec_id, sim AS score, TRUE AS ok FROM lsh
+      UNION ALL
+      SELECT 'ivf_full', vec_id, sim, TRUE FROM ({_EXACT_TOP10})
+      UNION ALL
+      SELECT m, CAST(-1 AS BIGINT), 0.0, TRUE
+      FROM (VALUES {envelope}) t(m)
+    """
 
 # Morton interleave, closed form: column i of k contributes bit b to
 # output position b*k + i (here k=2: x -> even bits, y -> odd bits)
@@ -3219,6 +3342,10 @@ ORACLES: dict[str, str] = {
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
+    # ann_lsh_ivf graduated in r10: LSH exactly (literal PCG64
+    # hyperplanes + SQL rerank), IVF exactly at full nprobe, ADC
+    # paths via recall-envelope bits (see _ann_lsh_ivf_sql).
+    "ann_lsh_ivf": _ann_lsh_ivf_sql(),
     "neardup_cosine_blocked": """
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
