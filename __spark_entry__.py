@@ -43,14 +43,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Exactly three entries are
-    intentionally absent — ``dedup_simhash`` (64-bit hash bucketing),
-    ``ann_lsh_ivf`` (k-means bucketing), ``multimodal_features``
-    (byte-level codec decode) — none expressible in DuckDB SQL →
-    driver records the rows-only check; their semantics vs the exact
-    operators are asserted in pytest (exact-twin, recall-floor, and
-    codec property tests). ``sketch_range_estimate`` and
-    ``neardup_cosine_blocked`` graduated to hash-gated in r9 via
-    output shaping (exact value + error-envelope bit; expression-twin
-    agreement bit)."""
+    """DuckDB-runnable ANSI SQL per query — one oracle for EVERY
+    registry entry (the rows-only set reached zero in r10).
+    Graduation history: ``sketch_range_estimate`` and
+    ``neardup_cosine_blocked`` in r9 via output shaping (exact value
+    + error-envelope bit; expression-twin agreement bit);
+    ``dedup_simhash`` in r10 via an MD5-prefix hash variant (MD5 is
+    byte-identical across engines, so the oracle recomputes the
+    fingerprints and pins the bucketed pair set against all-pairs
+    hamming); ``ann_lsh_ivf`` in r10 (literal PCG64 hyperplanes →
+    exact LSH twin; full-nprobe IVF ≡ brute force; ADC paths as
+    recall-envelope bits); ``multimodal_features`` in r10 (fake-media
+    payloads are utf8(text) re-derived via hex byte expansion;
+    real-codec payloads closed-form in media_id)."""
     return dict(_q.ORACLES)

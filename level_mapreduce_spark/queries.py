@@ -1857,52 +1857,93 @@ def q_neardup_cosine_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """ALL multimodal plumbing shapes in one tagged union (rows-only
-    check — byte-level decode is not expressible in DuckDB SQL):
-    Arrow-batched feature extraction (1:1), image resize (1:1, binary
-    in/out), video frame sampling (1:N expansion), and the REAL
-    pure-numpy PNM image codec over synthesized P6 rasters (exact
-    per-channel statistics — pixel-verified in pytest; the other
-    variants use the documented deterministic fake codecs). The
-    Spark-side schema, batching, and cardinality behavior are the
-    real contract throughout."""
+    """ALL multimodal plumbing shapes in one tagged union, hash-gated
+    end-to-end (graduated from rows-only in r10) on the
+    (variant, media_id, n_bytes, checksum, features_csv) frame. The
+    payloads are derivable from columns the oracle can also see
+    (``attach_fake_media`` payload = utf8 bytes of ``text``; the
+    real-codec rasters/waveforms are synthesized by closed-form
+    arithmetic on ``media_id``), so DuckDB recomputes every value
+    from first principles via hex-string byte expansion:
+
+    - ``features``: Arrow-batched fake-codec extraction (1:1) —
+      n_bytes, byte-sum checksum, and the 8 strided byte-mean
+      features of the raw payload.
+    - ``resize``: fake byte-sampling resize (binary in/out, 16x16)
+      CHAINED back through the extractor — gates the sampled
+      positions (j*step), the truncate/zero-pad contract, and the
+      composition of two mapInPandas stages.
+    - ``frames``: video 1:N frame expansion — per-frame byte count +
+      byte-sum (slice boundaries), frame_idx in features_csv,
+      cardinality = min(max(len//64,1),8) per video doc.
+    - ``ppm``: the REAL pure-numpy PNM codec over synthesized 6x6 P6
+      rasters whose pixel statistics have closed forms in media_id
+      (fill=(i*30)%256; 3 red columns): per-channel mean/std +
+      dims, and the byte-sum of the ENCODED payload (header 460 +
+      raster 4590+90*fill) — decode AND encode are both gated.
+    - ``wav``: the REAL stdlib-wave PCM16 codec over an integer
+      sawtooth (v = ((s*f)%8000)*4-16000, f=220+110*i — integer
+      arithmetic on both engines, no libm trig divergence):
+      duration/rate/channels/RMS/zero-crossings/peak + byte-sum of
+      the RIFF payload (44-byte canonical header + LE16 samples).
+
+    The compressed-format plug points (PIL/ffmpeg) remain documented
+    NotImplementedError stubs; pytest pixel/signal-verifies the
+    codecs on sine/raster fixtures independently
+    (test_operators.py)."""
     media = mm.attach_fake_media(_docs(spark, sf_dir))
+
+    def fcsv(col="features"):
+        # 6dp decimal-formatted CSV: rows-only no more, but the
+        # canonicalizer still cannot hash array-typed cells
+        return F.array_join(
+            F.transform(
+                col,
+                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("features_csv")
+
     feats = mm.extract_features(media).select(
         F.lit("features").alias("variant"),
         "media_id",
         "n_bytes",
         "checksum",
-        # the feature vector rides CSV-serialized at 6dp: rows-only
-        # entries still pass through the driver's canonicalizer, which
-        # cannot hash array-typed cells
-        F.array_join(
-            F.transform(
-                "features",
-                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
-            ),
-            ",",
-        ).alias("features_csv"),
+        fcsv(),
     )
-    resized = mm.resize_images(media).select(
+
+    # resize: the resized payloads ride BACK through the extractor so
+    # the gate sees byte-sum checksums + strided means of the RESIZED
+    # bytes (crc32 is not available in DuckDB; a byte-sum gates the
+    # same sampled-position contract and also exercises two chained
+    # Arrow stages)
+    resized_media = mm.resize_images(media).select("media_id", "payload")
+    resized = mm.extract_features(resized_media).select(
         F.lit("resize").alias("variant"),
         "media_id",
-        F.length("payload").cast("long").alias("n_bytes"),
-        F.crc32("payload").alias("checksum"),
-        F.concat_ws(
-            ",", F.col("width").cast("string"), F.col("height").cast("string")
-        ).alias("features_csv"),
+        "n_bytes",
+        "checksum",
+        fcsv(),
     )
-    frames = mm.sample_frames(media).select(
+
+    # frames: 1:N expansion; composite key media_id*16+frame_idx rides
+    # through the extractor (frame_idx <= 7 < 16), decomposed after
+    frame_media = mm.sample_frames(media).select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("payload"),
+    )
+    frames = mm.extract_features(frame_media).select(
         F.lit("frames").alias("variant"),
-        "media_id",
-        F.length("frame").cast("long").alias("n_bytes"),
-        F.crc32("frame").alias("checksum"),
-        F.col("frame_idx").cast("string").alias("features_csv"),
+        (F.col("media_id") / 16).cast("long").alias("media_id"),
+        "n_bytes",
+        "checksum",
+        (F.col("media_id") % 16).cast("string").alias("features_csv"),
     )
 
     # real-codec variants: 8 synthesized 6x6 P6 rasters through the
-    # numpy PNM codec + 8 synthesized PCM16 tones through the wave
-    # codec — deterministic bytes, deterministic features
+    # numpy PNM codec + 8 synthesized PCM16 sawtooth tones through the
+    # wave codec — all payload bytes are closed-form in media_id, so
+    # the oracle re-derives features AND payload byte-sums exactly
     import numpy as np
 
     from level_mapreduce_spark.operators.multimodal import (
@@ -1922,48 +1963,30 @@ def q_multimodal_features(spark, sf_dir):
         rows.append((100000 + i, bytearray(p), "image", (len(p), "synth")))
     wav_rows = []
     for i in range(8):
-        t = np.arange(800) / 8000.0  # 100 ms at 8 kHz
-        x = (0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t) * 32767).astype(
-            "<i2"
-        )
-        p = _encode_wav(x.reshape(-1, 1), 8000)
+        s = np.arange(800, dtype=np.int64)
+        # integer sawtooth at "frequency" f: exact in any engine,
+        # unlike sin() whose libm rounding is implementation-defined
+        v = (((s * (220 + 110 * i)) % 8000) * 4 - 16000).astype("<i2")
+        p = _encode_wav(v.reshape(-1, 1), 8000)
         wav_rows.append(
             (200000 + i, bytearray(p), "audio", (len(p), "synth"))
         )
 
-    def fcsv(df, tag):
-        return df.select(
+    def codec_rows(rows_, tag, n_features, decode_fn):
+        return mm.extract_features(
+            spark.createDataFrame(rows_, media_schema),
+            n_features=n_features,
+            decode_fn=decode_fn,
+        ).select(
             F.lit(tag).alias("variant"),
             "media_id",
             "n_bytes",
             "checksum",
-            F.array_join(
-                F.transform(
-                    "features",
-                    lambda v: F.round(v, 6)
-                    .cast("decimal(18,6)")
-                    .cast("string"),
-                ),
-                ",",
-            ).alias("features_csv"),
+            fcsv(),
         )
 
-    ppm = fcsv(
-        mm.extract_features(
-            spark.createDataFrame(rows, media_schema),
-            n_features=8,
-            decode_fn="ppm",
-        ),
-        "ppm",
-    )
-    wav = fcsv(
-        mm.extract_features(
-            spark.createDataFrame(wav_rows, media_schema),
-            n_features=6,
-            decode_fn="wav",
-        ),
-        "wav",
-    )
+    ppm = codec_rows(rows, "ppm", 8, "ppm")
+    wav = codec_rows(wav_rows, "wav", 6, "wav")
     return (
         feats.unionByName(resized)
         .unionByName(frames)
@@ -2332,6 +2355,154 @@ _EXACT_TOP10 = """
   ORDER BY sim DESC NULLS LAST, vec_id
   LIMIT 10
 """
+
+
+def _multimodal_sql() -> str:
+    """Oracle for q_multimodal_features: every variant recomputed from
+    first principles in DuckDB.
+
+    Payload bytes of the fake-media variants are the utf8 bytes of
+    ``documents.text`` (pure ASCII at all testdata scales —
+    asserted by octet_length == length), expanded one row per byte
+    via hex-pair parsing (``CAST('0x'||substr(hex(..)) AS INT)``).
+    The real-codec variants are closed-form in media_id: the 6x6 P6
+    raster has 18 pixels at 255 / 90 bytes at fill=(i*30)%256 plus a
+    constant 460-byte-sum 11-byte header; the PCM16 sawtooth is
+    integer arithmetic replayed by generate_series, its RIFF header
+    byte-sum a constant of (nframes=800, mono, 8 kHz, 16-bit)
+    derived here from the canonical 44-byte RIFF/WAVE layout."""
+    import struct
+
+    data_bytes = 800 * 2
+    riff_header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+    hdr_sum = sum(riff_header)
+    n_wav = len(riff_header) + data_bytes  # 1644
+
+    dec = "::DECIMAL(18,6)::VARCHAR"
+    return f"""
+      WITH raw AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+      ),
+      byt AS (
+        SELECT doc_id, s.p AS p,
+               CAST(('0x' || substr(hx, 2 * s.p + 1, 2)) AS INT) AS v, n
+        FROM raw CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS p) s
+      ),
+      feat AS (
+        SELECT doc_id, p % 8 AS i, sum(v) AS sv, count(*) AS c
+        FROM byt GROUP BY doc_id, p % 8
+      ),
+      fjoin AS (
+        SELECT doc_id,
+               string_agg((round(sv * 1.0 / c, 6)){dec}, ',' ORDER BY i) AS fs
+        FROM feat GROUP BY doc_id
+      ),
+      chk AS (
+        SELECT doc_id, any_value(n) AS n, sum(v) % 2147483648 AS ck
+        FROM byt GROUP BY doc_id
+      ),
+      rs AS (SELECT doc_id, greatest(n // 256, 1) AS step FROM raw),
+      rb AS (
+        SELECT rs.doc_id, j.j AS j, coalesce(b.v, 0) AS v
+        FROM rs CROSS JOIN LATERAL (SELECT unnest(range(0, 256)) AS j) j
+        LEFT JOIN byt b ON b.doc_id = rs.doc_id AND b.p = j.j * rs.step
+      ),
+      rfeat AS (
+        SELECT doc_id, j % 8 AS i, sum(v) AS sv, count(*) AS c
+        FROM rb GROUP BY doc_id, j % 8
+      ),
+      rjoin AS (
+        SELECT doc_id,
+               string_agg((round(sv * 1.0 / c, 6)){dec}, ',' ORDER BY i) AS fs
+        FROM rfeat GROUP BY doc_id
+      ),
+      rchk AS (
+        SELECT doc_id, sum(v) % 2147483648 AS ck FROM rb GROUP BY doc_id
+      ),
+      fr AS (
+        SELECT doc_id, n, least(greatest(n // 64, 1), 8) AS nf
+        FROM raw WHERE doc_id % 3 = 2
+      ),
+      fx AS (
+        SELECT doc_id, i.i AS fi
+        FROM fr CROSS JOIN LATERAL (SELECT unnest(range(0, nf)) AS i) i
+      ),
+      fagg AS (
+        SELECT fx.doc_id, fx.fi, count(*) AS nb,
+               sum(b.v) % 2147483648 AS ck
+        FROM fx JOIN byt b ON b.doc_id = fx.doc_id
+         AND b.p >= fx.fi * 64 AND b.p < (fx.fi + 1) * 64
+        GROUP BY fx.doc_id, fx.fi
+      ),
+      ppm AS (
+        SELECT 100000 + i AS media_id, (i * 30) % 256 AS fill
+        FROM (SELECT unnest(range(0, 8)) AS i)
+      ),
+      wi AS (
+        SELECT i.i AS i, 220 + 110 * i.i AS f
+        FROM (SELECT unnest(range(0, 8)) AS i) i
+      ),
+      sm AS (
+        SELECT wi.i, s.s AS s, ((s.s * wi.f) % 8000) * 4 - 16000 AS v
+        FROM wi CROSS JOIN LATERAL (SELECT unnest(range(0, 800)) AS s) s
+      ),
+      sm2 AS (
+        SELECT i, s, v, lag(v) OVER (PARTITION BY i ORDER BY s) AS pv
+        FROM sm
+      ),
+      wagg AS (
+        SELECT i,
+               sum((((v + 65536) % 65536) & 255)
+                   + (((v + 65536) % 65536) >> 8)) AS dsum,
+               sqrt(sum((v / 32768.0) * (v / 32768.0)) / 800.0) AS rms,
+               max(abs(v)) / 32768.0 AS peak,
+               sum(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                        THEN 1 ELSE 0 END) / 800.0 AS zcr
+        FROM sm2 GROUP BY i
+      )
+      SELECT 'features' AS variant, chk.doc_id AS media_id,
+             CAST(chk.n AS BIGINT) AS n_bytes,
+             CAST(chk.ck AS BIGINT) AS checksum,
+             fjoin.fs AS features_csv
+      FROM chk JOIN fjoin USING (doc_id)
+      UNION ALL
+      SELECT 'resize', rchk.doc_id, CAST(256 AS BIGINT),
+             CAST(rchk.ck AS BIGINT), rjoin.fs
+      FROM rchk JOIN rjoin USING (doc_id)
+      UNION ALL
+      SELECT 'frames', doc_id, CAST(nb AS BIGINT), CAST(ck AS BIGINT),
+             CAST(fi AS VARCHAR)
+      FROM fagg
+      UNION ALL
+      SELECT 'ppm', CAST(media_id AS BIGINT), CAST(119 AS BIGINT),
+             CAST((5050 + 90 * fill) % 2147483648 AS BIGINT),
+             concat_ws(',',
+               (round((255 + fill) / 2.0, 6)){dec},
+               (round(fill * 1.0, 6)){dec},
+               (round(fill * 1.0, 6)){dec},
+               (round((255 - fill) / 2.0, 6)){dec},
+               '0.000000', '0.000000', '6.000000', '6.000000')
+      FROM ppm
+      UNION ALL
+      SELECT 'wav', CAST(200000 + i AS BIGINT), CAST({n_wav} AS BIGINT),
+             CAST(({hdr_sum} + dsum) % 2147483648 AS BIGINT),
+             concat_ws(',', '0.100000', '8000.000000', '1.000000',
+               (round(rms, 6)){dec},
+               (round(zcr, 6)){dec},
+               (round(peak, 6)){dec})
+      FROM wagg
+    """
 
 
 def _ann_lsh_ivf_sql() -> str:
@@ -3346,6 +3517,11 @@ ORACLES: dict[str, str] = {
     # hyperplanes + SQL rerank), IVF exactly at full nprobe, ADC
     # paths via recall-envelope bits (see _ann_lsh_ivf_sql).
     "ann_lsh_ivf": _ann_lsh_ivf_sql(),
+    # multimodal_features graduated in r10: fake-media payloads are
+    # utf8(text) so DuckDB re-derives byte stats via hex expansion;
+    # real-codec payloads are closed-form in media_id (see
+    # _multimodal_sql).
+    "multimodal_features": _multimodal_sql(),
     "neardup_cosine_blocked": """
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
