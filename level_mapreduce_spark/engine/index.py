@@ -89,6 +89,20 @@ COMPACT_SIZE_MIN_DELTA_BYTES = 64 * 1024 * 1024
 LEASE_HEARTBEAT_SECS = 60.0
 
 
+def _is_exists_error(e: Exception) -> bool:
+    """True iff a store exception means 'the target already exists'
+    (the lost-a-create-race signal). ONE classifier shared by both
+    lease create paths — the marker list drifting between copies
+    would make one path surface a raw store error where the other
+    maps the same condition to ConcurrentWriterError."""
+    msg = str(e)
+    return (
+        "FileAlreadyExists" in msg
+        or "already exists" in msg.lower()
+        or "file exists" in msg.lower()
+    )
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -347,12 +361,7 @@ class MapIndex:
                 # itself — mapping it to ConcurrentWriterError sends
                 # the operator to break_lease for an infrastructure
                 # problem.
-                msg = str(e)
-                if not (
-                    "FileAlreadyExists" in msg
-                    or "already exists" in msg.lower()
-                    or "file exists" in msg.lower()
-                ):
+                if not _is_exists_error(e):
                     raise
                 self._raise_lock_held()
             try:
@@ -395,6 +404,15 @@ class MapIndex:
         self._lease_thread = me
         self._lease_depth = 1
         self._lease_lost = False
+        # Another writer may have folded epochs IN PLACE (compact
+        # keeps epoch=max, partial folds rewrite epoch=hi) since this
+        # handle last looked: cached per-epoch byte counts keyed by
+        # epoch number would then describe the previous corpus and
+        # steer the bytes-ratio compaction trigger arbitrarily wrong
+        # (spurious full folds, or unbounded read amplification). The
+        # lease is the only cross-handle synchronization point, so
+        # refresh here.
+        self._seg_bytes_by_epoch.clear()
         stop = threading.Event()
         hb = threading.Thread(
             target=self._lease_heartbeat_loop,
@@ -449,7 +467,19 @@ class MapIndex:
         exists on either conditional path."""
         uri = hpath.toUri()
         scheme = uri.getScheme()
-        if scheme in (None, "file"):
+        if scheme is None:
+            # A scheme-less path resolves through fs.defaultFS — on a
+            # cluster that is HDFS/S3, NOT the driver's local disk.
+            # Classifying it as POSIX here would create the lock on
+            # the driver's local filesystem while read-back /
+            # heartbeat / other writers all look at the resolved
+            # remote store: zero mutual exclusion. Ask the RESOLVED
+            # filesystem for its scheme instead.
+            try:
+                scheme = fs.getUri().getScheme()
+            except Exception:
+                scheme = None
+        if scheme == "file":
             local = uri.getPath()
             try:
                 fd = os.open(
@@ -481,12 +511,7 @@ class MapIndex:
         try:
             out = fs.create(hpath, False)
         except Exception as e:
-            msg = str(e)
-            if not (
-                "FileAlreadyExists" in msg
-                or "already exists" in msg.lower()
-                or "file exists" in msg.lower()
-            ):
+            if not _is_exists_error(e):
                 raise
             self._raise_lock_held()
         try:
@@ -505,7 +530,20 @@ class MapIndex:
                 out.close()
             except Exception:
                 pass
-            cur = self._read_lock()
+            # Retrying read (raise_errors=True) matters here the same
+            # way it does on the fallback path (r9 review): a
+            # TRANSIENT read failure after a post-commit close error
+            # would otherwise strand this writer's own committed lock
+            # as an orphan. Unlike the fallback path we must NOT
+            # delete on an undecidable read — on a conditional store
+            # the surviving object may be the race WINNER's lock.
+            try:
+                cur = self._read_lock(raise_errors=True)
+            except Exception:
+                cur = None
+                read_ok = False
+            else:
+                read_ok = True
             if cur is not None and cur.get("writer_id") == self._writer_id:
                 # our own object did materialize (failure was after
                 # commit, e.g. a wrapped close raising post-flush):
@@ -527,6 +565,15 @@ class MapIndex:
             )
             if lost_race:
                 self._raise_lock_held()
+            if not read_ok:
+                raise RuntimeError(
+                    f"index '{self.name}': conditional lease create "
+                    f"failed at close AND the lock is unreadable — "
+                    f"cannot tell whether this writer's lock "
+                    f"committed. If {self._lease_hpath} holds writer "
+                    f"{self._writer_id}, clear it with break_lease() "
+                    f"once the store recovers."
+                ) from e
             raise
         return True
 

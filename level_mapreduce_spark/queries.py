@@ -2040,6 +2040,16 @@ def q_ann_lsh_ivf(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     probe = sim.probe_vector(emb, 0)
+    if len(probe) != 64:
+        # the oracle (_ann_lsh_ivf_sql) inlines _plane_matrix(64,...)
+        # literals; a corpus with a different embedding dim would
+        # bucket with DIFFERENT planes than the oracle recomputes —
+        # fail here with the cause instead of a bare hash mismatch
+        raise AssertionError(
+            f"ann_lsh_ivf gate assumes 64-dim embeddings (got "
+            f"{len(probe)}): regenerate _ann_lsh_ivf_sql for the new "
+            f"dimension"
+        )
     lsh = sim.lsh_topk(emb, probe, k=10)
 
     # ONE training pass serves all quantized variants: the stored
@@ -2403,14 +2413,25 @@ def _multimodal_sql() -> str:
         SELECT doc_id, p % 8 AS i, sum(v) AS sv, count(*) AS c
         FROM byt GROUP BY doc_id, p % 8
       ),
+      -- every doc emits EXACTLY 8 features: strides past the payload
+      -- end are zero on the Spark side (payload[i::8] or b'\\x00'),
+      -- so build the 8-slot frame from raw and left-join the sums —
+      -- a <8-byte or empty text must not shorten the CSV or drop the
+      -- row (the operator emits one row per media row regardless)
       fjoin AS (
-        SELECT doc_id,
-               string_agg((round(sv * 1.0 / c, 6)){dec}, ',' ORDER BY i) AS fs
-        FROM feat GROUP BY doc_id
+        SELECT r.doc_id,
+               string_agg(
+                 (round(coalesce(f.sv * 1.0 / f.c, 0.0), 6)){dec},
+                 ',' ORDER BY s.i) AS fs
+        FROM raw r
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS i) s
+        LEFT JOIN feat f ON f.doc_id = r.doc_id AND f.i = s.i
+        GROUP BY r.doc_id
       ),
       chk AS (
-        SELECT doc_id, any_value(n) AS n, sum(v) % 2147483648 AS ck
-        FROM byt GROUP BY doc_id
+        SELECT r.doc_id, r.n, coalesce(sum(b.v), 0) % 2147483648 AS ck
+        FROM raw r LEFT JOIN byt b ON b.doc_id = r.doc_id
+        GROUP BY r.doc_id, r.n
       ),
       rs AS (SELECT doc_id, greatest(n // 256, 1) AS step FROM raw),
       rb AS (
@@ -2438,10 +2459,13 @@ def _multimodal_sql() -> str:
         SELECT doc_id, i.i AS fi
         FROM fr CROSS JOIN LATERAL (SELECT unnest(range(0, nf)) AS i) i
       ),
+      -- LEFT join: an empty video doc still yields its single empty
+      -- frame on the Spark side (n = max(len//64, 1)), so the frame
+      -- row must survive with nb=0/ck=0 rather than vanish
       fagg AS (
-        SELECT fx.doc_id, fx.fi, count(*) AS nb,
-               sum(b.v) % 2147483648 AS ck
-        FROM fx JOIN byt b ON b.doc_id = fx.doc_id
+        SELECT fx.doc_id, fx.fi, count(b.v) AS nb,
+               coalesce(sum(b.v), 0) % 2147483648 AS ck
+        FROM fx LEFT JOIN byt b ON b.doc_id = fx.doc_id
          AND b.p >= fx.fi * 64 AND b.p < (fx.fi + 1) * 64
         GROUP BY fx.doc_id, fx.fi
       ),

@@ -141,11 +141,18 @@ def rep_docs_distinct(docs, n: int, base: int):
     difference is a constant nonzero shift), so cross-replica
     jaccard ~ 0 and cross-replica titles differ in ~every alpha
     position."""
-    if n > 25:
-        # the alphabet rotation has period 25: replicas r and r+25
-        # would be bit-identical texts, replanting the cross-replica
-        # quadratic cliques this model exists to remove
-        raise ValueError("rep_docs_distinct supports at most 25 replicas")
+    if n > 10:
+        # the DIGIT rotation is the binding constraint, not the
+        # 25-period letter rotation: there exist at most 10 digit
+        # substitutions that pairwise disagree at EVERY position
+        # (rows of a 10x10 Latin square — identity + 9 rotations),
+        # so replicas r and r+9 would share every digit position
+        # (and punctuation never rotates); a digit-heavy 40-char
+        # title then lands within levenshtein max_dist across the
+        # pair, replanting exactly the cross-replica quadratic
+        # cliques this model exists to remove. 10 replicas = the 10x
+        # probe's need and the provable maximum.
+        raise ValueError("rep_docs_distinct supports at most 10 replicas")
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
     digits = "0123456789"
@@ -156,10 +163,11 @@ def rep_docs_distinct(docs, n: int, base: int):
             shift = (r - 1) % 25 + 1  # never the identity
             rot_l = lower[shift:] + lower[:shift]
             rot_u = rot_l.upper()
-            # digits rotate too (period 9): digit-heavy titles would
-            # otherwise agree on every digit position across replicas
-            # and stay within levenshtein max_dist
-            dshift = (r - 1) % 9 + 1
+            # digits rotate too: digit-heavy titles would otherwise
+            # agree on every digit position across replicas and stay
+            # within levenshtein max_dist. r <= 9 here (n <= 10
+            # guard), so every replica gets a distinct nonzero shift.
+            dshift = r
             rot_d = digits[dshift:] + digits[:dshift]
             d = d.withColumn(
                 "text",

@@ -1767,3 +1767,45 @@ def test_verify_shuffled_detects_reordered_shard(spark, tmp_path):
     assert res2["ok"] is False and any(
         "rows" in m["error"] for m in res2["mismatches"]
     )
+
+
+def test_multimodal_oracle_matches_on_short_texts(spark, tmp_path):
+    """Gate-fidelity regression (r10 review): the multimodal oracle's
+    byte-expansion CTEs must agree with the operator for EMPTY and
+    sub-8-byte texts — the Spark side zero-pads missing strides
+    (payload[i::8] or b'\\x00') and still emits one row per media row
+    (and one empty frame per empty video doc), so the SQL side must
+    left-join its byte table rather than drop those groups. Latent at
+    the shipped testdata scales (min text is 44 bytes); pinned here
+    against a synthetic short-doc corpus."""
+    import duckdb
+
+    from level_mapreduce_spark import queries as q
+
+    docs = spark.createDataFrame(
+        [
+            (0, "", "s"),               # empty, image
+            (1, "a", "s"),              # 1 byte, audio
+            (2, "abc def", "s"),        # 7 bytes, VIDEO (doc_id%3==2)
+            (3, "x" * 5, "s"),          # 5 bytes
+            (5, "hello world " * 30, "s"),  # multi-frame VIDEO
+            (8, "", "s"),               # empty VIDEO -> one empty frame
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in q.QUERIES["multimodal_features"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(q.ORACLES["multimodal_features"]).fetchall()
+    )
+    assert got == want
