@@ -404,15 +404,6 @@ class MapIndex:
         self._lease_thread = me
         self._lease_depth = 1
         self._lease_lost = False
-        # Another writer may have folded epochs IN PLACE (compact
-        # keeps epoch=max, partial folds rewrite epoch=hi) since this
-        # handle last looked: cached per-epoch byte counts keyed by
-        # epoch number would then describe the previous corpus and
-        # steer the bytes-ratio compaction trigger arbitrarily wrong
-        # (spurious full folds, or unbounded read amplification). The
-        # lease is the only cross-handle synchronization point, so
-        # refresh here.
-        self._seg_bytes_by_epoch.clear()
         stop = threading.Event()
         hb = threading.Thread(
             target=self._lease_heartbeat_loop,
@@ -1006,15 +997,35 @@ class MapIndex:
             if seg_eps is None
             else seg_eps
         )
+        cache = self._seg_bytes_by_epoch
+        live = set(eps)
+        dead = [k for k in cache if k not in live]
+        if dead:
+            # A cached epoch that is no longer live proves ANOTHER
+            # handle folded since this handle last looked (this
+            # handle's own folds clear the cache at the fold site,
+            # and epoch numbers are never reused — new epochs are
+            # always > max). Every fold also rewrites one SURVIVING
+            # epoch in place (full: max; partial: hi), whose cached
+            # byte count is now silently stale — e.g. a nightly
+            # compact by another process leaves epoch=max holding the
+            # whole index while this cache still records its old
+            # delta size, making the bytes-ratio trigger fire a
+            # spurious full fold on nearly every batch (or chronically
+            # under-fire). Dead keys are the detector: drop the WHOLE
+            # cache, not just the dead entries. Writers are
+            # lease-serialized, so a cross-handle fold cannot race
+            # this check mid-mutation. The detection must run BEFORE
+            # the few-epochs early return below: the post-fold state
+            # is exactly 1-2 live epochs, and skipping it there would
+            # carry the stale survivor entry into the next multi-epoch
+            # evaluation.
+            cache.clear()
         if len(eps) < 3:
             # 0-1 deltas: a full fold would just rewrite the base for
             # nothing (and a single big delta would re-trigger every
             # batch) — epoch-count pressure covers this regime
             return False
-        cache = self._seg_bytes_by_epoch
-        live = set(eps)
-        for k in [k for k in cache if k not in live]:
-            del cache[k]
         for e in eps:
             if e not in cache:
                 cache[e] = _path_bytes(

@@ -1158,3 +1158,88 @@ def test_acquire_readback_transient_error_leaves_no_orphan(spark, store):
     b = kv_index(spark, store, "rerr")
     b._acquire_lease()
     b._release_lease()
+
+
+def test_seg_bytes_cache_invalidated_by_cross_handle_fold(
+    spark, store, monkeypatch
+):
+    """r10 review: the per-epoch byte cache is keyed by epoch number,
+    but a fold by ANOTHER handle rewrites one surviving epoch IN
+    PLACE (full: max; partial: hi) while removing the rest — the
+    folding handle clears its own cache, not this one's. The dead
+    cached keys are the detector: observing any epoch in the cache
+    that is no longer live must drop the WHOLE cache (the survivor's
+    entry is the stale one), so the bytes-ratio trigger decides from
+    current reality, not the pre-fold corpus."""
+    from level_mapreduce_spark.engine import index as index_mod
+    from level_mapreduce_spark.engine.index import _path_bytes
+
+    monkeypatch.setattr(index_mod, "COMPACT_SIZE_MIN_DELTA_BYTES", 1)
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    mapper = ExprMapper.of(
+        (SF.col("k"), SF.col("v")), value_type=ST.DoubleType()
+    )
+    # auto_compact=False: the test drives the pressure check by hand;
+    # an inline auto fold would clear the cache through the fold site
+    # and hide the cross-handle path under test
+    a = MapIndex(spark, "xh", mapper, store, auto_compact=False)
+    a.build(
+        kv_df(
+            spark,
+            [{"doc_key": f"d{i:02d}", "k": "a", "v": 1.0} for i in range(40)],
+        ),
+        assume_unique=True,
+    )
+    a.update(
+        kv_df(spark, [{"doc_key": "e00", "k": "b", "v": 2.0}]),
+        assume_unique=True,
+    )
+    a.update(
+        kv_df(spark, [{"doc_key": "e01", "k": "b", "v": 2.0}]),
+        assume_unique=True,
+    )
+    a._seg_size_pressure()  # populate A's cache over the live epochs
+    pre = dict(a._seg_bytes_by_epoch)
+    assert pre, "cache should be populated after a pressure check"
+
+    b = MapIndex(spark, "xh", mapper, store, auto_compact=False)
+    b.compact()  # full fold: keeps epoch=max, rewrites it in place
+
+    a._seg_size_pressure()  # A lists live epochs, sees dead cache keys
+    assert not (
+        set(a._seg_bytes_by_epoch) - {max(pre)}
+    ) and a._seg_bytes_by_epoch != pre, (
+        "dead cached epochs must clear the whole cache, including the "
+        "in-place-rewritten survivor"
+    )
+
+    # drive A forward: the repopulated entries (especially the folded
+    # survivor epoch, which now holds the ENTIRE index) must match the
+    # real on-disk sizes, not the pre-fold deltas
+    a.update(
+        kv_df(spark, [{"doc_key": "e02", "k": "b", "v": 2.0}]),
+        assume_unique=True,
+    )
+    a.update(
+        kv_df(spark, [{"doc_key": "e03", "k": "b", "v": 2.0}]),
+        assume_unique=True,
+    )
+    a._seg_size_pressure()
+    cache = a._seg_bytes_by_epoch
+    import posixpath
+
+    assert max(pre) in cache, "survivor epoch must be re-measured"
+    for e, got in cache.items():
+        want = _path_bytes(
+            spark, posixpath.join(a.segments_path, f"epoch={e}")
+        )
+        assert got == want, (
+            f"epoch {e}: cached {got} != live {want} — stale "
+            f"pre-fold bytes survived the cross-handle fold"
+        )
+    assert cache[max(pre)] > pre[max(pre)], (
+        "the folded survivor holds the whole index now; its fresh "
+        "measurement must exceed its pre-fold delta size"
+    )
