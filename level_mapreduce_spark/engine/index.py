@@ -538,20 +538,28 @@ class MapIndex:
             if cur is not None and cur.get("writer_id") == self._writer_id:
                 # our own object did materialize (failure was after
                 # commit, e.g. a wrapped close raising post-flush):
-                # clean it up so the abort does not orphan the lease
+                # clean it up so the abort does not orphan the lease.
+                # If the cleanup itself fails, say so with the same
+                # break_lease guidance as the unreadable-lock path —
+                # otherwise the orphan blocks every future writer with
+                # an error naming a writer that never ran.
                 try:
                     fs.delete(hpath, False)
                 except Exception:
-                    pass
+                    raise RuntimeError(
+                        f"index '{self.name}': conditional lease "
+                        f"create failed at close, this writer's lock "
+                        f"{self._lease_hpath} DID commit, and the "
+                        f"cleanup delete failed — clear it with "
+                        f"break_lease() once the store recovers."
+                    ) from e
                 raise
-            lost_race = cur is not None or any(
-                s in str(e).lower()
-                for s in (
-                    "precondition",
-                    "already exists",
-                    "file exists",
-                    "generation",
-                    "412",
+            lost_race = (
+                cur is not None
+                or _is_exists_error(e)
+                or any(
+                    s in str(e).lower()
+                    for s in ("precondition", "generation", "412")
                 )
             )
             if lost_race:

@@ -2399,10 +2399,17 @@ def _multimodal_sql() -> str:
     dec = "::DECIMAL(18,6)::VARCHAR"
     return f"""
       WITH raw AS (
+        -- NULL text maps to an empty payload on the Spark side
+        -- (extract_features: n_bytes=0, zero checksum/features), so
+        -- coalesce n here — every downstream CTE derives from it.
+        -- DISTINCT guards the frame builds below against join fanout
+        -- if a doc_id ever appears twice (the operator emits one row
+        -- per INPUT row, so true duplicates surface as a loud
+        -- row-count mismatch instead of silently corrupted values).
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                hex(encode(text)) AS hx,
-               octet_length(encode(text)) AS n
-        FROM documents
+               coalesce(octet_length(encode(text)), 0) AS n
+        FROM (SELECT DISTINCT doc_id, text FROM documents)
       ),
       byt AS (
         SELECT doc_id, s.p AS p,

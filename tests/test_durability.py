@@ -368,21 +368,27 @@ def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
         assert ent["lease_heartbeat_age_secs"] is not None
         assert ent["lease_heartbeat_age_secs"] <= ent["lease_age_secs"]
         # live holder: heartbeat still advancing (int-second stamp, so
-        # wait for a strictly larger value)
+        # wait for a strictly larger value). Every _read_lock() here
+        # must tolerate None: the heartbeat rewrites the lock via
+        # tmp+rename, and a read landing inside the swap window sees
+        # a missing file (observed flake: TypeError on None).
+        def hb_now():
+            cur = idx._read_lock()
+            return None if cur is None else cur.get("heartbeat_unix")
+
         wait_for(
             lambda: (
                 True
-                if idx._read_lock()["heartbeat_unix"]
-                > lock1["heartbeat_unix"]
+                if (hb_now() or 0) > lock1["heartbeat_unix"]
                 else None
             )
         )
         # dead holder: heartbeat stops, wall clock moves on — age grows
         idx._lease_hb_stop.set()
         idx._lease_hb_thread.join(timeout=30)
-        frozen = idx._read_lock()["heartbeat_unix"]
+        frozen = wait_for(hb_now)
         time.sleep(2.5)
-        assert idx._read_lock()["heartbeat_unix"] == frozen
+        assert wait_for(hb_now) == frozen
     finally:
         idx._release_lease()
     cat = {d["name"]: d for d in list_indexes(spark, store)}
