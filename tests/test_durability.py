@@ -1249,3 +1249,171 @@ def test_seg_bytes_cache_invalidated_by_cross_handle_fold(
         "the folded survivor holds the whole index now; its fresh "
         "measurement must exceed its pre-fold delta size"
     )
+
+
+class _FakeUri:
+    def __init__(self, scheme, path="/fake/writer.lock"):
+        self._scheme, self._path = scheme, path
+
+    def getScheme(self):
+        return self._scheme
+
+    def getPath(self):
+        return self._path
+
+
+class _FakePath:
+    def __init__(self, scheme="s3a"):
+        self._uri = _FakeUri(scheme)
+
+    def toUri(self):
+        return self._uri
+
+
+class _FakeStream:
+    """Conditional-store output stream whose close() behavior is the
+    variable under test (S3/GCS check preconditions AT CLOSE)."""
+
+    def __init__(self, close_exc=None):
+        self.close_exc = close_exc
+        self.closed = 0
+
+    def write(self, b):
+        pass
+
+    def close(self):
+        self.closed += 1
+        if self.close_exc is not None and self.closed == 1:
+            raise self.close_exc
+
+
+class _FakeFs:
+    def __init__(self, stream, deletes_fail=False):
+        self.stream = stream
+        self.deleted = []
+        self.deletes_fail = deletes_fail
+
+    def getUri(self):
+        return _FakeUri("s3a", "/")
+
+    def create(self, hpath, overwrite):
+        return self.stream
+
+    def delete(self, hpath, recursive):
+        if self.deletes_fail:
+            raise RuntimeError("store outage")
+        self.deleted.append(hpath)
+
+
+def _cond_idx(spark, store, monkeypatch, lock_reads):
+    """Index handle with conditionalCreate asserted and _read_lock
+    stubbed to pop from ``lock_reads`` (callables or values)."""
+    idx = kv_index(spark, store, "condclose")
+    spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
+
+    def read(raise_errors=False):
+        nxt = lock_reads.pop(0) if lock_reads else None
+        if isinstance(nxt, Exception):
+            if raise_errors:
+                raise nxt
+            return None
+        return nxt
+
+    monkeypatch.setattr(idx, "_read_lock", read)
+    return idx
+
+
+def test_conditional_close_branches(spark, store, monkeypatch):
+    """Exhaustive branch coverage for the asserted-conditional lease
+    create's close-failure handler (r10 review closed two gaps here;
+    the JVM stream/fs objects are faked so every branch is reachable
+    without a real conditional store):
+
+    1. close() raises with a precondition marker -> lost race ->
+       ConcurrentWriterError, NO delete (the object is the winner's).
+    2. close() raises a transport error, read-back shows OUR OWN
+       writer id (the create committed) -> own lock deleted, original
+       error surfaces.
+    3. same, but the cleanup delete ALSO fails -> RuntimeError naming
+       the lock path and break_lease (never a silent orphan).
+    4. close() raises, lock unreadable even with retries -> the
+       undecidable RuntimeError with break_lease guidance, NO delete.
+    5. create() itself raises FileAlreadyExistsException (classified
+       by the shared helper even with no 'already exists' phrase in
+       the message) -> ConcurrentWriterError.
+    """
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    try:
+        # 1: precondition at close = lost race
+        fs = _FakeFs(_FakeStream(RuntimeError("412 precondition failed")))
+        idx = _cond_idx(spark, store, monkeypatch, [None])
+        try:
+            idx._create_lock_conditional(fs, _FakePath(), b"{}")
+            raise AssertionError("expected ConcurrentWriterError")
+        except ConcurrentWriterError:
+            pass
+        assert fs.deleted == [], "winner's lock must never be deleted"
+
+        # 2: post-commit transport error, readable own lock -> cleanup
+        fs = _FakeFs(_FakeStream(RuntimeError("connection reset")))
+        idx = _cond_idx(spark, store, monkeypatch, [])
+        idx._read_lock = lambda raise_errors=False: {
+            "writer_id": idx._writer_id
+        }
+        try:
+            idx._create_lock_conditional(fs, _FakePath(), b"{}")
+            raise AssertionError("expected the transport error")
+        except RuntimeError as e:
+            assert "connection reset" in str(e)
+        assert len(fs.deleted) == 1, "own committed lock must be cleaned"
+
+        # 3: cleanup delete fails -> guidance, not silence
+        fs = _FakeFs(
+            _FakeStream(RuntimeError("connection reset")), deletes_fail=True
+        )
+        idx = _cond_idx(spark, store, monkeypatch, [])
+        idx._read_lock = lambda raise_errors=False: {
+            "writer_id": idx._writer_id
+        }
+        try:
+            idx._create_lock_conditional(fs, _FakePath(), b"{}")
+            raise AssertionError("expected guidance RuntimeError")
+        except RuntimeError as e:
+            assert "break_lease" in str(e) and "DID commit" in str(e)
+
+        # 4: unreadable lock -> undecidable guidance, no delete
+        fs = _FakeFs(_FakeStream(RuntimeError("connection reset")))
+        idx = _cond_idx(
+            spark, store, monkeypatch, [RuntimeError("read outage")]
+        )
+        try:
+            idx._create_lock_conditional(fs, _FakePath(), b"{}")
+            raise AssertionError("expected undecidable RuntimeError")
+        except RuntimeError as e:
+            assert "break_lease" in str(e) and "unreadable" in str(e)
+        assert fs.deleted == []
+
+        # 5: create-time FileAlreadyExistsException with a bare-path
+        # message (no 'already exists' phrase) still classifies
+        class _FAE(Exception):
+            pass
+
+        _FAE.__name__ = "FileAlreadyExistsException"
+
+        class _FsRaises(_FakeFs):
+            def create(self, hpath, overwrite):
+                raise RuntimeError(
+                    "org.apache.hadoop.fs.FileAlreadyExistsException: "
+                    "s3a://bkt/idx/writer.lock"
+                )
+
+        fs = _FsRaises(_FakeStream())
+        idx = _cond_idx(spark, store, monkeypatch, [None])
+        try:
+            idx._create_lock_conditional(fs, _FakePath(), b"{}")
+            raise AssertionError("expected ConcurrentWriterError")
+        except ConcurrentWriterError:
+            pass
+    finally:
+        spark.conf.set("spark.lmr.lease.conditionalCreate", "false")
