@@ -81,8 +81,9 @@ COMPACT_SIZE_RATIO = 0.5
 # ratio (a 1-row parquet file's fixed footer overhead would otherwise
 # dwarf a tiny base and force gratuitous folds on small indexes).
 COMPACT_SIZE_MIN_DELTA_BYTES = 64 * 1024 * 1024
-# While a mutation runs, the lease holder re-touches writer.lock every
-# this-many seconds (heartbeat_unix field). break_lease() decisions
+# While a mutation runs, the lease holder stamps writer.hb every
+# this-many seconds (heartbeat_unix; the lock file itself is never
+# rewritten — see _lease_heartbeat_loop). break_lease() decisions
 # then have evidence: a live-but-slow writer's heartbeat age stays
 # ~this bound, a dead holder's grows without limit (see list_indexes
 # lease_heartbeat_age_secs). Tests shrink it via monkeypatch.
@@ -235,7 +236,7 @@ class MapIndex:
         self._writer_id = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
         self._lease_depth = 0
         self._lease_thread = None
-        # heartbeat machinery: a daemon thread re-touches writer.lock
+        # heartbeat machinery: a daemon thread stamps writer.hb
         # while the outermost mutation runs (see _acquire_lease)
         self._lease_hb_stop: threading.Event | None = None
         self._lease_hb_thread: threading.Thread | None = None
@@ -596,32 +597,39 @@ class MapIndex:
     def _lease_heartbeat_loop(
         self, stop: threading.Event, interval: float
     ) -> None:
-        """Re-touch writer.lock every ``interval`` seconds while the
-        mutation runs, preserving ``acquired_unix`` and stamping
-        ``heartbeat_unix`` (atomic tmp+rename via put_sidecar). If the
-        lock has vanished or records another writer — i.e. an operator
-        broke a LIVE lease and someone re-acquired — stop touching
-        (the lock is not ours to stamp) and flag the theft so
-        release raises instead of deleting the new holder's lock.
+        """Stamp ``writer.hb`` (writer_id + heartbeat_unix) every
+        ``interval`` seconds while the mutation runs. If the lock has
+        vanished or records another writer — i.e. an operator broke a
+        LIVE lease and someone re-acquired — stop stamping and flag
+        the theft so release raises instead of deleting the new
+        holder's lock.
 
-        Residual race, documented: the read-check and the rename are
-        not one atomic step, so a tick that read its own id, was
-        descheduled across a break_lease()+re-acquire, and then
-        completed its rename OVERWRITES the successor's lock — the
-        successor's next tick then flags ITS lease lost while this
-        writer finishes unaware. This is a sub-case of the documented
-        break-a-LIVE-holder hazard (break_lease docstring: only safe
-        on a dead holder, whose heartbeat cannot race anything); on
-        stores with a conditional-put primitive, fencing the rename
-        on the read generation closes it."""
+        The heartbeat deliberately does NOT rewrite ``writer.lock``
+        itself (r10 review): the lock is the mutual-exclusion token,
+        and rewriting it is only atomic where rename-overwrite is
+        (local FS) — on object stores a rename is copy+delete, so a
+        reader (or an O_EXCL / conditional-create acquirer!) landing
+        inside the swap could see NO lock and win a second lease
+        under a live writer. With the liveness signal in a separate
+        file, the token is immutable for the lease's lifetime: there
+        is no window in which it vanishes, and the old residual race
+        (a descheduled tick's rename overwriting a successor's lock
+        after a break_lease) is gone — a stale tick can at worst
+        write a ``writer.hb`` naming the OLD writer id, which readers
+        ignore because it no longer matches the lock."""
         while not stop.wait(interval):
             try:
                 lock = self._read_lock()
                 if lock is None or lock.get("writer_id") != self._writer_id:
                     self._lease_lost = True
                     return
-                lock["heartbeat_unix"] = int(time.time())
-                self.put_sidecar(lock, name="writer.lock")
+                self.put_sidecar(
+                    {
+                        "writer_id": self._writer_id,
+                        "heartbeat_unix": int(time.time()),
+                    },
+                    name="writer.hb",
+                )
             except Exception:  # noqa: BLE001 — best-effort; next tick retries
                 pass
 
@@ -631,25 +639,19 @@ class MapIndex:
             return
         self._lease_depth = 0
         self._lease_thread = None
-        # Stop the heartbeat BEFORE touching the lock: an in-flight
-        # touch racing the delete below could resurrect the lock file
-        # and block every future writer.
+        # Stop the heartbeat before touching the lock. Since the
+        # heartbeat stamps the SEPARATE writer.hb (never the lock —
+        # see _lease_heartbeat_loop), a tick that outlives this
+        # release can no longer resurrect the lock file; the worst
+        # late-tick residue is a stale writer.hb naming this (now
+        # released) writer id, which readers ignore once the lock is
+        # gone or re-owned. A hung tick therefore no longer blocks
+        # release (pre-r10 this raised and refused).
         if self._lease_hb_stop is not None:
             self._lease_hb_stop.set()
             hb = self._lease_hb_thread
             if hb is not None:
                 hb.join(timeout=60)
-                if hb.is_alive():
-                    # a tick hung inside put_sidecar could complete
-                    # AFTER a delete below and resurrect the lock —
-                    # refuse to release rather than plant that orphan
-                    # (r9 review: the join result went unchecked)
-                    raise IOError(
-                        f"lease heartbeat thread for '{self.name}' did "
-                        f"not stop within 60 s (store hung?); NOT "
-                        f"deleting writer.lock to avoid a resurrection "
-                        f"race — investigate, then break_lease()"
-                    )
             self._lease_hb_stop = None
             self._lease_hb_thread = None
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
@@ -686,6 +688,7 @@ class MapIndex:
                 f"failed to release writer lease {self._lease_hpath}; "
                 "subsequent writers will be blocked until break_lease()"
             )
+        self._delete_hb_file(fs)
         if stolen:
             raise ConcurrentWriterError(
                 f"index '{self.name}': this handle's lease was broken "
@@ -694,6 +697,18 @@ class MapIndex:
                 f"another writer — verify the index."
             )
 
+    def _delete_hb_file(self, fs) -> None:
+        """Best-effort removal of the heartbeat sidecar — liveness
+        metadata only, never load-bearing (readers require its
+        writer_id to match the lock's), so failures are ignored."""
+        try:
+            _, hb_path, _ = _hadoop_fs(
+                self.spark, posixpath.join(self.root, "writer.hb")
+            )
+            fs.delete(hb_path, False)
+        except Exception:  # noqa: BLE001 — advisory file
+            pass
+
     def break_lease(self) -> bool:
         """Force-clear an orphaned writer lock (holder crashed between
         acquire and release). Returns True if a lock was removed. Only
@@ -701,7 +716,9 @@ class MapIndex:
         LIVE holder's lease reintroduces exactly the concurrent-swap
         corruption the lease exists to prevent."""
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
-        return bool(fs.delete(hpath, False))
+        removed = bool(fs.delete(hpath, False))
+        self._delete_hb_file(fs)
+        return removed
 
     def get_sidecar(self, name: str = "meta.json") -> dict | None:
         """Read a :meth:`put_sidecar` JSON blob back; ``None`` if the
@@ -2041,11 +2058,22 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
             # Evidence for the break_lease decision: a live writer's
             # heartbeat age stays ~LEASE_HEARTBEAT_SECS however long
             # the mutation runs; a dead holder's grows without bound.
+            # The heartbeat lives in writer.hb (the lock itself is
+            # immutable for the lease's lifetime — see
+            # _lease_heartbeat_loop); an hb whose writer_id does not
+            # match the lock is a previous holder's stale residue and
+            # is ignored, falling back to the acquisition stamp.
             try:
                 lock = probe.get_sidecar(name="writer.lock") or {}
                 now = int(time.time())
                 acq = lock.get("acquired_unix")
-                hb = lock.get("heartbeat_unix", acq)
+                hb = acq
+                try:
+                    hb_doc = probe.get_sidecar(name="writer.hb") or {}
+                    if hb_doc.get("writer_id") == lock.get("writer_id"):
+                        hb = hb_doc.get("heartbeat_unix", acq)
+                except Exception:  # noqa: BLE001 — advisory file
+                    pass
                 lease_age = (now - int(acq)) if acq is not None else None
                 lease_hb_age = (now - int(hb)) if hb is not None else None
             except Exception:  # noqa: BLE001 — torn/unreadable lock

@@ -324,11 +324,16 @@ def test_sidecar_replace_atomic_and_crash_tolerant(spark, store):
 
 
 def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
-    """VERDICT r8 #7: while a mutation runs, the holder re-touches
-    writer.lock every LEASE_HEARTBEAT_SECS, so a LIVE writer's
-    heartbeat keeps advancing (bounded age) while a DEAD holder's
-    freezes and its age grows — the evidence a break_lease decision
-    needs. list_indexes surfaces both ages."""
+    """VERDICT r8 #7 / r10 redesign: while a mutation runs, the holder
+    stamps the SEPARATE writer.hb every LEASE_HEARTBEAT_SECS — the
+    lock file itself is IMMUTABLE for the lease's lifetime (rewriting
+    it was a vanish window on object stores where rename is
+    copy+delete: a concurrent acquirer could win a second lease under
+    a live writer). A LIVE writer's heartbeat keeps advancing
+    (bounded age) while a DEAD holder's freezes and its age grows —
+    the evidence a break_lease decision needs. list_indexes surfaces
+    both ages and ignores an hb whose writer_id mismatches the
+    lock."""
     import time
 
     from level_mapreduce_spark import list_indexes
@@ -353,36 +358,35 @@ def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
 
     idx._acquire_lease()  # long-running mutation stand-in
     try:
-        lock1 = wait_for(
-            lambda: (
-                lambda l: l
-                if l and l.get("heartbeat_unix") is not None
-                else None
-            )(idx._read_lock())
-        )
-        assert lock1["writer_id"] == idx._writer_id
-        assert lock1["heartbeat_unix"] >= lock1["acquired_unix"]
+        lock0 = idx._read_lock()
+        assert lock0["writer_id"] == idx._writer_id
+
+        def hb_now():
+            # writer.hb is rewritten per tick; tolerate a read landing
+            # inside its tmp+rename swap (None mid-swap is fine — the
+            # LOCK never vanishes, only the advisory hb can)
+            try:
+                cur = idx.get_sidecar(name="writer.hb")
+            except Exception:
+                return None
+            if cur is None or cur.get("writer_id") != idx._writer_id:
+                return None
+            return cur.get("heartbeat_unix")
+
+        hb1 = wait_for(hb_now)
+        assert hb1 >= lock0["acquired_unix"]
+        # the LOCK is immutable while the lease is held: the heartbeat
+        # must not have rewritten it (same acquired stamp, no hb field)
+        lock_again = idx._read_lock()
+        assert lock_again == lock0, "writer.lock must never be rewritten"
         ent = {d["name"]: d for d in list_indexes(spark, store)}["hb"]
         assert ent["lease_held"] is True
         assert ent["lease_age_secs"] is not None
         assert ent["lease_heartbeat_age_secs"] is not None
         assert ent["lease_heartbeat_age_secs"] <= ent["lease_age_secs"]
         # live holder: heartbeat still advancing (int-second stamp, so
-        # wait for a strictly larger value). Every _read_lock() here
-        # must tolerate None: the heartbeat rewrites the lock via
-        # tmp+rename, and a read landing inside the swap window sees
-        # a missing file (observed flake: TypeError on None).
-        def hb_now():
-            cur = idx._read_lock()
-            return None if cur is None else cur.get("heartbeat_unix")
-
-        wait_for(
-            lambda: (
-                True
-                if (hb_now() or 0) > lock1["heartbeat_unix"]
-                else None
-            )
-        )
+        # wait for a strictly larger value)
+        wait_for(lambda: True if (hb_now() or 0) > hb1 else None)
         # dead holder: heartbeat stops, wall clock moves on — age grows
         idx._lease_hb_stop.set()
         idx._lease_hb_thread.join(timeout=30)
@@ -394,6 +398,8 @@ def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
     cat = {d["name"]: d for d in list_indexes(spark, store)}
     assert cat["hb"]["lease_held"] is False
     assert cat["hb"]["lease_age_secs"] is None
+    # release cleans the advisory hb file alongside the lock
+    assert idx.get_sidecar(name="writer.hb") is None
 
 
 def test_release_refuses_foreign_lock(spark, store):
