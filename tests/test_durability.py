@@ -1363,10 +1363,11 @@ def test_conditional_close_branches(spark, store, monkeypatch):
 
         # 2: post-commit transport error, readable own lock -> cleanup
         fs = _FakeFs(_FakeStream(RuntimeError("connection reset")))
-        idx = _cond_idx(spark, store, monkeypatch, [])
-        idx._read_lock = lambda raise_errors=False: {
-            "writer_id": idx._writer_id
-        }
+        idx = kv_index(spark, store, "condclose")
+        lock_reads = [{"writer_id": idx._writer_id}]
+        monkeypatch.setattr(
+            idx, "_read_lock", lambda raise_errors=False: lock_reads[0]
+        )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
             raise AssertionError("expected the transport error")
@@ -1378,10 +1379,11 @@ def test_conditional_close_branches(spark, store, monkeypatch):
         fs = _FakeFs(
             _FakeStream(RuntimeError("connection reset")), deletes_fail=True
         )
-        idx = _cond_idx(spark, store, monkeypatch, [])
-        idx._read_lock = lambda raise_errors=False: {
-            "writer_id": idx._writer_id
-        }
+        idx = kv_index(spark, store, "condclose")
+        lock_reads = [{"writer_id": idx._writer_id}]
+        monkeypatch.setattr(
+            idx, "_read_lock", lambda raise_errors=False: lock_reads[0]
+        )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
             raise AssertionError("expected guidance RuntimeError")
@@ -1401,12 +1403,9 @@ def test_conditional_close_branches(spark, store, monkeypatch):
         assert fs.deleted == []
 
         # 5: create-time FileAlreadyExistsException with a bare-path
-        # message (no 'already exists' phrase) still classifies
-        class _FAE(Exception):
-            pass
-
-        _FAE.__name__ = "FileAlreadyExistsException"
-
+        # message (no 'already exists' phrase) still classifies — the
+        # shared helper matches on the exception CLASS NAME embedded
+        # in the py4j-rendered message text
         class _FsRaises(_FakeFs):
             def create(self, hpath, overwrite):
                 raise RuntimeError(
