@@ -88,6 +88,8 @@ COMPACT_SIZE_MIN_DELTA_BYTES = 64 * 1024 * 1024
 # ~this bound, a dead holder's grows without limit (see list_indexes
 # lease_heartbeat_age_secs). Tests shrink it via monkeypatch.
 LEASE_HEARTBEAT_SECS = 60.0
+#: advisory liveness sidecar beside writer.lock (never load-bearing)
+_HB_NAME = "writer.hb"
 
 
 def _is_exists_error(e: Exception) -> bool:
@@ -294,6 +296,13 @@ class MapIndex:
     def _lease_hpath(self):
         return posixpath.join(self.root, "writer.lock")
 
+    @property
+    def _hb_path(self):
+        """The heartbeat sidecar (single point of truth for its name:
+        the stamper, the deleter, and the list_indexes reader all
+        derive from here)."""
+        return posixpath.join(self.root, _HB_NAME)
+
     def _acquire_lease(self) -> None:
         """Take the single-writer lease, or raise loudly.
 
@@ -405,6 +414,22 @@ class MapIndex:
         self._lease_thread = me
         self._lease_depth = 1
         self._lease_lost = False
+        # Overwrite any stale writer.hb NOW (same handle = same
+        # writer_id, so a residue from a PREVIOUS lease of this handle
+        # would read as a matching-but-hours-old heartbeat and make
+        # list_indexes report a live writer as dead for the first
+        # LEASE_HEARTBEAT_SECS of the new lease). Best-effort — the
+        # list_indexes reader also clamps hb to >= acquired_unix.
+        try:
+            self.put_sidecar(
+                {
+                    "writer_id": self._writer_id,
+                    "heartbeat_unix": int(time.time()),
+                },
+                name=_HB_NAME,
+            )
+        except Exception:  # noqa: BLE001 — advisory file
+            pass
         stop = threading.Event()
         hb = threading.Thread(
             target=self._lease_heartbeat_loop,
@@ -619,7 +644,14 @@ class MapIndex:
         ignore because it no longer matches the lock."""
         while not stop.wait(interval):
             try:
-                lock = self._read_lock()
+                # raise_errors=True: a TRANSIENT lock-read failure must
+                # skip this tick (the except below), not masquerade as
+                # None and declare the lease stolen — one S3 throttle
+                # would otherwise kill the heartbeat for the rest of a
+                # long mutation AND make release raise a spurious
+                # ConcurrentWriterError on a clean commit. Only a
+                # CLEAN read of a missing/foreign lock is theft.
+                lock = self._read_lock(raise_errors=True)
                 if lock is None or lock.get("writer_id") != self._writer_id:
                     self._lease_lost = True
                     return
@@ -628,7 +660,7 @@ class MapIndex:
                         "writer_id": self._writer_id,
                         "heartbeat_unix": int(time.time()),
                     },
-                    name="writer.hb",
+                    name=_HB_NAME,
                 )
             except Exception:  # noqa: BLE001 — best-effort; next tick retries
                 pass
@@ -652,6 +684,20 @@ class MapIndex:
             hb = self._lease_hb_thread
             if hb is not None:
                 hb.join(timeout=60)
+                if hb.is_alive():
+                    # can no longer resurrect the lock (it only writes
+                    # writer.hb), but a store call hung >60 s deserves
+                    # a diagnosable trace rather than silence
+                    import warnings
+
+                    warnings.warn(
+                        f"lease heartbeat thread for '{self.name}' "
+                        f"still alive after 60 s join at release — a "
+                        f"store call is hung; a late tick may leave a "
+                        f"harmless stale {_HB_NAME}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             self._lease_hb_stop = None
             self._lease_hb_thread = None
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
@@ -700,12 +746,12 @@ class MapIndex:
     def _delete_hb_file(self, fs) -> None:
         """Best-effort removal of the heartbeat sidecar — liveness
         metadata only, never load-bearing (readers require its
-        writer_id to match the lock's), so failures are ignored."""
+        writer_id to match the lock's), so failures are ignored. The
+        caller's ``fs`` already points at the store; only a Path is
+        built here (no second FileSystem resolution)."""
         try:
-            _, hb_path, _ = _hadoop_fs(
-                self.spark, posixpath.join(self.root, "writer.hb")
-            )
-            fs.delete(hb_path, False)
+            jvm = self.spark.sparkContext._jvm
+            fs.delete(jvm.org.apache.hadoop.fs.Path(self._hb_path), False)
         except Exception:  # noqa: BLE001 — advisory file
             pass
 
@@ -2069,9 +2115,14 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
                 acq = lock.get("acquired_unix")
                 hb = acq
                 try:
-                    hb_doc = probe.get_sidecar(name="writer.hb") or {}
+                    hb_doc = probe.get_sidecar(name=_HB_NAME) or {}
                     if hb_doc.get("writer_id") == lock.get("writer_id"):
                         hb = hb_doc.get("heartbeat_unix", acq)
+                        # a residue from the same handle's PREVIOUS
+                        # lease can predate this acquisition — never
+                        # report a heartbeat older than the lease
+                        if hb is not None and acq is not None:
+                            hb = max(int(hb), int(acq))
                 except Exception:  # noqa: BLE001 — advisory file
                     pass
                 lease_age = (now - int(acq)) if acq is not None else None

@@ -1364,9 +1364,12 @@ def test_conditional_close_branches(spark, store, monkeypatch):
         # 2: post-commit transport error, readable own lock -> cleanup
         fs = _FakeFs(_FakeStream(RuntimeError("connection reset")))
         idx = kv_index(spark, store, "condclose")
-        lock_reads = [{"writer_id": idx._writer_id}]
+        # assert the conf explicitly — this branch must not depend on
+        # an earlier branch having set it
+        spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
+        own_lock = {"writer_id": idx._writer_id}
         monkeypatch.setattr(
-            idx, "_read_lock", lambda raise_errors=False: lock_reads[0]
+            idx, "_read_lock", lambda raise_errors=False: own_lock
         )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
@@ -1380,9 +1383,12 @@ def test_conditional_close_branches(spark, store, monkeypatch):
             _FakeStream(RuntimeError("connection reset")), deletes_fail=True
         )
         idx = kv_index(spark, store, "condclose")
-        lock_reads = [{"writer_id": idx._writer_id}]
+        # assert the conf explicitly — this branch must not depend on
+        # an earlier branch having set it
+        spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
+        own_lock = {"writer_id": idx._writer_id}
         monkeypatch.setattr(
-            idx, "_read_lock", lambda raise_errors=False: lock_reads[0]
+            idx, "_read_lock", lambda raise_errors=False: own_lock
         )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
