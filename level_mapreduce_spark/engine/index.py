@@ -653,7 +653,14 @@ class MapIndex:
                 # CLEAN read of a missing/foreign lock is theft.
                 lock = self._read_lock(raise_errors=True)
                 if lock is None or lock.get("writer_id") != self._writer_id:
-                    self._lease_lost = True
+                    # stop.is_set() means THIS lease's release already
+                    # began — a tick whose read hung past the release
+                    # join and unblocked later would otherwise set
+                    # _lease_lost on whatever lease the handle holds
+                    # NOW (a zombie from lease N poisoning lease N+1's
+                    # clean release with a spurious theft error)
+                    if not stop.is_set():
+                        self._lease_lost = True
                     return
                 self.put_sidecar(
                     {
@@ -709,9 +716,26 @@ class MapIndex:
         # no successor yet) releases cleanly but still raises when the
         # heartbeat observed the theft — the caller must learn its
         # mutation may have interleaved with the usurper's.
-        lock = self._read_lock()
         stolen = self._lease_lost
         self._lease_lost = False
+        # raise_errors=True: if the store errors on every read here
+        # (e.g. persistent throttling that ALSO kept the heartbeat
+        # from ever observing a theft), a single-attempt error->None
+        # mapping would classify a possibly-FOREIGN lock as
+        # "unreadable/torn" and delete it — removing a usurper's live
+        # lease and readmitting the double-writer. Ownership must be
+        # PROVEN before the delete; an unprovable read refuses with
+        # guidance instead.
+        try:
+            lock = self._read_lock(raise_errors=True)
+        except Exception as e:
+            raise IOError(
+                f"index '{self.name}': cannot read {self._lease_hpath} "
+                f"to verify ownership at release — NOT deleting (it "
+                f"may be a successor's lock after a break_lease). If "
+                f"it records writer {self._writer_id}, clear it with "
+                f"break_lease() once the store recovers."
+            ) from e
         if lock is not None and lock.get("writer_id") != self._writer_id:
             raise ConcurrentWriterError(
                 f"index '{self.name}': writer.lock now records writer "
@@ -721,14 +745,13 @@ class MapIndex:
                 f"with theirs — verify the index (break_lease on a live "
                 f"holder is exactly this hazard)."
             )
-        # lock is ours (id matched) or unreadable/torn (records no
-        # owner to protect, and leaving it would block every future
-        # writer): delete. Hadoop delete returns false instead of
-        # throwing; a silently undeleted lock would block every future
-        # writer (same swallowed-boolean class as the sidecar rename).
-        # A false return for an already-gone file (drop() removed the
-        # root) is fine — only "returned false AND still there" is an
-        # error.
+        # lock is ours (id matched) or cleanly missing (drop() removed
+        # the root, or the lease was broken with no successor yet):
+        # delete. Hadoop delete returns false instead of throwing; a
+        # silently undeleted lock would block every future writer
+        # (same swallowed-boolean class as the sidecar rename). A
+        # false return for an already-gone file is fine — only
+        # "returned false AND still there" is an error.
         if not fs.delete(hpath, False) and fs.exists(hpath):
             raise IOError(
                 f"failed to release writer lease {self._lease_hpath}; "

@@ -1313,7 +1313,10 @@ class _FakeFs:
 
 def _cond_idx(spark, store, monkeypatch, lock_reads):
     """Index handle with conditionalCreate asserted and _read_lock
-    stubbed to pop from ``lock_reads`` (callables or values)."""
+    stubbed to pop from ``lock_reads`` — each entry a value, an
+    Exception (raised when raise_errors else mapped to None), or a
+    callable receiving the handle (for self-referential payloads like
+    the handle's own writer_id)."""
     idx = kv_index(spark, store, "condclose")
     spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
 
@@ -1323,6 +1326,8 @@ def _cond_idx(spark, store, monkeypatch, lock_reads):
             if raise_errors:
                 raise nxt
             return None
+        if callable(nxt):
+            return nxt(idx)
         return nxt
 
     monkeypatch.setattr(idx, "_read_lock", read)
@@ -1363,13 +1368,9 @@ def test_conditional_close_branches(spark, store, monkeypatch):
 
         # 2: post-commit transport error, readable own lock -> cleanup
         fs = _FakeFs(_FakeStream(RuntimeError("connection reset")))
-        idx = kv_index(spark, store, "condclose")
-        # assert the conf explicitly — this branch must not depend on
-        # an earlier branch having set it
-        spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
-        own_lock = {"writer_id": idx._writer_id}
-        monkeypatch.setattr(
-            idx, "_read_lock", lambda raise_errors=False: own_lock
+        idx = _cond_idx(
+            spark, store, monkeypatch,
+            [lambda i: {"writer_id": i._writer_id}],
         )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
@@ -1382,13 +1383,9 @@ def test_conditional_close_branches(spark, store, monkeypatch):
         fs = _FakeFs(
             _FakeStream(RuntimeError("connection reset")), deletes_fail=True
         )
-        idx = kv_index(spark, store, "condclose")
-        # assert the conf explicitly — this branch must not depend on
-        # an earlier branch having set it
-        spark.conf.set("spark.lmr.lease.conditionalCreate", "true")
-        own_lock = {"writer_id": idx._writer_id}
-        monkeypatch.setattr(
-            idx, "_read_lock", lambda raise_errors=False: own_lock
+        idx = _cond_idx(
+            spark, store, monkeypatch,
+            [lambda i: {"writer_id": i._writer_id}],
         )
         try:
             idx._create_lock_conditional(fs, _FakePath(), b"{}")
@@ -1428,3 +1425,155 @@ def test_conditional_close_branches(spark, store, monkeypatch):
             pass
     finally:
         spark.conf.set("spark.lmr.lease.conditionalCreate", "false")
+
+
+def test_acquire_refreshes_stale_heartbeat_and_catalog_clamps(
+    spark, store, monkeypatch
+):
+    """r10 hardening: the same handle reuses its writer_id across
+    leases, so a writer.hb left by a PREVIOUS lease would read as a
+    matching-but-ancient heartbeat and make list_indexes report a
+    live writer as dead. Two defenses, both pinned: acquire stamps a
+    fresh hb, and even if that stamp were lost the catalog clamps the
+    reported heartbeat to the lease's acquisition time."""
+    import time as _t
+
+    from level_mapreduce_spark import list_indexes
+
+    idx = kv_index(spark, store, "stalehb")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    # plant an hours-old hb naming THIS handle's writer id
+    idx.put_sidecar(
+        {"writer_id": idx._writer_id, "heartbeat_unix": int(_t.time()) - 9999},
+        name="writer.hb",
+    )
+    t0 = int(_t.time())
+    idx._acquire_lease()
+    try:
+        hb = idx.get_sidecar(name="writer.hb")
+        assert hb["heartbeat_unix"] >= t0, (
+            "acquire must overwrite a stale prior-lease heartbeat"
+        )
+        # independent clamp: re-plant the stale hb (simulating a lost
+        # acquire-time stamp) — the catalog must still bound the age
+        idx.put_sidecar(
+            {
+                "writer_id": idx._writer_id,
+                "heartbeat_unix": int(_t.time()) - 9999,
+            },
+            name="writer.hb",
+        )
+        ent = {d["name"]: d for d in list_indexes(spark, store)}["stalehb"]
+        assert ent["lease_heartbeat_age_secs"] <= ent["lease_age_secs"], (
+            "catalog must clamp a pre-acquisition heartbeat stamp"
+        )
+    finally:
+        idx._release_lease()
+
+
+def test_heartbeat_survives_transient_read_errors(spark, store, monkeypatch):
+    """r10 hardening: one transient store error on the heartbeat's
+    lock read must skip that tick, not kill the thread / declare the
+    lease stolen (pre-fix: a single S3 throttle froze the heartbeat
+    for the rest of a long mutation and made a clean release raise a
+    spurious ConcurrentWriterError)."""
+    import time as _t
+
+    from level_mapreduce_spark.engine import index as index_mod
+
+    monkeypatch.setattr(index_mod, "LEASE_HEARTBEAT_SECS", 0.2)
+    idx = kv_index(spark, store, "hbflaky")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    real_read = idx._read_lock
+    fails = {"left": 2}
+
+    def flaky(raise_errors=False):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("503 slow down")
+        return real_read(raise_errors=raise_errors)
+
+    monkeypatch.setattr(idx, "_read_lock", flaky)
+    idx._acquire_lease()
+    try:
+        deadline = _t.time() + 30
+        hb = None
+        while _t.time() < deadline:
+            got = idx.get_sidecar(name="writer.hb") or {}
+            if fails["left"] == 0 and got.get("heartbeat_unix"):
+                hb = got
+                break
+            _t.sleep(0.1)
+        assert hb is not None, "heartbeat never resumed after the errors"
+        assert idx._lease_lost is False, (
+            "a transient read error must not be classified as theft"
+        )
+    finally:
+        monkeypatch.setattr(idx, "_read_lock", real_read)
+        idx._release_lease()  # must NOT raise ConcurrentWriterError
+
+
+def test_zombie_heartbeat_does_not_poison_next_lease(spark, store):
+    """r10 hardening: a heartbeat tick whose lock read unblocks AFTER
+    release already began (its stop event set) must not flag theft —
+    the handle may be holding a NEW lease by then, and the stale flag
+    would make that lease's clean release raise spuriously."""
+    import threading
+
+    idx = kv_index(spark, store, "zombie")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    stop = threading.Event()
+
+    def read_unblocked_after_release(raise_errors=False):
+        # models: read hung, release set stop + moved on, read now
+        # returns "lock missing"
+        stop.set()
+        return None
+
+    idx._read_lock = read_unblocked_after_release
+    idx._lease_lost = False
+    try:
+        idx._lease_heartbeat_loop(stop, 0.01)
+        assert idx._lease_lost is False, (
+            "a post-release zombie tick must not set _lease_lost"
+        )
+    finally:
+        del idx._read_lock
+
+
+def test_release_refuses_to_delete_unreadable_lock(spark, store):
+    """r10 hardening: if the store errors on every ownership read at
+    release, the lock might be a successor's (after a break_lease) —
+    release must refuse to delete and point at break_lease, never
+    classify 'unreadable' as 'unowned and safe to remove'."""
+    idx = kv_index(spark, store, "unreadable")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    idx._acquire_lease()
+
+    def always_fails(raise_errors=False):
+        raise RuntimeError("store outage")
+
+    idx._read_lock = always_fails
+    try:
+        try:
+            idx._release_lease()
+            raise AssertionError("expected IOError")
+        except IOError as e:
+            assert "break_lease" in str(e)
+    finally:
+        del idx._read_lock
+    # the lock survived the refused release; a recovered store clears it
+    assert idx._read_lock() is not None
+    assert idx.break_lease() is True
