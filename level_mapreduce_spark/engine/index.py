@@ -653,13 +653,18 @@ class MapIndex:
                 # CLEAN read of a missing/foreign lock is theft.
                 lock = self._read_lock(raise_errors=True)
                 if lock is None or lock.get("writer_id") != self._writer_id:
-                    # stop.is_set() means THIS lease's release already
-                    # began — a tick whose read hung past the release
-                    # join and unblocked later would otherwise set
-                    # _lease_lost on whatever lease the handle holds
-                    # NOW (a zombie from lease N poisoning lease N+1's
-                    # clean release with a spurious theft error)
-                    if not stop.is_set():
+                    # Flag theft only when this tick still belongs to
+                    # the handle's CURRENT lease (identity check, not
+                    # is_set(): release sets the event before its join
+                    # but nulls _lease_hb_stop only after, so a timely
+                    # tick observing a genuine mid-mutation theft
+                    # during the join window still flags it and
+                    # release — which captures the flag after the
+                    # join — still reports it; a zombie from lease N
+                    # unblocking during lease N+1 sees a different or
+                    # None _lease_hb_stop and stays silent instead of
+                    # poisoning the new lease's clean release).
+                    if stop is self._lease_hb_stop:
                         self._lease_lost = True
                     return
                 self.put_sidecar(
@@ -729,6 +734,9 @@ class MapIndex:
         try:
             lock = self._read_lock(raise_errors=True)
         except Exception as e:
+            # a refused release must not CONSUME an observed theft: a
+            # retry after the store recovers still has to surface it
+            self._lease_lost = stolen
             raise IOError(
                 f"index '{self.name}': cannot read {self._lease_hpath} "
                 f"to verify ownership at release — NOT deleting (it "
@@ -753,6 +761,7 @@ class MapIndex:
         # false return for an already-gone file is fine — only
         # "returned false AND still there" is an error.
         if not fs.delete(hpath, False) and fs.exists(hpath):
+            self._lease_lost = stolen  # keep the theft visible to a retry
             raise IOError(
                 f"failed to release writer lease {self._lease_hpath}; "
                 "subsequent writers will be blocked until break_lease()"

@@ -1496,17 +1496,29 @@ def test_heartbeat_survives_transient_read_errors(spark, store, monkeypatch):
     def flaky(raise_errors=False):
         if fails["left"] > 0:
             fails["left"] -= 1
+            # mirror the REAL _read_lock contract: with
+            # raise_errors=False a store error maps to None. Pre-fix
+            # code called the default (False) form from the heartbeat,
+            # received None, and falsely classified the error as theft
+            # — this stub must reproduce that so the test FAILS against
+            # the buggy policy rather than bypassing it by raising.
+            if not raise_errors:
+                return None
             raise RuntimeError("503 slow down")
         return real_read(raise_errors=raise_errors)
 
     monkeypatch.setattr(idx, "_read_lock", flaky)
     idx._acquire_lease()
+    # the acquire-time stamp exists before any tick: the resumed
+    # heartbeat must advance STRICTLY past it, proving a post-error
+    # tick ran (not just that the acquire stamp is visible)
+    hb0 = (idx.get_sidecar(name="writer.hb") or {}).get("heartbeat_unix", 0)
     try:
         deadline = _t.time() + 30
         hb = None
         while _t.time() < deadline:
             got = idx.get_sidecar(name="writer.hb") or {}
-            if fails["left"] == 0 and got.get("heartbeat_unix"):
+            if fails["left"] == 0 and got.get("heartbeat_unix", 0) > hb0:
                 hb = got
                 break
             _t.sleep(0.1)
