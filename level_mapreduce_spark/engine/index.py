@@ -35,6 +35,7 @@ Spark design (SURVEY.md §7):
 from __future__ import annotations
 
 import functools
+import glob
 import json
 import os
 import posixpath
@@ -92,6 +93,39 @@ LEASE_HEARTBEAT_SECS = 60.0
 _HB_NAME = "writer.hb"
 
 
+#: bounded retries for sidecar reads racing a rename-over rewrite.
+#: ChecksumFileSystem swaps the data file and its .crc shadow in two
+#: steps, so the torn window is microseconds wide — 6 attempts with
+#: 20·n ms backoff (~0.42 s worst case) outlasts it by orders of
+#: magnitude while still surfacing genuine at-rest corruption fast.
+_SIDECAR_READ_RETRIES = 6
+
+#: a sidecar staging file older than this is presumed orphaned by a
+#: crashed writer and swept on the next put of the same sidecar.
+#: Staging writes are tiny (KBs of JSON) so sub-second in practice;
+#: ten minutes of margin means a sweep can never race a LIVE writer's
+#: in-flight tmp (whose unique name it doesn't share anyway).
+_SIDECAR_TMP_TTL_SECS = 600.0
+
+
+def _is_torn_read_error(e: Exception) -> bool:
+    """True iff a sidecar read failure has the caught-mid-rewrite
+    signature: new data + stale .crc (ChecksumException), a
+    half-visible file (EOF / FileNotFound between exists and open),
+    or JSON truncated mid-swap. One classifier for every sidecar
+    reader — product heartbeat polls and test polls hit the identical
+    window, so the tolerance must live here, not per-caller."""
+    if isinstance(e, json.JSONDecodeError):
+        return True
+    msg = str(e)
+    return (
+        "ChecksumException" in msg
+        or "EOFException" in msg
+        or "FileNotFoundException" in msg
+        or "checksum error" in msg.lower()
+    )
+
+
 def _is_exists_error(e: Exception) -> bool:
     """True iff a store exception means 'the target already exists'
     (the lost-a-create-race signal). ONE classifier shared by both
@@ -104,6 +138,23 @@ def _is_exists_error(e: Exception) -> bool:
         or "already exists" in msg.lower()
         or "file exists" in msg.lower()
     )
+
+
+def _resolved_scheme(fs, hpath) -> str | None:
+    """The effective store scheme for ``hpath``. A scheme-less path
+    resolves through ``fs.defaultFS`` — on a cluster that is HDFS/S3,
+    NOT the driver's local disk. Classifying it as POSIX from the raw
+    URI would act on the driver's local filesystem while every other
+    participant looks at the resolved remote store — so ask the
+    RESOLVED FileSystem for its scheme instead (r10 lease lesson,
+    shared by the conditional lock create and the sidecar writer)."""
+    scheme = hpath.toUri().getScheme()
+    if scheme is None:
+        try:
+            scheme = fs.getUri().getScheme()
+        except Exception:  # noqa: BLE001 — conservative: treat unknown
+            scheme = None
+    return scheme
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -271,16 +322,72 @@ class MapIndex:
         :meth:`compact`'s directory swap untouched."""
         path = posixpath.join(self.root, name)
         fs, hpath, jvm = _hadoop_fs(self.spark, path)
-        tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        payload = json.dumps(obj).encode("utf-8")
+        if _resolved_scheme(fs, hpath) == "file":
+            # POSIX fast path: os.replace is a true atomic rename(2) —
+            # readers see the old doc or the new doc, never a gap.
+            # FileContext.rename(OVERWRITE) on the local checksum
+            # stack is delete-then-rename (a real missing-file window,
+            # observed by the r11 concurrent-rewrite stress test) and
+            # moves the .crc shadow separately (a torn-checksum
+            # window). Any crc shadow left by a PREVIOUS Hadoop-path
+            # write is removed BEFORE the swap: data-without-crc reads
+            # clean (ChecksumFileSystem skips verification), while
+            # new-data-with-stale-crc would fail every read.
+            local = hpath.toUri().getPath()
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            # sweep staging files orphaned by crashed writers (unique
+            # tmp names mean nothing overwrites them); age-guarded so
+            # a concurrent writer's in-flight tmp is never touched
+            for cand in glob.glob(glob.escape(local) + ".tmp*"):
+                try:
+                    if time.time() - os.path.getmtime(cand) > (
+                        _SIDECAR_TMP_TTL_SECS
+                    ):
+                        os.unlink(cand)
+                except OSError:
+                    pass
+            crc = os.path.join(
+                os.path.dirname(local), "." + os.path.basename(local) + ".crc"
+            )
+            try:
+                os.unlink(crc)
+            except FileNotFoundError:
+                pass
+            tmp_local = f"{local}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp_local, "wb") as f:
+                f.write(payload)
+            os.replace(tmp_local, local)
+            return
+        # Remote stores: create-then-rename via FileContext with
+        # Rename.OVERWRITE (throws on failure, unlike
+        # FileSystem.rename's swallowed boolean). delete-then-rename
+        # had a window where readers saw NO sidecar — and a crash
+        # inside it lost the sidecar for good. get_sidecar's bounded
+        # torn-read retry covers stores whose rename is still
+        # multi-step. Unique tmp name: two concurrent writers (main
+        # thread + a heartbeat tick) must not truncate each other's
+        # staging file mid-write.
+        try:  # same age-guarded orphan sweep as the POSIX path
+            stale = fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(path + ".tmp*")
+            )
+            now_ms = time.time() * 1000.0
+            for st in stale or []:
+                if now_ms - st.getModificationTime() > (
+                    _SIDECAR_TMP_TTL_SECS * 1000.0
+                ):
+                    fs.delete(st.getPath(), False)
+        except Exception:  # noqa: BLE001 — hygiene, never load-bearing
+            pass
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        )
         out = fs.create(tmp, True)
         try:
-            out.write(bytearray(json.dumps(obj).encode("utf-8")))
+            out.write(bytearray(payload))
         finally:
             out.close()
-        # Atomic replace: FileContext.rename with Rename.OVERWRITE
-        # (throws on failure, unlike FileSystem.rename's swallowed
-        # boolean). delete-then-rename had a window where readers saw
-        # NO sidecar — and a crash inside it lost the sidecar for good.
         gw = self.spark.sparkContext._gateway
         Rename = jvm.org.apache.hadoop.fs.Options.Rename
         opts = gw.new_array(Rename, 1)
@@ -483,19 +590,7 @@ class MapIndex:
         Raises :class:`ConcurrentWriterError` when the lock already
         exists on either conditional path."""
         uri = hpath.toUri()
-        scheme = uri.getScheme()
-        if scheme is None:
-            # A scheme-less path resolves through fs.defaultFS — on a
-            # cluster that is HDFS/S3, NOT the driver's local disk.
-            # Classifying it as POSIX here would create the lock on
-            # the driver's local filesystem while read-back /
-            # heartbeat / other writers all look at the resolved
-            # remote store: zero mutual exclusion. Ask the RESOLVED
-            # filesystem for its scheme instead.
-            try:
-                scheme = fs.getUri().getScheme()
-            except Exception:
-                scheme = None
+        scheme = _resolved_scheme(fs, hpath)
         if scheme == "file":
             local = uri.getPath()
             try:
@@ -800,21 +895,49 @@ class MapIndex:
 
     def get_sidecar(self, name: str = "meta.json") -> dict | None:
         """Read a :meth:`put_sidecar` JSON blob back; ``None`` if the
-        index has none (driver-side metadata read, no Spark job)."""
+        index has none (driver-side metadata read, no Spark job).
+
+        Concurrent-rewrite safe: :meth:`put_sidecar` replaces the data
+        file atomically (FileContext rename-over), but on Hadoop's
+        ChecksumFileSystem the ``.crc`` shadow file moves in a SEPARATE
+        step, so a reader racing a rewrite (the every-tick ``writer.hb``
+        heartbeat is rewritten constantly) can observe a torn window:
+        new data + old crc → ChecksumException, or a half-swapped /
+        truncated view → EOF / JSON parse error. All of these mean
+        "caught mid-swap", never "corrupt at rest", so the read retries
+        a bounded number of times before surfacing the error — covering
+        every caller (product and tests) at the product layer."""
         path = posixpath.join(self.root, name)
         fs, hpath, jvm = _hadoop_fs(self.spark, path)
-        # put_sidecar replaces atomically (rename-over), so a missing
-        # file really means "no sidecar" — no retry needed.
-        if not fs.exists(hpath):
-            return None
-        # read via hadoop-common classes only (o.a.h.io.IOUtils ships
-        # with the FS API itself) — commons-io IOUtils is not a
-        # guaranteed classpath member on trimmed distros (r7 advisor
-        # finding). py4j hands the byte[] back as Python bytes.
-        stream = fs.open(hpath)
-        bos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, True)
-        return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+        last_err: Exception | None = None
+        for attempt in range(_SIDECAR_READ_RETRIES):
+            # Re-check existence inside the loop: a concurrent
+            # break_lease/release may delete the sidecar between
+            # attempts — that is "no sidecar", not an error.
+            if not fs.exists(hpath):
+                return None
+            try:
+                # read via hadoop-common classes only (o.a.h.io.IOUtils
+                # ships with the FS API itself) — commons-io IOUtils is
+                # not a guaranteed classpath member on trimmed distros
+                # (r7 advisor finding). py4j hands the byte[] back as
+                # Python bytes.
+                stream = fs.open(hpath)
+                bos = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    stream, bos, 4096, True
+                )
+                return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+            except Exception as e:  # noqa: BLE001 — classified below
+                if not _is_torn_read_error(e):
+                    raise
+                last_err = e
+                time.sleep(0.02 * (attempt + 1))
+        raise IOError(
+            f"sidecar {path!r} unreadable after "
+            f"{_SIDECAR_READ_RETRIES} attempts (persistent torn-read "
+            f"signature — possible at-rest corruption): {last_err}"
+        )
 
     # ------------------------------------------------------------- schemas
 

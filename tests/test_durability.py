@@ -299,28 +299,45 @@ def test_writer_lease_excludes_second_writer(spark, store):
 
 
 def test_sidecar_replace_atomic_and_crash_tolerant(spark, store):
-    """Sidecar replace crash-tolerance: overwrites round-trip, a
-    stale .tmp left by a crashed writer neither corrupts reads nor
-    blocks the next put, and the OLD value stays readable while a
-    .tmp is staged. (The no-missing-state window itself is a
-    mechanism property of FileContext rename-with-OVERWRITE — not
-    observable from a sequential test; see put_sidecar.)"""
+    """Sidecar replace crash-tolerance (r11 contract — unique staging
+    names + age-guarded orphan sweep): overwrites round-trip, a stale
+    .tmp left by a crashed writer neither corrupts reads nor blocks
+    the next put, the OLD value stays readable while a .tmp is staged,
+    a FRESH .tmp (a possibly-live concurrent writer) is never swept,
+    and an AGED one is removed by the next put of the same sidecar.
+    (The no-missing-state window is covered by the concurrent-rewrite
+    stress test; see put_sidecar.)"""
+    import os
+    import time as _t
+
     idx = kv_index(spark, store, "sc_atomic")
     idx.put_sidecar({"gen": 1})
     assert idx.get_sidecar() == {"gen": 1}
 
     # simulate a writer that crashed after staging .tmp but before the
     # rename: the destination still serves the old value...
-    import os
-
-    tmp_path = os.path.join(idx.root, "meta.json.tmp")
-    with open(tmp_path, "w") as f:
+    dst = os.path.join(idx.root, "meta.json")
+    fresh_tmp = dst + ".tmp.deadbeef"
+    with open(fresh_tmp, "w") as f:
         f.write('{"gen": 99}')
     assert idx.get_sidecar() == {"gen": 1}
-    # ...and the next put overwrites the leftover and lands cleanly
+    # ...the next put lands cleanly and leaves the FRESH tmp alone
+    # (its age is within the TTL — it could be a live writer's)
     idx.put_sidecar({"gen": 2})
     assert idx.get_sidecar() == {"gen": 2}
-    assert not os.path.exists(tmp_path)
+    assert os.path.exists(fresh_tmp), (
+        "a within-TTL staging file must never be swept"
+    )
+    # backdate it past the TTL: the next put sweeps the orphan
+    from level_mapreduce_spark.engine.index import _SIDECAR_TMP_TTL_SECS
+
+    old = _t.time() - _SIDECAR_TMP_TTL_SECS - 5
+    os.utime(fresh_tmp, (old, old))
+    idx.put_sidecar({"gen": 3})
+    assert idx.get_sidecar() == {"gen": 3}
+    assert not os.path.exists(fresh_tmp), (
+        "an aged orphan staging file must be swept by the next put"
+    )
 
 
 def test_lease_heartbeat_and_age_observability(spark, store, monkeypatch):
@@ -1529,6 +1546,73 @@ def test_heartbeat_survives_transient_read_errors(spark, store, monkeypatch):
     finally:
         monkeypatch.setattr(idx, "_read_lock", real_read)
         idx._release_lease()  # must NOT raise ConcurrentWriterError
+
+
+def test_sidecar_read_survives_concurrent_rewrites(spark, store):
+    """r11 hardening (VERDICT r10 #1): put_sidecar's rename-over swaps
+    the data file atomically, but ChecksumFileSystem moves the .crc
+    shadow in a separate step — a reader racing a rewrite can see new
+    data + stale crc (ChecksumException). get_sidecar must absorb that
+    torn window with bounded retries so EVERY caller (the catalog, the
+    heartbeat poll in test_heartbeat_survives_transient_read_errors,
+    future product code) reads through rewrites without guards.
+
+    Stress shape: one thread rewrites the sidecar as fast as it can
+    (mimicking the every-tick writer.hb) while the main thread reads
+    it >=100 times. Pre-fix this hit ChecksumException within a few
+    hundred iterations on local FS."""
+    import threading
+
+    idx = kv_index(spark, store, "tornread")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    idx.put_sidecar({"tick": -1}, name="writer.hb")
+    stop = threading.Event()
+    writer_err: list[Exception] = []
+
+    def rewriter():
+        i = 0
+        while not stop.is_set():
+            try:
+                idx.put_sidecar({"tick": i}, name="writer.hb")
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                writer_err.append(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=rewriter, daemon=True)
+    t.start()
+    try:
+        for _ in range(150):
+            doc = idx.get_sidecar(name="writer.hb")
+            # the file exists for the whole loop (rename-over never
+            # leaves a gap) and every observed state is a complete doc
+            assert doc is not None and "tick" in doc
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not writer_err, f"rewriter died: {writer_err[0]!r}"
+
+
+def test_sidecar_persistent_corruption_still_raises(spark, store):
+    """The torn-read retry must NOT paper over at-rest corruption: a
+    sidecar that is genuinely bad on every attempt (truncated JSON
+    written directly, no concurrent writer) exhausts the bounded
+    retries and raises loudly instead of spinning or returning None."""
+    import pytest as _pytest
+
+    idx = kv_index(spark, store, "atrest")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    bad = os.path.join(store, "atrest", "broken.json")
+    with open(bad, "w", encoding="utf-8") as f:
+        f.write('{"half":')  # truncated — invalid on every read
+    with _pytest.raises(IOError, match="torn-read"):
+        idx.get_sidecar(name="broken.json")
 
 
 def test_zombie_heartbeat_does_not_poison_next_lease(spark, store):
