@@ -829,15 +829,26 @@ class MapIndex:
         try:
             lock = self._read_lock(raise_errors=True)
         except Exception as e:
-            # a refused release must not CONSUME an observed theft: a
-            # retry after the store recovers still has to surface it
+            # a refused release must not CONSUME an observed theft —
+            # and because a later successful re-acquire resets
+            # _lease_lost, the restored flag alone can be wiped before
+            # anyone reads it (r10 advisor). The theft fact therefore
+            # travels IN THIS MESSAGE, the one artifact the caller is
+            # guaranteed to see.
             self._lease_lost = stolen
+            theft_note = (
+                " NOTE: the heartbeat ALREADY observed this lease "
+                "stolen mid-mutation — verify the index for "
+                "interleaved writes regardless of the lock's owner."
+                if stolen
+                else ""
+            )
             raise IOError(
                 f"index '{self.name}': cannot read {self._lease_hpath} "
                 f"to verify ownership at release — NOT deleting (it "
                 f"may be a successor's lock after a break_lease). If "
                 f"it records writer {self._writer_id}, clear it with "
-                f"break_lease() once the store recovers."
+                f"break_lease() once the store recovers.{theft_note}"
             ) from e
         if lock is not None and lock.get("writer_id") != self._writer_id:
             raise ConcurrentWriterError(
@@ -856,10 +867,19 @@ class MapIndex:
         # false return for an already-gone file is fine — only
         # "returned false AND still there" is an error.
         if not fs.delete(hpath, False) and fs.exists(hpath):
-            self._lease_lost = stolen  # keep the theft visible to a retry
+            # keep the flag for a retry AND say it in the message —
+            # a later re-acquire would silently reset the flag
+            self._lease_lost = stolen
             raise IOError(
                 f"failed to release writer lease {self._lease_hpath}; "
                 "subsequent writers will be blocked until break_lease()"
+                + (
+                    ". NOTE: the heartbeat ALREADY observed this lease "
+                    "stolen mid-mutation — verify the index for "
+                    "interleaved writes."
+                    if stolen
+                    else ""
+                )
             )
         self._delete_hb_file(fs)
         if stolen:

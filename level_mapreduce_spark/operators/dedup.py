@@ -746,7 +746,13 @@ def edit_distance_pairs(
     # id_b) pairs (r9 review — the PassJoin rewrite dropped the old
     # pair-level dropDuplicates). Restoring uniqueness here costs one
     # shuffle at ids cardinality, never at pair cardinality.
-    ids = ids.dropDuplicates(["_id"])
+    # DETERMINISTIC pick (r10 advisor): dropDuplicates keeps an
+    # arbitrary row, so an id carrying two DIFFERENT strings made the
+    # pair set vary across runs. min(_s) pins the survivor — an id
+    # with conflicting strings resolves to its lexicographically
+    # smallest value, documented rather than silently arbitrary.
+    # Same single shuffle as dropDuplicates.
+    ids = ids.groupBy("_id").agg(F.min("_s").alias("_s"))
     vals = (
         ids.select("_s")
         .distinct()

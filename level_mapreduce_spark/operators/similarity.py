@@ -275,7 +275,11 @@ def cosine_neardup_pairs_blocked(
     import tempfile
 
     spark = embeddings.sparkSession
-    sides = _with_norm(embeddings)
+    # null embeddings emit no pairs — the family-wide semantic (the
+    # expression twin drops them via null sim, LSH via null bucket
+    # key, the fast path filters its collect); without this filter a
+    # null row crashes np.stack executor-side instead of being skipped
+    sides = _with_norm(embeddings).where(F.col("_e").isNotNull())
     normalized = sides.select(
         "vec_id",
         F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
@@ -347,14 +351,17 @@ def cosine_neardup_pairs_blocked(
             F.col("vec_id").cast("long").alias("vec_id"),
             _as_double_array(F.col("embedding")).alias("_e"),
         )
-        dprobe = (
-            raw.where(F.col("_e").isNotNull())
-            .select(F.size("_e").alias("d"))
-            .first()
-        )
+        # null embeddings are filtered here AND in the collect below —
+        # the probe and the collected frame must agree on null
+        # handling (r10 advisor: an unfiltered collect made one NULL
+        # row crash np.array on the driver while the probe's guard
+        # promised nulls were tolerated). The staged path drops them
+        # the same way, so both branches see the identical corpus.
+        nonnull = raw.where(F.col("_e").isNotNull())
+        dprobe = nonnull.select(F.size("_e").alias("d")).first()
         dim = int(dprobe["d"]) if dprobe is not None and dprobe["d"] else 0
         budget = min(small_rows, max_rows, _FAST_CELLS // dim) if dim else 0
-        rows = raw.limit(budget + 1).collect() if budget > 0 else None
+        rows = nonnull.limit(budget + 1).collect() if budget > 0 else None
         if rows is not None and len(rows) <= budget:
             import numpy as np
 

@@ -1934,7 +1934,10 @@ def q_multimodal_features(spark, sf_dir):
     )
     frames = mm.extract_features(frame_media).select(
         F.lit("frames").alias("variant"),
-        (F.col("media_id") / 16).cast("long").alias("media_id"),
+        # integer div, not /16-then-cast: `/` is DOUBLE division in
+        # Spark, exact only while media_id*16 fits the 53-bit mantissa
+        # — a doc_id >= ~2^49 would decode to the wrong media_id
+        F.expr("media_id div 16").alias("media_id"),
         "n_bytes",
         "checksum",
         (F.col("media_id") % 16).cast("string").alias("features_csv"),
@@ -2049,6 +2052,42 @@ def q_ann_lsh_ivf(spark, sf_dir):
             f"ann_lsh_ivf gate assumes 64-dim embeddings (got "
             f"{len(probe)}): regenerate _ann_lsh_ivf_sql for the new "
             f"dimension"
+        )
+    # Sign-margin guard (r10 advisor): the oracle recomputes bucket
+    # ids with DuckDB's SEQUENTIAL list_dot_product while the operator
+    # buckets via numpy BLAS matmul — the two agree on the SIGN of
+    # every plane dot only when no dot sits within float summation
+    # error of zero (a flip changes the candidate SET, a set
+    # difference the 6dp rounding cannot absorb). Assert a hard margin
+    # over the whole gate corpus so a future testdata regen that lands
+    # a dot at ~0 fails HERE with the cause, not as a bare hash
+    # mismatch. One narrow HOF aggregation, corpus scanned once.
+    from level_mapreduce_spark.functions.litarr import lit_doubles_2d
+
+    _planes = lit_doubles_2d(sim._plane_matrix(64, 8 * 6, 42))
+    _v = sim._as_double_array(F.col("embedding"))
+    _min_dot = emb.select(
+        F.min(
+            F.array_min(
+                F.transform(
+                    _planes,
+                    lambda p: F.abs(
+                        F.aggregate(
+                            F.zip_with(_v, p, lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    ),
+                )
+            )
+        ).alias("m")
+    ).first()["m"]
+    if _min_dot is None or _min_dot < 1e-9:
+        raise AssertionError(
+            f"ann_lsh_ivf gate: a hyperplane dot product is "
+            f"{_min_dot!r} (< 1e-9) for this corpus — BLAS vs "
+            f"sequential summation could disagree on its sign and "
+            f"silently diverge the LSH candidate set from the oracle"
         )
     lsh = sim.lsh_topk(emb, probe, k=10)
 
