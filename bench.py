@@ -82,9 +82,35 @@ def main() -> None:
     print(json.dumps(summary))
 
 
+def _warmup(spark, sf_dir: str, store: str) -> None:
+    """Deterministic pre-bench warmup (VERDICT r10 #5): compile and
+    JIT the plan families the first timed keys hit, UNTIMED, so
+    single-shot driver runs stop charging whole-session start-up to
+    whichever key runs first. build_orders (the first key) measured
+    4.1 s cold vs 0.76 s steady on an idle box — none of that delta
+    is plan cost. A ~1k-row build + scan + agg + explode warms the
+    parquet write path, the LSM read stack, whole-stage codegen, and
+    the Python<->JVM bridge; per-key min-of-N still covers the rest
+    (Spark's ~100-entry codegen class cache can evict warm classes
+    mid-set, so a one-shot global warmup cannot replace it)."""
+    small = load_table(spark, sf_dir, "orders").limit(1000)
+    idx = MapIndex(
+        spark, "bench_warmup", q._orders_mapper(), store,
+        doc_key="o_orderkey",
+    )
+    idx.build(small, assume_unique=True)
+    materialize(idx.scan(start="1", end="3"))
+    materialize(
+        idx.read().groupBy("index_key").agg(F.count("*").alias("n"))
+    )
+    idx.get("1-URGENT")
+    idx.drop()
+
+
 def _run(spark, sf_dir: str, store: str, timed) -> None:
     orders = load_table(spark, sf_dir, "orders")
     orders.count()  # warm the session + file listing before timing
+    _warmup(spark, sf_dir, store)
 
     # --- engine measurements (BASELINE.md) ---------------------------------
     idx = MapIndex(
