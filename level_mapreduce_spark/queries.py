@@ -1410,6 +1410,35 @@ def q_events_sessionize(spark, sf_dir):
         F.col("user_id").cast("long").alias("user_id"),
         F.col("n").cast("long").alias("session_id"),
     )
+    # 4th variant (r11): the WATERMARKED session_window aggregate run
+    # as a real availableNow stream. Append mode only emits a session
+    # once the watermark passes its close, so the replay stages two
+    # far-future sentinel files (user_id = -1, filtered here) to
+    # drive the watermark past every real session — the previously
+    # pytest-only streaming/windows.py::session_aggregates_stream now
+    # hash-gates against the same islands-rewrite oracle rows as the
+    # batch 'native' variant.
+    from level_mapreduce_spark.streaming.windows import (
+        session_aggregates_stream,
+    )
+
+    native_stream = (
+        _replay_events_stream(
+            spark,
+            sf_dir,
+            session_aggregates_stream,
+            "lmr_sessagg_gate",
+            "append",
+            sentinels=2,
+        )
+        .where(F.col("user_id") >= 0)
+        .select(
+            F.lit("native_stream").alias("variant"),
+            F.unix_micros("session_start").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n").cast("long").alias("session_id"),
+        )
+    )
     return (
         batch.select(
             F.lit("batch").alias("variant"), "event_id", "user_id", "session_id"
@@ -1423,6 +1452,7 @@ def q_events_sessionize(spark, sf_dir):
             )
         )
         .unionByName(native)
+        .unionByName(native_stream)
     )
 
 
@@ -1441,6 +1471,7 @@ def _replay_events_stream(
     query_name: str,
     output_mode: str,
     table: str = "events",
+    sentinels: int = 0,
 ) -> DataFrame:
     """Replay a testdata table as an availableNow file stream through
     ``transform`` into a memory sink and return the materialized table.
@@ -1448,10 +1479,20 @@ def _replay_events_stream(
     as a baffling oracle hash mismatch instead of a clear failure. The
     staging + checkpoint temp dir is removed once the query terminates
     (memory sinks buffer rows on the driver, so the files and the
-    checkpoint are no longer needed)."""
+    checkpoint are no longer needed).
+
+    ``sentinels=N`` stages N far-future sentinel files AFTER the real
+    data (one file per micro-batch via maxFilesPerTrigger=1, staggered
+    mtimes) — the standard closed-stream flush for append-mode
+    watermarked aggregates, which never emit rows inside the final
+    watermark horizon. Sentinel rows carry ``user_id = -1``; callers
+    must filter them out of the result."""
+    import glob as _glob
     import os as _os
     import shutil as _shutil
     import tempfile as _tf
+    import time as _time
+    from datetime import timedelta as _td
 
     from level_mapreduce_spark.sources.tables import stream_table
 
@@ -1461,8 +1502,38 @@ def _replay_events_stream(
         _os.makedirs(src)
         _shutil.copy(
             _os.path.join(sf_dir, f"{table}.parquet"),
-            _os.path.join(src, f"{table}.parquet"),
+            _os.path.join(src, f"00_{table}.parquet"),
         )
+        if sentinels:
+            # sentinel rows in the RAW on-disk schema (events ts may
+            # be nanos-bigint or us-ntz depending on generation)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(
+                _os.path.join(sf_dir, f"{table}.parquet")
+            )
+            mx = raw.agg(F.max("ts")).first()[0]
+            now = _time.time()
+            for i in range(1, sentinels + 1):
+                if dict(raw.dtypes)["ts"] == "bigint":
+                    ts_lit = F.lit(mx + i * 86400 * 10**9)
+                else:
+                    ts_lit = F.lit(mx + _td(days=i)).cast(
+                        dict(raw.dtypes)["ts"]
+                    )
+                sent = (
+                    raw.limit(1)
+                    .withColumn("ts", ts_lit)
+                    .withColumn(
+                        "user_id",
+                        F.lit(-1).cast(dict(raw.dtypes)["user_id"]),
+                    )
+                )
+                d = _os.path.join(work, f"_sent{i}")
+                sent.coalesce(1).write.mode("overwrite").parquet(d)
+                (pf,) = _glob.glob(f"{d}/part-*.parquet")
+                dst = _os.path.join(src, f"{i:02d}_sent.parquet")
+                _shutil.copy(pf, dst)
+                _os.utime(dst, (now + i * 10, now + i * 10))
         q = (
             transform(stream_table(spark, src, sf_dir, table))
             .writeStream.format("memory")
@@ -1746,6 +1817,71 @@ def q_sketch_range_estimate(spark, sf_dir):
                 .alias("within_bound"),
             )
         )
+    # streaming continuous-aggregate twin (r11): the SAME hour->HLL
+    # rollup built through streaming/sink.py::stream_sketches_into
+    # (events replayed as an availableNow file stream, one
+    # update_sketch_index fold per micro-batch). within_bound = the
+    # published 5% envelope vs the exact distinct count, same as the
+    # batch 'all' variant — a broken stream fold (dropped micro-batch,
+    # wrong merge fn, lost bucket) lands far outside it and fails the
+    # hash gate loudly. NOT gated on bit-equality with the batch
+    # index: the 90/10-built index and the streamed one round through
+    # different DataSketches union-gadget representations, identical
+    # only in sparse mode (held at sf0.01, diverged within sketch
+    # error at sf0.1); stream-vs-batch estimate equality under
+    # equal-fold conditions stays pinned in test_streaming.py.
+    def build_stream_sketches():
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tf
+
+        from level_mapreduce_spark.sources.tables import stream_table
+        from level_mapreduce_spark.streaming.sink import (
+            stream_sketches_into,
+        )
+
+        live = sk.build_sketch_index(
+            spark,
+            events.limit(0),
+            _store(),
+            name=f"hll_stream_{abs(hash(sf_dir)) % 10**8}",
+            kind="hll",
+        )
+        work = _tf.mkdtemp(prefix="lmr_gate_sksink_")
+        try:
+            src = _os.path.join(work, "src")
+            _os.makedirs(src)
+            _shutil.copy(
+                _os.path.join(sf_dir, "events.parquet"),
+                _os.path.join(src, "events.parquet"),
+            )
+            qy = stream_sketches_into(
+                live,
+                stream_table(spark, src, sf_dir, "events"),
+                _os.path.join(work, "ckpt"),
+            )
+            if not qy.awaitTermination(300):
+                qy.stop()
+                raise RuntimeError(
+                    "streaming sketch sink did not drain within 300 s"
+                )
+        finally:
+            _shutil.rmtree(work, ignore_errors=True)
+        return live
+
+    sidx_stream = _cached(
+        spark, sf_dir, "hll_stream_sketches", build_stream_sketches
+    )
+    rows.append(
+        _bound_row(
+            "hll_stream",
+            sk.sketch_index_estimate(sidx_stream, "0", "~"),
+            "n_users_est",
+            _hll_exact(),
+            HLL_REL,
+            5,
+        )
+    )
     out = None
     for df in rows:
         out = df if out is None else out.unionByName(df)
@@ -3436,30 +3572,34 @@ ORACLES: dict[str, str] = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) + 1 AS BIGINT) AS session_id
         FROM flagged
+      ),
+      nat AS (
+        SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                        ) > 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM events
+          )
+        )
+        GROUP BY user_id, sid
       )
       SELECT 'batch' AS variant, * FROM sess
       UNION ALL
       SELECT 'stream', * FROM sess
       UNION ALL
-      SELECT 'native',
-             CAST(epoch_us(min(ts)) AS BIGINT),
-             CAST(user_id AS BIGINT),
-             CAST(count(*) AS BIGINT)
-      FROM (
-        SELECT user_id, ts,
-               sum(new_s) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS sid
-        FROM (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id
-                      ) > 1800000000 THEN 1 ELSE 0 END AS new_s
-          FROM events
-        )
-      )
-      GROUP BY user_id, sid
+      SELECT 'native', * FROM nat
+      UNION ALL
+      SELECT 'native_stream', * FROM nat
     """,
     "chunk_dedup": f"""
       WITH t AS (
@@ -3625,6 +3765,9 @@ ORACLES: dict[str, str] = {
       )
       SELECT 'all' AS variant, CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
              CAST(1 AS BIGINT) AS within_bound FROM ev
+      UNION ALL
+      SELECT 'hll_stream', CAST(count(DISTINCT user_id) AS BIGINT),
+             1 FROM ev
       UNION ALL
       SELECT 'lo_half',
              CAST(count(DISTINCT CASE WHEN b < (SELECT m FROM mid)
