@@ -902,12 +902,75 @@ class MapIndex:
         except Exception:  # noqa: BLE001 — advisory file
             pass
 
-    def break_lease(self) -> bool:
+    def _lease_liveness(self) -> tuple[dict | None, int | None, int | None]:
+        """(lock_doc, lease_age_secs, heartbeat_age_secs) for the
+        current writer.lock — the evidence a break_lease decision
+        reads. ONE implementation shared by the catalog
+        (:func:`list_indexes`) and :meth:`break_lease`'s guard so the
+        staleness rules can't drift: an hb whose writer_id does not
+        match the lock is a previous holder's residue (ignored,
+        falling back to the acquisition stamp), and an hb predating
+        the acquisition is clamped to it (same-handle prior-lease
+        residue). Returns (None, None, None) when no lock exists."""
+        lock = self.get_sidecar(name="writer.lock")
+        if lock is None:
+            return None, None, None
+        now = int(time.time())
+        acq = lock.get("acquired_unix")
+        hb = acq
+        try:
+            hb_doc = self.get_sidecar(name=_HB_NAME) or {}
+            if hb_doc.get("writer_id") == lock.get("writer_id"):
+                hb = hb_doc.get("heartbeat_unix", acq)
+                if hb is not None and acq is not None:
+                    hb = max(int(hb), int(acq))
+        except Exception:  # noqa: BLE001 — advisory file
+            pass
+        lease_age = (now - int(acq)) if acq is not None else None
+        hb_age = (now - int(hb)) if hb is not None else None
+        return lock, lease_age, hb_age
+
+    def break_lease(self, min_dead_secs: float | None = None) -> bool:
         """Force-clear an orphaned writer lock (holder crashed between
         acquire and release). Returns True if a lock was removed. Only
         safe after confirming the holding process is dead — breaking a
         LIVE holder's lease reintroduces exactly the concurrent-swap
-        corruption the lease exists to prevent."""
+        corruption the lease exists to prevent.
+
+        ``min_dead_secs`` is the fat-finger guard (VERDICT r10 #6):
+        when set, the break REFUSES (ConcurrentWriterError) unless the
+        holder's heartbeat age — the same evidence ``list_indexes``
+        reports — is at least that many seconds, i.e. the holder has
+        missed enough ticks to be presumed dead. A live writer stamps
+        every LEASE_HEARTBEAT_SECS, so ``min_dead_secs=3 *
+        LEASE_HEARTBEAT_SECS`` tolerates two dropped stamps before
+        allowing the break. An UNREADABLE heartbeat age refuses too:
+        liveness that cannot be proven dead must not be broken under a
+        guard whose whole point is that proof (pass ``None`` for the
+        unconditional operator override)."""
+        if min_dead_secs is not None:
+            lock, _lease_age, hb_age = self._lease_liveness()
+            if lock is not None:
+                if hb_age is None:
+                    raise ConcurrentWriterError(
+                        f"index '{self.name}': break_lease(min_dead_secs="
+                        f"{min_dead_secs}) refused — writer.lock exists "
+                        f"but its liveness stamps are unreadable, so the "
+                        f"holder cannot be proven dead. Retry, or call "
+                        f"break_lease() with no guard ONLY after "
+                        f"confirming the holder process is gone."
+                    )
+                if hb_age < min_dead_secs:
+                    raise ConcurrentWriterError(
+                        f"index '{self.name}': break_lease(min_dead_secs="
+                        f"{min_dead_secs}) refused — the holder's "
+                        f"heartbeat is only {hb_age}s old (writer "
+                        f"{lock.get('writer_id')!r} looks ALIVE; it "
+                        f"stamps every ~{LEASE_HEARTBEAT_SECS:.0f}s). "
+                        f"Breaking a live lease readmits concurrent "
+                        f"writers; wait for the heartbeat to go stale "
+                        f"or stop the holder first."
+                    )
         fs, hpath, _ = _hadoop_fs(self.spark, self._lease_hpath)
         removed = bool(fs.delete(hpath, False))
         self._delete_hb_file(fs)
@@ -2279,29 +2342,11 @@ def list_indexes(spark: SparkSession, store_path: str) -> list[dict]:
             # Evidence for the break_lease decision: a live writer's
             # heartbeat age stays ~LEASE_HEARTBEAT_SECS however long
             # the mutation runs; a dead holder's grows without bound.
-            # The heartbeat lives in writer.hb (the lock itself is
-            # immutable for the lease's lifetime — see
-            # _lease_heartbeat_loop); an hb whose writer_id does not
-            # match the lock is a previous holder's stale residue and
-            # is ignored, falling back to the acquisition stamp.
+            # Shared staleness rules (writer_id match, acquisition
+            # clamp) live in MapIndex._lease_liveness — the SAME
+            # evidence break_lease(min_dead_secs=...) guards on.
             try:
-                lock = probe.get_sidecar(name="writer.lock") or {}
-                now = int(time.time())
-                acq = lock.get("acquired_unix")
-                hb = acq
-                try:
-                    hb_doc = probe.get_sidecar(name=_HB_NAME) or {}
-                    if hb_doc.get("writer_id") == lock.get("writer_id"):
-                        hb = hb_doc.get("heartbeat_unix", acq)
-                        # a residue from the same handle's PREVIOUS
-                        # lease can predate this acquisition — never
-                        # report a heartbeat older than the lease
-                        if hb is not None and acq is not None:
-                            hb = max(int(hb), int(acq))
-                except Exception:  # noqa: BLE001 — advisory file
-                    pass
-                lease_age = (now - int(acq)) if acq is not None else None
-                lease_hb_age = (now - int(hb)) if hb is not None else None
+                _lock, lease_age, lease_hb_age = probe._lease_liveness()
             except Exception:  # noqa: BLE001 — torn/unreadable lock
                 pass
         out.append(

@@ -1548,6 +1548,78 @@ def test_heartbeat_survives_transient_read_errors(spark, store, monkeypatch):
         idx._release_lease()  # must NOT raise ConcurrentWriterError
 
 
+def test_break_lease_min_dead_secs_guard(spark, store, monkeypatch):
+    """VERDICT r10 #6: break_lease(min_dead_secs=...) is the
+    fat-finger guard — it must REFUSE against a holder whose
+    heartbeat is fresh (it is ticking RIGHT NOW), succeed once the
+    heartbeat is provably stale, refuse when liveness is unreadable,
+    and leave the unguarded operator override unchanged."""
+    import time as _t
+
+    import pytest as _pytest
+
+    from level_mapreduce_spark.engine import index as index_mod
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    monkeypatch.setattr(index_mod, "LEASE_HEARTBEAT_SECS", 0.2)
+    idx = kv_index(spark, store, "guardbrk")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    other = kv_index(spark, store, "guardbrk")
+    idx._acquire_lease()
+    try:
+        # ticking heartbeat -> guarded break refuses, lock survives
+        _t.sleep(0.5)  # let at least one tick land
+        with _pytest.raises(ConcurrentWriterError, match="ALIVE"):
+            other.break_lease(min_dead_secs=30.0)
+        assert other.get_sidecar(name="writer.lock") is not None
+    finally:
+        idx._release_lease()
+
+    # dead holder: acquire, kill the hb thread without releasing
+    # (simulates a crash between acquire and release)
+    idx._acquire_lease()
+    stop = idx._lease_hb_stop
+    stop.set()
+    idx._lease_hb_thread.join(timeout=30)
+    idx._lease_hb_stop = None
+    idx._lease_hb_thread = None
+    _t.sleep(1.2)
+    # still too fresh for a 30s guard -> refuses...
+    with _pytest.raises(ConcurrentWriterError, match="ALIVE"):
+        other.break_lease(min_dead_secs=30.0)
+    # ...but stale for a 1s guard -> breaks
+    assert other.break_lease(min_dead_secs=1.0) is True
+    assert other.get_sidecar(name="writer.lock") is None
+    idx._lease_lost = False  # handle state: lease gone by design here
+
+    # unreadable liveness refuses under the guard
+    idx2 = kv_index(spark, store, "guardbrk2")
+    idx2.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+    idx2._acquire_lease()
+    try:
+        def boom(name="meta.json"):
+            raise IOError("store down")
+
+        monkeypatch.setattr(idx2, "get_sidecar", boom)
+        with _pytest.raises((ConcurrentWriterError, IOError)):
+            idx2.break_lease(min_dead_secs=1.0)
+    finally:
+        monkeypatch.undo()
+        # re-apply the heartbeat shrink wiped by undo()
+        idx2._release_lease()
+
+    # unguarded break: unchanged unconditional behavior
+    idx2._acquire_lease()
+    assert idx2.break_lease() is True
+    idx2._lease_lost = False
+
+
 def test_sidecar_read_survives_concurrent_rewrites(spark, store):
     """r11 hardening (VERDICT r10 #1): put_sidecar's rename-over swaps
     the data file atomically, but ChecksumFileSystem moves the .crc
