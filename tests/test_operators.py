@@ -1409,6 +1409,92 @@ def test_edit_distance_pairs_blocking_complete_property(spark):
     run()
 
 
+@pytest.mark.parametrize("shape", ["all_equal", "bimodal", "geometric"])
+def test_edit_distance_pairs_shift_prune_length_shapes(spark, shape):
+    """Adversarial length-distribution sweep for the PassJoin
+    length-aware shift prune (commit 95ce49e: probes with
+    |shift| + |shift - delta| > max_dist are skipped, where delta is
+    the partner-length difference — VERDICT r10 #7 asks this boundary
+    arithmetic pinned). Three regimes stress different prune windows:
+
+    - all_equal: delta = 0 everywhere, the symmetric-shift fast case;
+    - bimodal: lengths L and L ± max_dist exactly — delta AT the
+      prune boundary, where an off-by-one skips the only admissible
+      shift and silently loses every cross-mode pair;
+    - geometric: lengths spanning both strata (short exact stratum
+      through segment-indexed), every delta in [0, max_dist] present.
+
+    For each, planted mutations at distances 1..max_dist (including
+    pure insertions/deletions that CHANGE length by max_dist) must
+    make blocked == brute force with exact distances."""
+    import random
+
+    from level_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(20260815 + len(shape))
+    alphabet = "abcdefgh"
+    d = 2
+
+    def rand_s(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    if shape == "all_equal":
+        lens = [12] * 10
+    elif shape == "bimodal":
+        # L and exactly L ± max_dist: delta hits the prune boundary
+        lens = [10, 10, 10, 10, 12, 12, 12, 12, 8, 8]
+    else:
+        lens = [max(1, int(1.6**k)) for k in range(10)]  # 1..~69
+
+    base = []
+    seen = set()
+    for n in lens:
+        s = rand_s(n)
+        while s in seen:
+            s = rand_s(n)
+        seen.add(s)
+        base.append(s)
+    strings = list(base)
+    for s in base:
+        if len(s) < 2:
+            continue
+        # one same-length mutation (substitution) ...
+        pos = rng.randrange(len(s))
+        strings.append(
+            s[:pos] + rng.choice(alphabet.replace(s[pos], "a")) + s[pos + 1:]
+        )
+        # ... and one length-changing one at the FULL distance d:
+        # d inserts or d deletes, so |len(a)-len(b)| == max_dist and
+        # the only admissible shifts sit on the prune boundary
+        if rng.random() < 0.5 or len(s) <= d:
+            t = s
+            for _ in range(d):
+                p = rng.randrange(len(t) + 1)
+                t = t[:p] + rng.choice(alphabet) + t[p:]
+        else:
+            t = s
+            for _ in range(d):
+                p = rng.randrange(len(t))
+                t = t[:p] + t[p + 1:]
+        strings.append(t)
+    # dedupe exact clones introduced by mutation collisions — one row
+    # per id AND per value keeps the brute-force twin trivially aligned
+    strings = list(dict.fromkeys(strings))
+
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=d).collect()
+    }
+    want = _brute_lev_pairs(strings, d)
+    assert got == want, (
+        f"{shape}: blocked pair set diverged from brute force "
+        f"(missing={set(want) - set(got)}, extra={set(got) - set(want)})"
+    )
+
+
 def test_text_ops_survive_empty_documents(spark):
     """One empty / whitespace-only / sub-bigram document must not fail
     a corpus pass (the session runs ANSI mode, where 0/0 is a JOB
