@@ -48,7 +48,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        # off by default (tests/bench spin many sessions); probes that
+        # read the /api/v1 stage metrics REST surface set
+        # SPARK_GRAFT_UI=true (scripts/endurance_probe.py)
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     spark = builder.getOrCreate()
