@@ -2248,7 +2248,17 @@ class MapIndex:
                 else epochs[-max_epochs:]
             )
             return self._compact_partial(fold)
-        keep_epoch = max(epochs) if epochs else 0
+        # fold target = max over segments AND tombstones: a pure-delete
+        # batch (delete_range / all-tombstone update) holds the top
+        # epoch number with no segment dir, and folding to max(segment)
+        # alone would hand that number BACK to the next update() once
+        # the tombstones are reclaimed — silently rebinding an already-
+        # observable as_of_epoch snapshot to a different state
+        # (_next_epoch's distinct-snapshot contract; caught by
+        # tests/test_model.py). Also widens the stale-tombstone crash
+        # margin below: keep_epoch >= every tomb_epoch.
+        tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
+        keep_epoch = max(epochs + tomb_epochs) if (epochs or tomb_epochs) else 0
         live = self.read()
         tmp = self.segments_path + ".compacting"
         old = self.segments_path + ".old"

@@ -1,0 +1,249 @@
+"""Model-based differential test of the LSM engine.
+
+A seeded random sequence of every mutating/maintenance operation the
+engine exposes — build, update (overwrite / tombstone / empty-emit /
+re-add), delete_range (bounds and exact-key), full compact, partial
+compact (both tiers), tombstone consolidation — is replayed against a
+pure-Python dict model (doc -> ordered emit list), asserting after
+EVERY step that the index and the model agree on:
+
+- the full live row set (index_key, doc_key, emit_pos, value),
+- a random bounded scan ([start, end) on index_key),
+- point reads: get() value order ((doc_key, emit_pos) — SURVEY §7.3),
+  count(key), get_meta(doc),
+- time travel: read(as_of_epoch=e) for every retained model snapshot,
+  with snapshots retired exactly per the documented history-horizon
+  rules of the three maintenance tiers (compact() full keeps
+  snapshots at the fold target; _compact_partial keeps >= hi, plus
+  < lo for a suffix fold; compact_tombstones keeps >= the max
+  surviving tombstone epoch).
+
+This is the executable spec tying together semantics that the
+hand-written tests pin one at a time (reference intent:
+index.js:173-249 update, :187-205 tombstones, :218-230 empty emit);
+the random interleaving is what catches cross-feature bugs like the
+r8 auto-compact-every-batch defect.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex
+
+DOC_POOL = [f"d{i:02d}" for i in range(24)]
+KEYS = list("abcdefgh")
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "kv",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("k", T.StringType()),
+                        T.StructField("v", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+
+def _mapper() -> ExprMapper:
+    return ExprMapper(
+        F.transform(
+            F.col("kv"),
+            lambda p: F.struct(
+                p["k"].alias("index_key"), p["v"].alias("value")
+            ),
+        ),
+        value_type=T.LongType(),
+    )
+
+
+def _docs_df(spark, batch):
+    """batch: list of (doc_id, emits-or-None). None => deleted doc."""
+    rows = [
+        (d, [] if kv is None else [(k, v) for k, v in kv], kv is None)
+        for d, kv in batch
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _flatten(model):
+    return {
+        (k, d, pos, v)
+        for d, emits in model.items()
+        for pos, (k, v) in enumerate(emits)
+    }
+
+
+def _collect_rows(df):
+    return {
+        (r["index_key"], r["doc_key"], r["emit_pos"], r["value"])
+        for r in df.select(
+            "index_key", "doc_key", "emit_pos", "value"
+        ).collect()
+    }
+
+
+def _random_emits(rng):
+    # 0..4 pairs; duplicate keys within a doc are legal multi-emits
+    return [
+        (rng.choice(KEYS), rng.randrange(1000))
+        for _ in range(rng.randrange(5))
+    ]
+
+
+def _apply_update(rng, model):
+    """Pick a mixed batch of new / overwritten / deleted docs."""
+    n = rng.randrange(1, 7)
+    batch = []
+    for d in rng.sample(DOC_POOL, n):
+        if d in model and rng.random() < 0.3:
+            batch.append((d, None))  # tombstone
+            del model[d]
+        else:
+            emits = _random_emits(rng)
+            batch.append((d, emits))
+            if emits:
+                model[d] = emits
+            else:
+                model.pop(d, None)  # empty emit un-indexes
+    return batch
+
+
+def _check_current(rng, idx, model):
+    assert _collect_rows(idx.scan()) == _flatten(model)
+    lo, hi = sorted(rng.sample(KEYS, 2))
+    assert _collect_rows(idx.scan(start=lo, end=hi)) == {
+        t for t in _flatten(model) if lo <= t[0] < hi
+    }
+    key = rng.choice(KEYS)
+    expect = [
+        v
+        for d in sorted(model)
+        for k, v in model[d]
+        if k == key
+    ]
+    assert idx.get(key) == expect
+    assert idx.count(key) == len(expect)
+    if model:
+        d = rng.choice(sorted(model))
+        assert idx.get_meta(d) == [k for k, _ in model[d]]
+
+
+def _current_epoch(idx):
+    """Epoch of the last committed batch = max over segment AND
+    tombstone epochs (a pure-delete batch appends no segment epoch;
+    engine _next_epoch counts the union for exactly this reason)."""
+    s = idx.stats()
+    return max(s["epochs"] + s["tombstone_epochs"], default=0)
+
+
+def _check_history(idx, history):
+    for epoch, snap in history:
+        assert (
+            _collect_rows(idx.read(as_of_epoch=epoch)) == _flatten(snap)
+        ), f"as_of_epoch={epoch} diverged from its snapshot"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_ops_match_dict_model(spark, store, seed):
+    rng = random.Random(seed)
+    idx = MapIndex(
+        spark,
+        f"model{seed}",
+        _mapper(),
+        store,
+        doc_key="doc_id",
+        auto_compact=False,  # the test schedules every fold itself
+    )
+
+    model = {}
+    batch = _apply_update(rng, model)
+    # make the initial build substantial: every pool doc gets a roll
+    for d in DOC_POOL:
+        if d not in dict(batch):
+            emits = _random_emits(rng)
+            batch.append((d, emits))
+            if emits:
+                model[d] = emits
+    idx.build(_docs_df(spark, batch), assume_unique=True)
+    history = [(_current_epoch(idx), dict(model))]
+
+    ops = ["update"] * 5 + ["delete_range"] * 2 + [
+        "compact_full",
+        "compact_newest",
+        "compact_newest",
+        "compact_oldest",
+        "compact_tombstones",
+    ]
+    for step in range(12):
+        op = rng.choice(ops)
+        epochs = idx.stats()["epochs"]
+        if op == "update":
+            idx.update(_docs_df(spark, _apply_update(rng, model)))
+            history.append((_current_epoch(idx), dict(model)))
+        elif op == "delete_range":
+            if rng.random() < 0.3:
+                key = rng.choice(KEYS)
+                lo, hi = key, None
+                doomed = {
+                    d for d, em in model.items() if any(k == key for k, _ in em)
+                }
+                n = idx.delete_range(key=key)
+            else:
+                lo, hi = sorted(rng.sample(KEYS, 2))
+                doomed = {
+                    d
+                    for d, em in model.items()
+                    if any(lo <= k < hi for k, _ in em)
+                }
+                n = idx.delete_range(start=lo, end=hi)
+            assert n == len(doomed), (lo, hi, n, sorted(doomed))
+            for d in doomed:
+                del model[d]  # docs die WHOLE (per-doc tombstones)
+            if doomed:
+                history.append((_current_epoch(idx), dict(model)))
+        elif op == "compact_full":
+            # a full fold keeps only the current snapshot readable
+            hi = _current_epoch(idx)
+            idx.compact()
+            history = [(e, s) for e, s in history if e >= hi]
+        elif op in ("compact_newest", "compact_oldest"):
+            if len(epochs) < 2:
+                continue
+            k = rng.randrange(1, len(epochs))
+            tier = op.split("_")[1]
+            fold = epochs[:k] if tier == "oldest" else epochs[-k:]
+            idx.compact(max_epochs=k, tier=tier)
+            lo_e, hi_e = min(fold), max(fold)
+            history = [
+                (e, s)
+                for e, s in history
+                if e >= hi_e or (tier == "newest" and e < lo_e)
+            ]
+        else:  # compact_tombstones
+            idx.compact_tombstones()
+            tombs = idx.stats()["tombstone_epochs"]
+            if tombs:
+                # snapshots older than a doc's surviving marker may
+                # stop observing its superseded deletes (documented
+                # history horizon) — retire them conservatively
+                history = [
+                    (e, s) for e, s in history if e >= max(tombs)
+                ]
+        history = history[-3:]  # bound the per-step re-check cost
+        _check_current(rng, idx, model)
+        _check_history(idx, history)
+
+    # the model must survive a terminal full fold + reread
+    idx.compact()
+    _check_current(rng, idx, model)
