@@ -1428,19 +1428,29 @@ class MapIndex:
 
         Downstream chained indexes receive the standard empty-emit
         change feed before this returns. The doomed key set is
-        materialized (persisted) BEFORE the tombstones are written —
-        a lazy re-evaluation after the write would see its own
-        deletions and propagate an empty feed.
+        materialized to a scratch parquet BEFORE the tombstones are
+        written — a lazy re-evaluation after the write would see its
+        own deletions and propagate an empty feed. A cache
+        (``persist()``) is NOT enough: the tombstone append fires
+        Spark's recacheByPath/refreshByPath for the written path, and
+        whenever prior tombstone epochs exist the doomed plan contains
+        a tombstone-path scan, so the cache is re-COMPUTED against the
+        refreshed listing — silently empty (caught by
+        tests/test_model.py's chained variant). A scratch file read is
+        immune: its plan references only the scratch path.
         """
         self._recover_swap()
-        doomed = (
+        scratch = posixpath.join(self.root, ".delrange_keys")
+        (
             self.scan(start=start, end=end, key=key)
             .select(DOC_KEY)
             .distinct()
-            .persist()
+            .write.mode("overwrite")
+            .parquet(scratch)
         )
+        doomed = self.spark.read.parquet(scratch)
         try:
-            n = doomed.count()  # force materialization pre-write
+            n = doomed.count()
             if not n:
                 return 0
             epoch = self._next_epoch()
@@ -1465,7 +1475,7 @@ class MapIndex:
                 down.update(feed, assume_unique=True)
             return n
         finally:
-            doomed.unpersist()
+            _delete_path(self.spark, scratch)
 
     def changes_feed(
         self, keys: DataFrame, broadcast_keys: bool | None = None

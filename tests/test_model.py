@@ -154,8 +154,31 @@ def _check_history(idx, history):
         ), f"as_of_epoch={epoch} diverged from its snapshot"
 
 
-@pytest.mark.parametrize("seed", [7, 23])
-def test_random_ops_match_dict_model(spark, store, seed):
+def _down_mapper() -> ExprMapper:
+    """Downstream of the chain: re-key every upstream emit under
+    ``by_<key>`` (feed shape = as_documents, reference index.js:244)."""
+    return ExprMapper(
+        F.transform(
+            F.col("value"),
+            lambda p: F.struct(
+                F.concat(F.lit("by_"), p["index_key"]).alias("index_key"),
+                p["value"].alias("value"),
+            ),
+        ),
+        value_type=T.LongType(),
+    )
+
+
+def _down_flatten(model):
+    return {
+        (f"by_{k}", d, pos, v)
+        for d, emits in model.items()
+        for pos, (k, v) in enumerate(emits)
+    }
+
+
+@pytest.mark.parametrize("seed,chained", [(7, False), (23, True)])
+def test_random_ops_match_dict_model(spark, store, seed, chained):
     rng = random.Random(seed)
     idx = MapIndex(
         spark,
@@ -165,6 +188,12 @@ def test_random_ops_match_dict_model(spark, store, seed):
         doc_key="doc_id",
         auto_compact=False,  # the test schedules every fold itself
     )
+    down = None
+    if chained:
+        # the piped replica ALSO runs auto_compact=True, so the random
+        # churn exercises _auto_fold's tiering decisions for free
+        down = MapIndex(spark, f"model{seed}_down", _down_mapper(), store)
+        idx.pipe(down)
 
     model = {}
     batch = _apply_update(rng, model)
@@ -243,7 +272,14 @@ def test_random_ops_match_dict_model(spark, store, seed):
         history = history[-3:]  # bound the per-step re-check cost
         _check_current(rng, idx, model)
         _check_history(idx, history)
+        if down is not None:
+            # batch-synchronous chaining: the replica is consistent at
+            # every mutation boundary (and compactions don't propagate)
+            assert _collect_rows(down.scan()) == _down_flatten(model)
 
     # the model must survive a terminal full fold + reread
     idx.compact()
     _check_current(rng, idx, model)
+    if down is not None:
+        down.compact()
+        assert _collect_rows(down.scan()) == _down_flatten(model)
