@@ -1218,6 +1218,20 @@ class MapIndex:
         Returns the downstream change feed ``(doc_key, value, deleted)``
         where ``value`` is the doc's full live emit list — the shape
         the reference pushes to piped indexes (index.js:244, 250-253).
+
+        Evaluation contract: ``changes`` is a lazy plan evaluated
+        independently for the segment write, the tombstone write, and
+        (when piped) the downstream feed — the later evaluations run
+        AFTER this index's files have changed, and Spark refreshes
+        path listings on every write. A ``changes`` plan that reads
+        THIS index's own storage therefore re-observes its own
+        partial effects; that is safe iff its doc-KEY set is
+        write-invariant (true for the stored-sketch fold, whose keys
+        are the batch's bucket keys either way — operators/
+        sketches.py), never for value-dependent membership. External
+        callers should feed deterministic, non-self-referential plans;
+        :meth:`delete_range` stages its self-referential key set to a
+        scratch file for exactly this reason.
         """
         self._recover_swap()
         epoch = self._next_epoch()

@@ -25,6 +25,7 @@ the random interleaving is what catches cross-feature bugs like the
 r8 auto-compact-every-batch defect.
 """
 
+import os
 import random
 
 import pytest
@@ -177,7 +178,17 @@ def _down_flatten(model):
     }
 
 
-@pytest.mark.parametrize("seed,chained", [(7, False), (23, True)])
+# the suite pins two seeds (one plain, one chained) to bound runtime;
+# extended hunts add more via LMR_MODEL_SEEDS=100,101,... (all chained
+# — the piped-replica variant has strictly more moving parts)
+_CASES = [(7, False), (23, True)] + [
+    (int(s), True)
+    for s in os.environ.get("LMR_MODEL_SEEDS", "").split(",")
+    if s.strip()
+]
+
+
+@pytest.mark.parametrize("seed,chained", _CASES)
 def test_random_ops_match_dict_model(spark, store, seed, chained):
     rng = random.Random(seed)
     idx = MapIndex(
