@@ -277,6 +277,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # argv[3]: optional comma-separated bench-key filter, for focused
+    # exponent refreshes after a change to one engine path (full
+    # 48-key runs take tens of minutes)
+    focus = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="lmr-scale-probe")
 
     orders = load_table(spark, sf_dir, "orders")
@@ -333,13 +337,20 @@ def main() -> None:
         # discarded warmup pass at 1x: otherwise the x1 measurement
         # pays all the codegen/JIT that xN then gets for free and
         # every exponent reads spuriously low
-        run_bench_pass(spark, sf_dir, "warm")
-        out["x1"] = run_bench_pass(spark, sf_dir, "x1")
+        run_bench_pass(spark, sf_dir, "warm", only=focus)
+        out["x1"] = run_bench_pass(spark, sf_dir, "x1", only=focus)
         out["xN_shared"] = run_bench_pass(
-            spark, shared_dir, "xNs", skip=DISTINCT_CORPUS_KEYS
+            spark, shared_dir, "xNs",
+            skip=DISTINCT_CORPUS_KEYS,
+            only=focus,
         )
         out["xN_distinct"] = run_bench_pass(
-            spark, distinct_dir, "xNd", only=DISTINCT_CORPUS_KEYS
+            spark, distinct_dir, "xNd",
+            only=(
+                DISTINCT_CORPUS_KEYS & focus
+                if focus is not None
+                else DISTINCT_CORPUS_KEYS
+            ),
         )
 
         for tag, d in (("x1", sf_dir), ("xN", shared_dir)):

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level_mapreduce_spark import ExprMapper, MapIndex
+from level_mapreduce_spark.engine.index import _delete_path
 
 DOC_POOL = [f"d{i:02d}" for i in range(24)]
 KEYS = list("abcdefgh")
@@ -218,7 +219,8 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
     idx.build(_docs_df(spark, batch), assume_unique=True)
     history = [(_current_epoch(idx), dict(model))]
 
-    ops = ["update"] * 5 + ["delete_range"] * 2 + [
+    ops = ["update"] * 4 + ["delete_range"] * 2 + [
+        "update_crash_retry",
         "compact_full",
         "compact_newest",
         "compact_newest",
@@ -230,6 +232,24 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
         epochs = idx.stats()["epochs"]
         if op == "update":
             idx.update(_docs_df(spark, _apply_update(rng, model)))
+            history.append((_current_epoch(idx), dict(model)))
+        elif op == "update_crash_retry":
+            # the documented update() crash window (segment written,
+            # tombstones lost) followed by the caller's retry of the
+            # SAME batch: the duplicates the crash resurrects must be
+            # absorbed by the retry's higher-epoch tombstones — and a
+            # piped replica, which sees the feed twice, must stay
+            # exactly once-applied
+            batch2 = _apply_update(rng, model)
+            idx.update(_docs_df(spark, batch2))
+            e = _current_epoch(idx)
+            _delete_path(
+                spark, f"{idx.tombstones_path}/epoch={e}"
+            )  # crash residue: the batch's tombstone epoch vanishes
+            idx.update(_docs_df(spark, batch2))  # retry
+            # the crashed epoch e is now a lie (orphan duplicates) —
+            # only the retry's epoch is a valid snapshot point
+            history = [(he, s) for he, s in history if he < e]
             history.append((_current_epoch(idx), dict(model)))
         elif op == "delete_range":
             if rng.random() < 0.3:
