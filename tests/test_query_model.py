@@ -202,6 +202,88 @@ def _canon(rows):
     return sorted(out)
 
 
+def test_random_scan_opts_match_model(spark, store):
+    """Randomized sweep of the levelup read-stream opts passthroughs
+    (reference index.js:124-137): every combination of bounds/key,
+    limit, reverse, keys/values projection, and raw against the model,
+    including the documented deterministic (index_key, doc_key,
+    emit_pos) top-k order whenever limit/sort is in play."""
+    idx, base = _build_index(spark, store)
+    rng = random.Random(1337)
+    order = lambda r: (r["key"], r["doc_key"], r["emit_pos"])  # noqa: E731
+    for trial in range(20):
+        opts = {}
+        which = rng.random()
+        if which < 0.3:
+            opts["key"] = rng.choice(KEYS)
+        else:
+            if rng.random() < 0.8:
+                opts["start"] = rng.choice(KEYS)
+            if rng.random() < 0.8:
+                opts["end"] = rng.choice(KEYS)
+        if rng.random() < 0.5:
+            opts["limit"] = rng.randrange(1, 8)
+            opts["reverse"] = rng.random() < 0.5
+        raw = rng.random() < 0.25
+        if raw:
+            opts["raw"] = True
+        else:
+            opts["keys"] = rng.random() < 0.8
+            opts["values"] = rng.random() < 0.8
+            if not (opts["keys"] or opts["values"]):
+                opts["values"] = True
+
+        rs = list(base)
+        if "key" in opts:
+            rs = [r for r in rs if r["key"] == opts["key"]]
+        else:
+            if "start" in opts:
+                rs = [r for r in rs if r["key"] >= opts["start"]]
+            if "end" in opts:
+                rs = [r for r in rs if r["key"] < opts["end"]]
+        if "limit" in opts:
+            rs = sorted(rs, key=order, reverse=opts["reverse"])
+            rs = rs[: opts["limit"]]
+        if raw:
+            want = [
+                (
+                    f"{idx.name}\x00{r['key']}\x00{r['doc_key']}"
+                    f"\x00{r['emit_pos']}",
+                    r["value"],
+                )
+                for r in rs
+            ]
+        elif opts.get("keys", True) and not opts.get("values", True):
+            want = [(r["key"],) for r in rs]
+        elif opts.get("values", True) and not opts.get("keys", True):
+            want = [(r["value"],) for r in rs]
+        else:
+            want = [
+                (
+                    ("index_key", r["key"]),
+                    ("emit_pos", r["emit_pos"]),
+                    ("value", r["value"]),
+                    ("doc_key", r["doc_key"]),
+                )
+                for r in rs
+            ]
+        rows = idx.scan(**opts).collect()
+        if raw or not (opts.get("keys", True) and opts.get("values", True)):
+            got = [tuple(r) for r in rows]
+        else:
+            got = [
+                tuple((c, r[c]) for c in ("index_key", "emit_pos", "value", "doc_key"))
+                for r in rows
+            ]
+        if "limit" in opts:
+            assert got == want, (trial, opts)
+        else:
+            assert sorted(map(repr, got)) == sorted(map(repr, want)), (
+                trial,
+                opts,
+            )
+
+
 def test_random_pipelines_match_record_model(spark, store):
     idx, base = _build_index(spark, store)
     rng = random.Random(4711)
