@@ -58,6 +58,57 @@ def test_mixed_keyspace_numbers_before_strings(x, s):
     assert typed_num_key(x) < typed_str_key(s)
 
 
+def test_struct_order_cmp_matches_python_sort(spark):
+    """The field comparator behind group ordering and as_documents
+    (engine/mapper.py struct_order_cmp) must sort an array of structs
+    exactly like Python's tuple sort on the named fields — including
+    beside an unorderable MapType payload, the case it exists for."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from level_mapreduce_spark.engine.mapper import struct_order_cmp
+
+    rng = random.Random(2718)
+    rows = []
+    for _ in range(40):
+        arr = [
+            (rng.randrange(5), f"k{rng.randrange(5)}", {"m": rng.randrange(9)})
+            for _ in range(rng.randrange(1, 9))
+        ]
+        rows.append((arr,))
+    schema = T.StructType(
+        [
+            T.StructField(
+                "arr",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("pos", T.IntegerType()),
+                            T.StructField("key", T.StringType()),
+                            T.StructField(
+                                "payload",
+                                T.MapType(T.StringType(), T.IntegerType()),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).select(
+        "arr",
+        F.array_sort("arr", struct_order_cmp("pos", "key")).alias("sorted"),
+    )
+    for r, (arr,) in zip(df.collect(), rows):
+        want = sorted(arr, key=lambda t: (t[0], t[1]))
+        got = [(s["pos"], s["key"], dict(s["payload"])) for s in r["sorted"]]
+        # ties on (pos, key) keep arbitrary payload order — compare the
+        # order fields exactly, the full tuples as multisets
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        assert sorted(map(repr, got)) == sorted(map(repr, want))
+
+
 def test_column_forms_agree_with_python_twins(spark):
     """The Spark Column encodings and the Python scan-bound twins are
     two implementations of ONE format — byte-identical outputs, swept
