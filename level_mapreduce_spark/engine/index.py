@@ -949,7 +949,21 @@ class MapIndex:
         guard whose whole point is that proof (pass ``None`` for the
         unconditional operator override)."""
         if min_dead_secs is not None:
-            lock, _lease_age, hb_age = self._lease_liveness()
+            try:
+                lock, _lease_age, hb_age = self._lease_liveness()
+            except Exception as e:
+                # a persistently unreadable lock is the same refusal as
+                # an unreadable heartbeat: the guard exists to PROVE
+                # death, and proof is unavailable — surface the
+                # documented ConcurrentWriterError, not a raw IO error
+                raise ConcurrentWriterError(
+                    f"index '{self.name}': break_lease(min_dead_secs="
+                    f"{min_dead_secs}) refused — writer.lock could not "
+                    f"be read ({type(e).__name__}: {e}), so the holder "
+                    f"cannot be proven dead. Retry, or call "
+                    f"break_lease() with no guard ONLY after confirming "
+                    f"the holder process is gone."
+                ) from e
             if lock is not None:
                 if hb_age is None:
                     raise ConcurrentWriterError(
@@ -1015,7 +1029,8 @@ class MapIndex:
                 if not _is_torn_read_error(e):
                     raise
                 last_err = e
-                time.sleep(0.02 * (attempt + 1))
+                if attempt < _SIDECAR_READ_RETRIES - 1:
+                    time.sleep(0.02 * (attempt + 1))
         raise IOError(
             f"sidecar {path!r} unreadable after "
             f"{_SIDECAR_READ_RETRIES} attempts (persistent torn-read "
@@ -1455,15 +1470,15 @@ class MapIndex:
         """
         self._recover_swap()
         scratch = posixpath.join(self.root, ".delrange_keys")
-        (
-            self.scan(start=start, end=end, key=key)
-            .select(DOC_KEY)
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(scratch)
-        )
-        doomed = self.spark.read.parquet(scratch)
         try:
+            (
+                self.scan(start=start, end=end, key=key)
+                .select(DOC_KEY)
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(scratch)
+            )
+            doomed = self.spark.read.parquet(scratch)
             n = doomed.count()
             if not n:
                 return 0
@@ -2262,6 +2277,12 @@ class MapIndex:
         :meth:`_recover_fold`).
         """
         self._recover_swap()
+        # janitor duty: a delete_range that died mid-call leaves its
+        # .delrange_keys scratch behind (its finally never ran); the
+        # lease serializes writers, so no delete_range is active here
+        _delete_path(
+            self.spark, posixpath.join(self.root, ".delrange_keys")
+        )
         epochs = _list_epochs(self.spark, self.segments_path)
         if max_epochs is not None and 0 < max_epochs < len(epochs):
             if tier not in ("oldest", "newest"):
@@ -2287,12 +2308,17 @@ class MapIndex:
         tmp = self.segments_path + ".compacting"
         old = self.segments_path + ".old"
         (
-            live.withColumn("epoch", F.lit(keep_epoch).cast("int"))
-            .repartitionByRange("index_key", DOC_KEY)
+            # write STRAIGHT INTO the epoch=K dir (same partitioned
+            # layout partitionBy would produce) rather than through
+            # partitionBy: a fully-tombstoned index folds to ZERO live
+            # rows, and partitionBy on an empty frame creates no
+            # partition dir at all — the epoch number would vanish and
+            # _next_epoch would hand it back to the next batch (the
+            # epoch-reuse bug all over again, empty-live variant)
+            live.repartitionByRange("index_key", DOC_KEY)
             .sortWithinPartitions("index_key", DOC_KEY, "emit_pos")
             .write.mode("overwrite")
-            .partitionBy("epoch")
-            .parquet(tmp)
+            .parquet(posixpath.join(tmp, f"epoch={int(keep_epoch)}"))
         )
         fs, seg_path, jvm = _hadoop_fs(self.spark, self.segments_path)
         _delete_path(self.spark, old)

@@ -417,11 +417,14 @@ def cosine_neardup_pairs_blocked(
             )
             return stream.mapInPandas(block_small, schema=out_schema)
 
-    n = embeddings.count()
+    # count what actually gets staged: null-embedding rows are filtered
+    # from `sides` above (they emit no pairs), so they must not count
+    # against the dense-matrix budget either
+    n = sides.count()
     if n > max_rows:
         raise ValueError(
-            f"corpus has {n} rows > max_rows={max_rows}: the dense "
-            "reference matrix would not fit executor memory — use "
+            f"corpus has {n} non-null rows > max_rows={max_rows}: the "
+            "dense reference matrix would not fit executor memory — use "
             "cosine_neardup_pairs_lsh (bucketed, never dense) instead"
         )
     path = tempfile.mkdtemp(prefix="lmr_blocked_", dir=matrix_dir)

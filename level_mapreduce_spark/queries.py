@@ -234,12 +234,6 @@ def _overwrite_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     leaving it pytest-only (VERDICT r8 #3)."""
 
     def build():
-        import os as _os
-        import shutil as _shutil
-        import tempfile as _tf
-
-        from level_mapreduce_spark.streaming.sink import stream_into
-
         orders = load_table(spark, sf_dir, "orders")
         idx = MapIndex(
             spark,
@@ -252,28 +246,9 @@ def _overwrite_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
         upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") * 1.5
         )
-        work = _tf.mkdtemp(prefix="lmr_gate_ovw_stream_")
-        try:
-            src = _os.path.join(work, "src")
-            upd.write.mode("overwrite").parquet(src)
-            stream = spark.readStream.schema(upd.schema).parquet(src)
-            q = stream_into(
-                idx,
-                stream,
-                checkpoint=_os.path.join(work, "ckpt"),
-                available_now=True,
-                # o_orderkey is unique corpus-wide, so unique within
-                # any micro-batch split availableNow chooses
-                assume_unique=True,
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(
-                    "streaming overwrite gate did not drain within "
-                    "300 s; refusing to serve a partially-updated index"
-                )
-        finally:
-            _shutil.rmtree(work, ignore_errors=True)
+        _stream_update_into(
+            idx, upd, "lmr_gate_ovw_stream_", "overwrite gate"
+        )
         return idx
 
     return _cached(spark, sf_dir, "orders_ovw_stream", build)
@@ -333,12 +308,6 @@ def _chained_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     the streaming wrapper preserves chained propagation."""
 
     def build():
-        import os as _os
-        import shutil as _shutil
-        import tempfile as _tf
-
-        from level_mapreduce_spark.streaming.sink import stream_into
-
         a = MapIndex(
             spark,
             f"chain_st_a_{abs(hash(sf_dir)) % 10**8}",
@@ -365,26 +334,9 @@ def _chained_stream_index(spark: SparkSession, sf_dir: str) -> MapIndex:
         upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") * 1.5
         )
-        work = _tf.mkdtemp(prefix="lmr_gate_chain_stream_")
-        try:
-            src = _os.path.join(work, "src")
-            upd.write.mode("overwrite").parquet(src)
-            stream = spark.readStream.schema(upd.schema).parquet(src)
-            q = stream_into(
-                a,
-                stream,
-                checkpoint=_os.path.join(work, "ckpt"),
-                available_now=True,
-                assume_unique=True,
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(
-                    "streaming chained gate did not drain within "
-                    "300 s; refusing to serve a partially-updated chain"
-                )
-        finally:
-            _shutil.rmtree(work, ignore_errors=True)
+        _stream_update_into(
+            a, upd, "lmr_gate_chain_stream_", "chained gate"
+        )
         return b
 
     return _cached(spark, sf_dir, "chain_b_stream", build)
@@ -1464,6 +1416,55 @@ def _sessionize_via_stream(spark, sf_dir) -> DataFrame:
     )
 
 
+def _drain_stream_workdir(prefix: str, what: str, start) -> None:
+    """Shared lifecycle for every gate that replays a file stream:
+    mkdtemp -> ``start(work)`` stages whatever layout it needs inside
+    the workdir and returns a STARTED StreamingQuery -> drain within
+    300 s (stop + raise naming ``what`` — a partial result must fail
+    loudly here, not as a downstream oracle hash mismatch) -> always
+    remove the workdir. One definition so the timeout policy and
+    cleanup semantics cannot drift between gates."""
+    import shutil as _shutil
+    import tempfile as _tf
+
+    work = _tf.mkdtemp(prefix=prefix)
+    try:
+        qy = start(work)
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise RuntimeError(
+                f"streaming {what} did not drain within 300 s; "
+                "refusing to serve a partial result"
+            )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_update_into(idx, upd, prefix: str, what: str) -> None:
+    """Replay ``upd`` (one-row-per-doc changes) as an availableNow
+    file stream into ``idx`` through the foreachBatch sink — the
+    micro-batch maintenance twin the overwrite/chained gates share."""
+    import os as _os
+
+    from level_mapreduce_spark.streaming.sink import stream_into
+
+    def start(work):
+        src = _os.path.join(work, "src")
+        upd.write.mode("overwrite").parquet(src)
+        stream = upd.sparkSession.readStream.schema(upd.schema).parquet(src)
+        return stream_into(
+            idx,
+            stream,
+            checkpoint=_os.path.join(work, "ckpt"),
+            available_now=True,
+            # doc keys unique corpus-wide => unique within any
+            # micro-batch split availableNow chooses
+            assume_unique=True,
+        )
+
+    _drain_stream_workdir(prefix, what, start)
+
+
 def _replay_events_stream(
     spark,
     sf_dir,
@@ -1490,14 +1491,12 @@ def _replay_events_stream(
     import glob as _glob
     import os as _os
     import shutil as _shutil
-    import tempfile as _tf
     import time as _time
     from datetime import timedelta as _td
 
     from level_mapreduce_spark.sources.tables import stream_table
 
-    work = _tf.mkdtemp(prefix="lmr_gate_stream_")
-    try:
+    def start(work):
         src = _os.path.join(work, "src")
         _os.makedirs(src)
         _shutil.copy(
@@ -1534,7 +1533,7 @@ def _replay_events_stream(
                 dst = _os.path.join(src, f"{i:02d}_sent.parquet")
                 _shutil.copy(pf, dst)
                 _os.utime(dst, (now + i * 10, now + i * 10))
-        q = (
+        return (
             transform(stream_table(spark, src, sf_dir, table))
             .writeStream.format("memory")
             .queryName(query_name)
@@ -1543,14 +1542,10 @@ def _replay_events_stream(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                f"streaming gate query {query_name!r} did not drain "
-                "within 300 s; refusing to return a partial memory table"
-            )
-    finally:
-        _shutil.rmtree(work, ignore_errors=True)
+
+    _drain_stream_workdir(
+        "lmr_gate_stream_", f"gate query {query_name!r}", start
+    )
     return spark.table(query_name)
 
 
@@ -1833,7 +1828,6 @@ def q_sketch_range_estimate(spark, sf_dir):
     def build_stream_sketches():
         import os as _os
         import shutil as _shutil
-        import tempfile as _tf
 
         from level_mapreduce_spark.sources.tables import stream_table
         from level_mapreduce_spark.streaming.sink import (
@@ -1847,26 +1841,21 @@ def q_sketch_range_estimate(spark, sf_dir):
             name=f"hll_stream_{abs(hash(sf_dir)) % 10**8}",
             kind="hll",
         )
-        work = _tf.mkdtemp(prefix="lmr_gate_sksink_")
-        try:
+
+        def start(work):
             src = _os.path.join(work, "src")
             _os.makedirs(src)
             _shutil.copy(
                 _os.path.join(sf_dir, "events.parquet"),
                 _os.path.join(src, "events.parquet"),
             )
-            qy = stream_sketches_into(
+            return stream_sketches_into(
                 live,
                 stream_table(spark, src, sf_dir, "events"),
                 _os.path.join(work, "ckpt"),
             )
-            if not qy.awaitTermination(300):
-                qy.stop()
-                raise RuntimeError(
-                    "streaming sketch sink did not drain within 300 s"
-                )
-        finally:
-            _shutil.rmtree(work, ignore_errors=True)
+
+        _drain_stream_workdir("lmr_gate_sksink_", "sketch sink", start)
         return live
 
     sidx_stream = _cached(

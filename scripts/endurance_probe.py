@@ -98,7 +98,14 @@ def main() -> None:
     )
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.environ["SPARK_GRAFT_UI"] = "true"
-    spark = get_spark(app_name="lmr-endurance-probe")
+    # the spill sums read the stages REST surface, which only serves
+    # UI-RETAINED stages (default 1000): raise the retention far past
+    # anything one probe session can submit, or eviction silently
+    # undercounts (even negative deltas) between the before/after reads
+    spark = get_spark(
+        app_name="lmr-endurance-probe",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")

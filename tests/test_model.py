@@ -189,6 +189,33 @@ _CASES = [(7, False), (23, True)] + [
 ]
 
 
+def test_full_compact_of_fully_deleted_index_keeps_epoch_numbering(
+    spark, store
+):
+    """Empty-live variant of the epoch-reuse bug: folding a fully-
+    tombstoned index to zero rows must still persist the fold-target
+    epoch (partitionBy on an empty frame writes no partition dir), so
+    the next batch gets a FRESH epoch and retained as_of handles keep
+    meaning the deleted state."""
+    idx = MapIndex(
+        spark, "drained", _mapper(), store,
+        doc_key="doc_id", auto_compact=False,
+    )
+    idx.build(
+        _docs_df(spark, [("d1", [("a", 1)]), ("d2", [("b", 2)])]),
+        assume_unique=True,
+    )
+    assert idx.delete_range(start="a") == 2  # tombstone-only top epoch
+    drained_epoch = _current_epoch(idx)
+    idx.compact()
+    assert idx.scan().count() == 0
+    assert max(idx.stats()["epochs"]) == drained_epoch
+    idx.update(_docs_df(spark, [("d3", [("c", 3)])]))
+    assert _current_epoch(idx) == drained_epoch + 1
+    assert _collect_rows(idx.read(as_of_epoch=drained_epoch)) == set()
+    assert _collect_rows(idx.scan()) == {("c", "d3", 0, 3)}
+
+
 @pytest.mark.parametrize("seed,chained", _CASES)
 def test_random_ops_match_dict_model(spark, store, seed, chained):
     rng = random.Random(seed)
