@@ -189,6 +189,28 @@ _CASES = [(7, False), (23, True)] + [
 ]
 
 
+def test_compact_sweeps_crash_orphaned_delete_range_scratch(spark, store):
+    """A delete_range that dies mid-call leaves .delrange_keys under
+    the index root (its finally never ran); compact() — lease-held, so
+    it cannot race a live delete_range — sweeps the orphan."""
+    import os
+
+    idx = MapIndex(
+        spark, "janitor", _mapper(), store,
+        doc_key="doc_id", auto_compact=False,
+    )
+    idx.build(
+        _docs_df(spark, [("d1", [("a", 1)])]), assume_unique=True
+    )
+    scratch = os.path.join(idx.root, ".delrange_keys")
+    os.makedirs(scratch)
+    with open(os.path.join(scratch, "orphan.parquet"), "w") as f:
+        f.write("crash residue")
+    idx.compact()
+    assert not os.path.exists(scratch)
+    assert _collect_rows(idx.scan()) == {("a", "d1", 0, 1)}
+
+
 def test_full_compact_of_fully_deleted_index_keeps_epoch_numbering(
     spark, store
 ):
