@@ -270,6 +270,7 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
 
     ops = ["update"] * 4 + ["delete_range"] * 2 + [
         "update_crash_retry",
+        "rebuild",
         "compact_full",
         "compact_newest",
         "compact_newest",
@@ -300,6 +301,15 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
             # only the retry's epoch is a valid snapshot point
             history = [(he, s) for he, s in history if he < e]
             history.append((_current_epoch(idx), dict(model)))
+        elif op == "rebuild":
+            # full rematerialization over an existing index: replaces
+            # every epoch, clears tombstones, resets the time-travel
+            # horizon (build docstring), and cascades as a downstream
+            # REBUILD (incremental == rebuild invariant, FIXTURES A.3)
+            model.clear()
+            batch2 = _apply_update(rng, model)
+            idx.build(_docs_df(spark, batch2), assume_unique=True)
+            history = [(_current_epoch(idx), dict(model))]
         elif op == "delete_range":
             if rng.random() < 0.3:
                 key = rng.choice(KEYS)
