@@ -50,6 +50,12 @@ def main() -> None:
         # Per-query isolation: one failing query must never abort the
         # run before the JSON line prints (the r4 bench died on the
         # LAST query and lost every completed measurement).
+        # Sub-second keys get one EXTRA repeat (VERDICT r11 #4):
+        # min-of-2 on a <1 s key is inside this box's run-to-run noise
+        # band (BASELINE.md's 5-run spread evidence: 31-37 of 48 keys
+        # move >±10 % between consecutive runs), which made untouched
+        # keys flag phantom 1.5-1.8× regressions round over round;
+        # min-of-3 costs ~15 s across the whole set and damps it.
         best = None
         try:
             for _ in range(repeat):
@@ -57,6 +63,10 @@ def main() -> None:
                 fn()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+            if repeat > 1 and best is not None and best < 1.0:
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             if best is None:

@@ -57,6 +57,14 @@ from level_mapreduce_spark.engine.query import Query, _contains_map
 
 _SEGMENTS = "segments"
 _TOMBSTONES = "tombstones"
+# staging area for intra-call scratch parquet (delete_range's doomed
+# key set): a NON-data sibling of segments/tombstones whose "_" prefix
+# Hadoop's default PathFilter also hides, so a reader listing the
+# index root can never ingest scratch and Spark logs no ignored-path
+# WARN about it. compact() janitor-sweeps crash orphans here — but
+# only at lease depth 1 (a reentrant fold inside delete_range may
+# still have live readers on it; ADVICE r11 high).
+_SCRATCH = "_scratch"
 
 # LSM maintenance thresholds (100 TB guard rails): past either, update()
 # folds epochs back to one — unbounded epoch/tombstone growth is the
@@ -1467,9 +1475,22 @@ class MapIndex:
         refreshed listing — silently empty (caught by
         tests/test_model.py's chained variant). A scratch file read is
         immune: its plan references only the scratch path.
+
+        Scratch lives under ``<root>/_scratch/`` — a non-data sibling
+        of segments/tombstones (the ``_`` prefix is additionally
+        Hadoop-hidden, like ``_SUCCESS``), so a reader listing the
+        index root can never ingest it and Spark logs no ignored-path
+        WARN. Ordering matters: the downstream feed is propagated
+        BEFORE the auto-compact block. Post-tombstone the feed is
+        identical pre/post compact (the doomed docs have no live
+        emits either way), and the reentrant ``_auto_fold`` →
+        ``compact()`` would otherwise janitor-sweep the scratch while
+        the feed plan still references it (ADVICE r11 high; regression
+        tests/test_durability.py::
+        test_delete_range_survives_reentrant_auto_fold).
         """
         self._recover_swap()
-        scratch = posixpath.join(self.root, ".delrange_keys")
+        scratch = posixpath.join(self.root, _SCRATCH, "delrange_keys")
         try:
             (
                 self.scan(start=start, end=end, key=key)
@@ -1490,6 +1511,12 @@ class MapIndex:
                 .parquet(self.tombstones_path)
             )
             self._tomb_bytes_cache = None
+            # downstream propagation consumes the feed eagerly (their
+            # update() writes are actions) while ``doomed`` is pinned —
+            # and BEFORE any reentrant fold can sweep the scratch
+            feed = self.changes_feed(doomed)
+            for down in self._downstreams:
+                down.update(feed, assume_unique=True)
             seg_eps = _list_epochs(self.spark, self.segments_path)
             tomb_eps = _list_epochs(self.spark, self.tombstones_path)
             self._set_compaction_due(seg_eps, tomb_eps)
@@ -1497,14 +1524,13 @@ class MapIndex:
                 self._auto_fold(seg_eps, tomb_eps)
             else:
                 self._refresh_views()
-            # downstream propagation consumes the feed eagerly (their
-            # update() writes are actions) while ``doomed`` is pinned
-            feed = self.changes_feed(doomed)
-            for down in self._downstreams:
-                down.update(feed, assume_unique=True)
             return n
         finally:
-            _delete_path(self.spark, scratch)
+            # sweep the whole staging dir, not just the child — an
+            # empty _scratch/ left behind is harmless (hidden) but
+            # pollutes listings; delete_range is the only writer here
+            # and writers are lease-serialized
+            _delete_path(self.spark, posixpath.join(self.root, _SCRATCH))
 
     def changes_feed(
         self, keys: DataFrame, broadcast_keys: bool | None = None
@@ -2278,11 +2304,16 @@ class MapIndex:
         """
         self._recover_swap()
         # janitor duty: a delete_range that died mid-call leaves its
-        # .delrange_keys scratch behind (its finally never ran); the
-        # lease serializes writers, so no delete_range is active here
-        _delete_path(
-            self.spark, posixpath.join(self.root, ".delrange_keys")
-        )
+        # _scratch staging behind (its finally never ran). The lease
+        # serializes writers ACROSS handles, but NOT this handle's own
+        # reentrant path — delete_range's _auto_fold calls compact()
+        # at depth 2 while its scratch may still be referenced — so
+        # only sweep when this compact() holds the OUTERMOST lease
+        # (ADVICE r11 high).
+        if self._lease_depth <= 1:
+            _delete_path(
+                self.spark, posixpath.join(self.root, _SCRATCH)
+            )
         epochs = _list_epochs(self.spark, self.segments_path)
         if max_epochs is not None and 0 < max_epochs < len(epochs):
             if tier not in ("oldest", "newest"):

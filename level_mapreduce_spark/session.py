@@ -61,5 +61,30 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() returning a PRE-EXISTING session silently ignores
+    # every static conf above (ADVICE r11): a probe that asked for
+    # spark.ui.enabled or retention confs would then crash on
+    # uiWebUrl=None or silently under-count spill. Fail loudly instead
+    # of mis-measuring — the caller must stop the existing session (or
+    # run in a fresh process) to get the confs it asked for.
+    requested = dict(extra_conf or {})
+    if os.environ.get("SPARK_GRAFT_UI"):
+        requested["spark.ui.enabled"] = os.environ["SPARK_GRAFT_UI"]
+    stale = {}
+    for k, v in requested.items():
+        try:
+            got = spark.conf.get(k)
+        except Exception:
+            got = None
+        if got is not None and str(got).lower() != str(v).lower():
+            stale[k] = (v, got)
+    if stale:
+        raise RuntimeError(
+            "get_spark(): getOrCreate() returned an existing "
+            "SparkSession whose static conf does not match the "
+            f"request {stale} (requested, effective). Static confs "
+            "cannot change on a live session — stop it first "
+            "(spark.stop()) or run in a fresh process."
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

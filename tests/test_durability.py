@@ -1747,3 +1747,197 @@ def test_release_refuses_to_delete_unreadable_lock(spark, store):
     # the lock survived the refused release; a recovered store clears it
     assert idx._read_lock() is not None
     assert idx.break_lease() is True
+
+
+def _rekey_downstream(spark, store, name):
+    """Piped downstream that re-keys every upstream emit by_<key> —
+    the replication shape (reference index.js:250-253)."""
+    mapper = ExprMapper(
+        F.transform(
+            F.col("value"),
+            lambda p: F.struct(
+                F.concat(F.lit("by_"), p["index_key"]).alias("index_key"),
+                p["value"].alias("value"),
+            ),
+        ),
+        value_type=T.DoubleType(),
+    )
+    return MapIndex(spark, name, mapper, store)
+
+
+def test_delete_range_survives_reentrant_auto_fold(spark, store, monkeypatch):
+    """ADVICE r11 (high): delete_range with auto_compact=True (the
+    default) can trip _set_compaction_due and reentrantly run
+    compact() via _auto_fold — whose janitor used to sweep the
+    .delrange_keys scratch WHILE the downstream feed still referenced
+    it. Evaluation in down.update() then read a deleted path after the
+    tombstones were already committed, so chained downstreams
+    permanently missed the deletions. The fix propagates the feed
+    BEFORE the maintenance block (post-tombstone, the feed is
+    identical pre/post compact) and makes the janitor skip the sweep
+    under a reentrant lease."""
+    from level_mapreduce_spark.engine import index as index_mod
+
+    idx = kv_index(spark, store, "drf_up")  # auto_compact defaults True
+    down = _rekey_downstream(spark, store, "drf_down")
+    idx.pipe(down)
+    rows = [
+        {"doc_key": f"d{i}", "k": f"k{i}", "v": float(i)} for i in range(6)
+    ]
+    idx.build(kv_df(spark, rows), assume_unique=True)
+    assert live_rows(down) == sorted(
+        (f"d{i}", f"by_k{i}", float(i)) for i in range(6)
+    )
+
+    # force tombstone byte pressure so delete_range's _set_compaction_due
+    # fires and _auto_fold escalates to the FULL reentrant compact()
+    monkeypatch.setattr(index_mod, "TOMBSTONE_BROADCAST_BYTES", 1)
+    assert idx.delete_range(start="k0", end="k3") == 3
+
+    # upstream dropped d0-d2 (and the reentrant fold actually ran:
+    # everything reclaimed into one epoch, tombstones gone)
+    assert live_rows(idx) == sorted(
+        (f"d{i}", f"k{i}", float(i)) for i in range(3, 6)
+    )
+    assert len(_epochs(idx)) == 1
+    assert not _tomb_epochs(idx)
+    # THE regression: the downstream received the deletion feed
+    assert live_rows(down) == sorted(
+        (f"d{i}", f"by_k{i}", float(i)) for i in range(3, 6)
+    )
+    # scratch staging is gone (finally swept it), nothing under root
+    # that a reader listing the index could ingest
+    import os
+
+    leftovers = [
+        p
+        for p in os.listdir(idx.root)
+        if not p.startswith(("_", "."))
+        and p not in ("segments", "tombstones")
+    ]
+    assert leftovers == [], leftovers
+
+
+_RACE_CHILD = r'''
+"""Second-OS-process writer for the cross-process lease race test:
+own SparkSession, same store. Protocol via marker files:
+writes <m>/acquired once the lease is held, waits for <m>/go_release,
+then updates (reentrant under the held lease), releases, exits 0."""
+import os
+import sys
+import time
+
+sys.path.insert(0, sys.argv[4])
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from level_mapreduce_spark import ExprMapper, MapIndex, get_spark
+
+store, name, markers, repo = sys.argv[1:5]
+spark = get_spark(app_name="lease-race-child", master="local[2]")
+mapper = ExprMapper.of((F.col("k"), F.col("v")), value_type=T.DoubleType())
+idx = MapIndex(spark, name, mapper, store)
+idx._acquire_lease()
+try:
+    with open(os.path.join(markers, "acquired"), "w") as f:
+        f.write(idx._writer_id)
+    deadline = time.time() + 120
+    while not os.path.exists(os.path.join(markers, "go_release")):
+        if time.time() > deadline:
+            raise TimeoutError("parent never signaled go_release")
+        time.sleep(0.2)
+    # mutate while holding (reentrant acquire inside update)
+    idx.update(
+        spark.createDataFrame(
+            [("d_child", "child", 777.0, False, 0)],
+            "doc_key string, k string, v double, deleted boolean, seq long",
+        ),
+        assume_unique=True,
+    )
+finally:
+    idx._release_lease()
+spark.stop()
+'''
+
+
+def test_multiprocess_lease_race(spark, store, tmp_path):
+    """VERDICT r11 #3: the single-writer lease enforced ACROSS OS
+    processes through the real store — not faked store objects. A
+    second process (own SparkSession, same store) acquires, and while
+    its heartbeat is live this session's handle must lose with the
+    typed ConcurrentWriterError on BOTH a writer op and a guarded
+    break_lease; after the child releases, this session wins the
+    lease and observes the child's committed update. (Reference
+    anchor: the in-process mutex this replaces, index.js:114.)"""
+    import subprocess
+    import sys
+    import time
+
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
+    idx = kv_index(spark, store, "race")
+    idx.build(
+        kv_df(spark, [{"doc_key": "d1", "k": "a", "v": 1.0}]),
+        assume_unique=True,
+    )
+
+    markers = str(tmp_path / "markers")
+    os.makedirs(markers)
+    script = str(tmp_path / "race_child.py")
+    with open(script, "w") as f:
+        f.write(_RACE_CHILD)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEMORY="2g",
+        SPARK_SHUFFLE_PARTITIONS="4",
+    )
+    env.pop("SPARK_GRAFT_CPUS", None)
+    env.pop("SPARK_GRAFT_UI", None)
+    child = subprocess.Popen(
+        [sys.executable, script, store, "race", markers, repo],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.time() + 180  # child pays full JVM start-up
+        while not os.path.exists(os.path.join(markers, "acquired")):
+            assert child.poll() is None, (
+                "child died before acquiring:\n"
+                + child.stdout.read().decode(errors="replace")[-3000:]
+            )
+            assert time.time() < deadline, "child never acquired"
+            time.sleep(0.2)
+
+        # loser semantics while the other PROCESS holds the lease
+        try:
+            idx.update(
+                kv_df(spark, [{"doc_key": "d2", "k": "b", "v": 2.0}])
+            )
+            raise AssertionError("expected ConcurrentWriterError")
+        except ConcurrentWriterError as e:
+            assert "race" in str(e)
+        # its heartbeat is fresh, so a guarded break refuses too
+        try:
+            idx.break_lease(min_dead_secs=3600.0)
+            raise AssertionError("expected ConcurrentWriterError")
+        except ConcurrentWriterError:
+            pass
+
+        with open(os.path.join(markers, "go_release"), "w") as f:
+            f.write("go")
+        out, _ = child.communicate(timeout=180)
+        assert child.returncode == 0, out.decode(errors="replace")[-3000:]
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.communicate()
+
+    # lease is free again: this session wins and sees the child's write
+    idx.update(kv_df(spark, [{"doc_key": "d2", "k": "b", "v": 2.0}]))
+    assert live_rows(idx) == [
+        ("d1", "a", 1.0),
+        ("d2", "b", 2.0),
+        ("d_child", "child", 777.0),
+    ]

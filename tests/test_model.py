@@ -179,20 +179,30 @@ def _down_flatten(model):
     }
 
 
-# the suite pins two seeds (one plain, one chained) to bound runtime;
-# extended hunts add more via LMR_MODEL_SEEDS=100,101,... (all chained
-# — the piped-replica variant has strictly more moving parts)
-_CASES = [(7, False), (23, True)] + [
-    (int(s), True)
+# the suite pins three seeds (plain / chained / chained+auto_compact)
+# to bound runtime; extended hunts add more via
+# LMR_MODEL_SEEDS=100,101,... (all chained+auto — strictly the most
+# moving parts: piped replica + inline reentrant folds). The auto
+# variant monkeypatches the fold thresholds to 1-byte tombstone
+# pressure, so EVERY mutation runs the reentrant _auto_fold →
+# compact() path inside update()/delete_range() — the interleaving
+# ADVICE r11 (high) flagged as uncovered (the janitor sweeping
+# delete_range's live scratch).
+_CASES = [(7, False, False), (23, True, False), (41, True, True)] + [
+    (int(s), True, True)
     for s in os.environ.get("LMR_MODEL_SEEDS", "").split(",")
     if s.strip()
 ]
 
 
 def test_compact_sweeps_crash_orphaned_delete_range_scratch(spark, store):
-    """A delete_range that dies mid-call leaves .delrange_keys under
-    the index root (its finally never ran); compact() — lease-held, so
-    it cannot race a live delete_range — sweeps the orphan."""
+    """A delete_range that dies mid-call leaves _scratch/delrange_keys
+    under the index root (its finally never ran); an OUTERMOST
+    compact() — lease-held, so no other handle's delete_range can be
+    live — sweeps the orphan. A REENTRANT compact (lease depth > 1,
+    i.e. called from inside delete_range's own _auto_fold) must NOT
+    sweep: the outer call may still hold a reader on the scratch
+    (ADVICE r11 high)."""
     import os
 
     idx = MapIndex(
@@ -202,12 +212,30 @@ def test_compact_sweeps_crash_orphaned_delete_range_scratch(spark, store):
     idx.build(
         _docs_df(spark, [("d1", [("a", 1)])]), assume_unique=True
     )
-    scratch = os.path.join(idx.root, ".delrange_keys")
+    scratch = os.path.join(idx.root, "_scratch", "delrange_keys")
     os.makedirs(scratch)
     with open(os.path.join(scratch, "orphan.parquet"), "w") as f:
         f.write("crash residue")
+
+    # scratch is invisible to a reader listing the index root: both
+    # path components are "_"/"." prefixed (Hadoop-hidden), so only
+    # the real data dirs are exposed
+    visible = [
+        p for p in os.listdir(idx.root) if not p.startswith(("_", "."))
+    ]
+    assert set(visible) <= {"segments", "tombstones"}, visible
+
+    # reentrant compact (depth 2) leaves the scratch alone
+    idx._acquire_lease()
+    try:
+        idx.compact()
+        assert os.path.exists(scratch)
+    finally:
+        idx._release_lease()
+
+    # outermost compact sweeps it
     idx.compact()
-    assert not os.path.exists(scratch)
+    assert not os.path.exists(os.path.join(idx.root, "_scratch"))
     assert _collect_rows(idx.scan()) == {("a", "d1", 0, 1)}
 
 
@@ -238,16 +266,46 @@ def test_full_compact_of_fully_deleted_index_keeps_epoch_numbering(
     assert _collect_rows(idx.scan()) == {("c", "d3", 0, 3)}
 
 
-@pytest.mark.parametrize("seed,chained", _CASES)
-def test_random_ops_match_dict_model(spark, store, seed, chained):
+def _second_handle(spark, store, seed):
+    """A separate MapIndex handle on the SAME stored index — the
+    'another process's scheduled maintenance' actor (folds are
+    lease-serialized across handles, reads need no lease)."""
+    return MapIndex(
+        spark,
+        f"model{seed}",
+        _mapper(),
+        store,
+        doc_key="doc_id",
+        auto_compact=False,
+    )
+
+
+@pytest.mark.parametrize("seed,chained,auto", _CASES)
+def test_random_ops_match_dict_model(
+    spark, store, seed, chained, auto, monkeypatch
+):
+    from level_mapreduce_spark.engine import index as index_mod
+    from level_mapreduce_spark.engine.index import ConcurrentWriterError
+
     rng = random.Random(seed)
+    if auto:
+        # 1-byte tombstone pressure: every mutation that writes a
+        # tombstone epoch (all updates; every non-empty delete_range)
+        # trips _set_compaction_due and runs the REENTRANT
+        # _auto_fold -> compact_tombstones -> compact() chain inside
+        # the op itself — for the upstream AND the piped replica
+        monkeypatch.setattr(index_mod, "TOMBSTONE_BROADCAST_BYTES", 1)
+        monkeypatch.setattr(index_mod, "AUTO_COMPACT_EPOCHS", 4)
     idx = MapIndex(
         spark,
         f"model{seed}",
         _mapper(),
         store,
         doc_key="doc_id",
-        auto_compact=False,  # the test schedules every fold itself
+        # auto=False: the test schedules every fold itself (and owns
+        # the time-travel horizon bookkeeping); auto=True: folds also
+        # happen inline mid-op, reentrant under the op's own lease
+        auto_compact=auto,
     )
     down = None
     if chained:
@@ -276,6 +334,8 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
         "compact_newest",
         "compact_oldest",
         "compact_tombstones",
+        "second_handle_fold",
+        "lease_interference",
     ]
     for step in range(12):
         op = rng.choice(ops)
@@ -349,6 +409,34 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
                 for e, s in history
                 if e >= hi_e or (tier == "newest" and e < lo_e)
             ]
+        elif op == "second_handle_fold":
+            # another process's scheduled full fold lands BETWEEN this
+            # handle's ops: a reader handle must see a consistent
+            # pre-fold state, the fold must be lease-clean, and THIS
+            # handle's next ops must detect the cross-handle fold
+            # (stale _seg_bytes_by_epoch cache drop) and re-resolve
+            # listings post-swap
+            other = _second_handle(spark, store, seed)
+            assert _collect_rows(other.scan()) == _flatten(model)
+            hi = _current_epoch(idx)
+            other.compact()
+            history = [(e, s) for e, s in history if e >= hi]
+        elif op == "lease_interference":
+            # a live writer's fresh-heartbeat lease refuses BOTH a
+            # second-handle writer op (single-writer invariant) and a
+            # guarded break_lease (liveness proof) — and the refused
+            # interference leaves the lease fully usable
+            other = _second_handle(spark, store, seed)
+            idx._acquire_lease()
+            try:
+                with pytest.raises(ConcurrentWriterError):
+                    other.update(_docs_df(spark, [("d00", [("a", 1)])]))
+                with pytest.raises(ConcurrentWriterError):
+                    other.break_lease(min_dead_secs=3600.0)
+            finally:
+                idx._release_lease()
+            idx.update(_docs_df(spark, _apply_update(rng, model)))
+            history.append((_current_epoch(idx), dict(model)))
         else:  # compact_tombstones
             idx.compact_tombstones()
             tombs = idx.stats()["tombstone_epochs"]
@@ -359,6 +447,12 @@ def test_random_ops_match_dict_model(spark, store, seed, chained):
                 history = [
                     (e, s) for e, s in history if e >= max(tombs)
                 ]
+        if auto:
+            # inline folds can retire older snapshots mid-op; the
+            # non-auto variants own the time-travel horizon checks —
+            # here keep only the newest snapshot (always valid: every
+            # fold tier preserves the fold-target epoch)
+            history = history[-1:]
         history = history[-3:]  # bound the per-step re-check cost
         _check_current(rng, idx, model)
         _check_history(idx, history)
