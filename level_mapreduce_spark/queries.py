@@ -499,6 +499,15 @@ def q_group_collect(spark, sf_dir):
         "key",
         csv(F.col("results")).alias("results_csv"),
     )
+    # the hot-key skew guard (VERDICT r11 #6): keep only the FIRST 3
+    # values per key in the documented (doc_key, emit_pos) truncation
+    # order — WindowGroupLimit pre-truncates map-side, so the full
+    # per-key array never exists anywhere in the plan
+    limited = idx.query().group(limit_per_key=3).df.select(
+        F.lit("limit3").alias("variant"),
+        "key",
+        csv(F.col("results")).alias("results_csv"),
+    )
     top = topk_per_key(
         idx.read(),
         "index_key",
@@ -541,7 +550,10 @@ def q_group_collect(spark, sf_dir):
         "finish_py",
     )
     return (
-        grouped.unionByName(topk_rows).unionByName(expr).unionByName(pyfn)
+        grouped.unionByName(topk_rows)
+        .unionByName(limited)
+        .unionByName(expr)
+        .unionByName(pyfn)
     )
 
 
@@ -2956,6 +2968,22 @@ ORACLES: dict[str, str] = {
                  v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
                ',')
       FROM ranked WHERE rk <= 3 GROUP BY key
+      UNION ALL
+      SELECT 'limit3', key,
+             array_to_string(
+               list_transform(
+                 list(v ORDER BY dk),
+                 v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
+               ',')
+      FROM (
+        SELECT o_orderpriority AS key, o_totalprice AS v,
+               CAST(o_orderkey AS VARCHAR) AS dk,
+               row_number() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY CAST(o_orderkey AS VARCHAR)
+               ) AS rk
+        FROM orders
+      ) WHERE rk <= 3 GROUP BY key
       UNION ALL
       SELECT 'finish_expr', o_orderpriority,
              CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
