@@ -8,6 +8,10 @@ rescans the corpus — the same claim the main-index churn curve makes
 for the stored-map write path (BASELINE.md).
 
 Usage: python scripts/ann_churn_probe.py [sf_dir] [n_batches]
+
+HISTORICAL (r6): answered "is stored-IVFPQ incremental maintenance
+flat in corpus size?" — findings recorded in BASELINE.md r6 appendix.
+Still runnable; re-run only if the IVFPQ update path changes.
 """
 
 from __future__ import annotations

@@ -27,6 +27,10 @@ Usage::
     python scripts/churn_probe.py [sf_dir] [n_batches]
 
 Defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 24 batches.
+
+HISTORICAL (r5, partial mode r9): answered "is update() O(changed
+docs) and partial-fold IO bounded by the folded epochs' bytes?" —
+findings in BASELINE.md. Re-run only if epoch write/fold paths change.
 """
 
 from __future__ import annotations

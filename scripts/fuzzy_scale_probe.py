@@ -18,6 +18,10 @@ measures at each scale:
   <= dim rows per doc after the partial agg).
 
 Usage: python scripts/fuzzy_scale_probe.py [sf_dir] [scales...]
+
+HISTORICAL (r8): arbitrated PassJoin vs q-gram blocking for
+edit_distance_pairs (PassJoin won, 18x). Superseded for exponents by
+scale_probe.py; re-run only if the fuzzy blocking scheme changes.
 """
 
 from __future__ import annotations

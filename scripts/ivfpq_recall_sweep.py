@@ -9,6 +9,10 @@ round; the pytest floor (tests/test_pq.py) asserts the monotone shape
 and minimum recall so regressions fail loudly.
 
 Usage: python scripts/ivfpq_recall_sweep.py [sf_dir] [n_probes]
+
+HISTORICAL (r7): answered "recall@10 vs nprobe x residual flag" for
+the stored IVFPQ defaults (residual=True, nprobe curve in BASELINE.md
+r7 appendix). Re-run only if PQ training or cell assignment changes.
 """
 
 from __future__ import annotations

@@ -14,6 +14,11 @@ Usage::
 
 Defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 3 repeats.
 Prints one JSON line: {"keys": {name: {"runs": [...], "min": s}}, ...}.
+
+HISTORICAL (r7): quiet-box min-of-3 arbitration of the r7 bench
+movers (band/ivfpq build regressions — verdict: first-run codegen,
+fixed by min-of-2 in bench.py). Methodology superseded by bench.py's
+warmup + sub-second min-of-3; do not re-run for new arbitrations.
 """
 
 from __future__ import annotations

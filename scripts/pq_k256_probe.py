@@ -24,6 +24,10 @@ This probe measures, for k in {64, 256} at sf0.1:
 
 Usage:: python scripts/pq_k256_probe.py [sf_dir]
 Prints one JSON line.
+
+HISTORICAL (r8): arbitrated literal-codebook vs broadcast-join ADC
+scoring at k=256 (cutover _PQ_LITERAL_MAX_DOUBLES=8192 chosen).
+Re-run only if the PQ serve/encode fork or the cutover constant moves.
 """
 
 from __future__ import annotations

@@ -33,6 +33,10 @@ Usage::
     python scripts/skew_probe.py [sf_dir] [replication]
 
 Defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 20x.
+
+HISTORICAL (r9): answered "does a zipfian key load break group()/
+count_by_key()?" (verdict: partial agg absorbs it; limit_per_key
+guards the collect form). Re-run only if the group/agg plans change.
 """
 
 from __future__ import annotations
