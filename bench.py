@@ -38,7 +38,14 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark(app_name="lmr-bench")
+    # SPARK_GRAFT_UI=true adds whole-run spill totals to the JSON (the
+    # r12 sf1.0 scale pass); retention must exceed the run's stage
+    # count or the REST sums silently undercount
+    ui = os.environ.get("SPARK_GRAFT_UI", "").lower() == "true"
+    spark = get_spark(
+        app_name="lmr-bench",
+        extra_conf={"spark.ui.retainedStages": "100000"} if ui else None,
+    )
     store = tempfile.mkdtemp(prefix="lmr_bench_")
     times: dict[str, float] = {}
 
@@ -87,6 +94,26 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if ui:
+        try:
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+                app_id = json.load(r)[0]["id"]
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages"
+            ) as r:
+                stages = json.load(r)
+            summary["spill_mem_mb"] = round(
+                sum(s.get("memoryBytesSpilled", 0) for s in stages) / 1e6, 1
+            )
+            summary["spill_disk_mb"] = round(
+                sum(s.get("diskBytesSpilled", 0) for s in stages) / 1e6, 1
+            )
+            summary["n_stages"] = len(stages)
+        except Exception as e:  # noqa: BLE001 — spill is best-effort
+            errors["__spill__"] = f"{type(e).__name__}: {e}"[:200]
     if errors:
         summary["errors"] = errors
     print(json.dumps(summary))
