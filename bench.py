@@ -243,6 +243,16 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     timed("text_stats", lambda: materialize(text_stats(docs)))
     timed("tfidf", lambda: materialize(tfidf(docs)))
 
+    from level_mapreduce_spark.operators.bpe import bpe_encode, train_bpe
+
+    def bpe_train_encode():
+        # full pipeline: distributed word-count pass -> bounded-head
+        # driver merge loop -> Arrow-batched corpus encode (r12 key)
+        merges = train_bpe(docs, num_merges=200, max_words=20_000)
+        materialize(bpe_encode(docs, merges))
+
+    timed("bpe_train_encode", bpe_train_encode)
+
     from level_mapreduce_spark.operators.text import bm25_topk
 
     timed(
