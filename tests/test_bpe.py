@@ -197,6 +197,52 @@ def test_bpe_plans(spark):
     assert "Exchange" not in enc_plan
 
 
+# ---- hypothesis properties: the incremental trainer's bookkeeping ----
+# (pure-Python, no Spark session — these run in milliseconds)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.lists(
+    st.tuples(
+        st.text(alphabet="ab c", min_size=0, max_size=8),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORDS, st.integers(min_value=0, max_value=25),
+       st.integers(min_value=1, max_value=3))
+def test_trainer_equals_naive_prop(counts, num_merges, min_pair_freq):
+    """The incremental pair-count maintenance (touch only affected
+    words, stale where-set indices re-verified, merged pair retired)
+    is observationally identical to recounting every pair from
+    scratch each round — over random tiny corpora including repeated
+    words, single chars, spaces-in-words, empty strings, and hapax
+    cutoffs."""
+    got = train_bpe_from_counts(
+        counts, num_merges=num_merges, min_pair_freq=min_pair_freq
+    )
+    want = naive_train(counts, num_merges, min_pair_freq)
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(_WORDS, st.integers(min_value=0, max_value=25))
+def test_encode_lossless_prop(counts, num_merges):
+    """encode_word is lossless (token concat == word) under ANY merge
+    table the trainer can produce, for every word in the corpus that
+    trained it."""
+    merges = train_bpe_from_counts(counts, num_merges=num_merges,
+                                   min_pair_freq=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in counts:
+        assert "".join(encode_word(w, ranks)) == w
+
+
 if __name__ == "__main__":
     import sys
 
