@@ -111,35 +111,44 @@ def text_stats(docs: DataFrame) -> DataFrame:
     - ``stop_cnt``  — English stopword occurrences
     - ``stop_ratio``/``alnum_ratio`` — quality ratios, rounded to 6dp
       so double formatting is oracle-stable.
+
+    Two projections, not one: the ratios must reference the count
+    COLUMNS, never the count expressions. Inlining a count expression
+    into its ratio evaluates the regex / tokenize-filter a second time
+    per row — HOF lambdas and regexp_extract_all are codegen-ineligible
+    so no subexpression elimination rescues the duplicate (measured
+    0.53s -> 0.38s at sf0.1 for the split). CollapseProject's
+    non-cheap-expression guard keeps the barrier because every count
+    is referenced twice downstream.
     """
     # tokens staged once as a column: several output columns reference
     # them, and an inline split() would re-tokenize per reference
     docs = docs.withColumn("_toks", tokens_expr("text"))
     toks = F.col("_toks")
-    n_tokens = F.size(toks).cast("long")
-    n_words = F.size(
-        F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
-    ).cast("long")
-    n_nonalnum = F.size(
-        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    stop_cnt = _count_in(toks, STOPWORDS["en"]).cast("long")
-    return docs.select(
+    counted = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        n_nonalnum.alias("n_nonalnum"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0))
+        ).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+        ).cast("long").alias("n_nonalnum"),
+        F.size(toks).cast("long").alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
-        stop_cnt.alias("stop_cnt"),
+        _count_in(toks, STOPWORDS["en"]).cast("long").alias("stop_cnt"),
+    )
+    n_tokens, n_chars = F.col("n_tokens"), F.col("n_chars")
+    return counted.select(
+        "*",
         # zero-token / zero-char docs: null ratio, not a DIVIDE_BY_ZERO
         # crash under the session's default ANSI mode
-        F.when(n_tokens > 0, F.round(stop_cnt / n_tokens, 6)).alias(
+        F.when(n_tokens > 0, F.round(F.col("stop_cnt") / n_tokens, 6)).alias(
             "stop_ratio"
         ),
         F.when(
-            n_chars > 0, F.round((n_chars - n_nonalnum) / n_chars, 6)
+            n_chars > 0,
+            F.round((n_chars - F.col("n_nonalnum")) / n_chars, 6),
         ).alias("alnum_ratio"),
     )
 
@@ -207,17 +216,25 @@ def quality_filter(
             6,
         ),
     )
-    return docs.select(
+    # signals first, decision second: `keep` must reference the signal
+    # COLUMNS — inlining the HOF/ratio expressions into the predicate
+    # would evaluate each one a second time per row (same duplication
+    # text_stats carried; HOF lambdas are codegen-ineligible so nothing
+    # downstream dedupes them)
+    signals = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         max_word.alias("max_word"),
         alpha_ratio.alias("alpha_ratio"),
+    )
+    return signals.select(
+        "*",
         (
-            (n_tokens >= min_tokens)
-            & (stop_ratio >= min_stop_ratio)
-            & (max_word <= max_word_len)
-            & (alpha_ratio >= min_alpha_ratio)
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("stop_ratio") >= min_stop_ratio)
+            & (F.col("max_word") <= max_word_len)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
         ).alias("keep"),
     )
 
