@@ -180,6 +180,42 @@ def train_bpe(
     )
 
 
+BPE_SIDECAR = "bpe.json"
+
+
+def store_bpe_merges(
+    idx, merges: list[Pair], lowercase: bool = True, name: str = BPE_SIDECAR
+) -> None:
+    """Persist a learned merge table as a JSON sidecar beside a stored
+    index (same lifecycle as the IVFPQ codebooks: train once, serve
+    from any fresh session, survive compact()'s directory swap). The
+    ``lowercase`` flag travels with the merges — encoding with the
+    wrong case-folding silently produces out-of-vocab symbol streams,
+    the BPE analogue of probing an IVFPQ index with the wrong residual
+    flag. ``idx`` is any MapIndex handle (duck-typed put_sidecar)."""
+    idx.put_sidecar(
+        {
+            "type": "bpe",
+            "lowercase": bool(lowercase),
+            "merges": [[a, b] for a, b in merges],
+        },
+        name=name,
+    )
+
+
+def load_bpe_merges(idx, name: str = BPE_SIDECAR) -> tuple[list[Pair], bool]:
+    """Reload ``(merges, lowercase)`` from the sidecar written by
+    :func:`store_bpe_merges`; refuses handles without one (an encode
+    against silently-empty merges would emit character streams)."""
+    meta = idx.get_sidecar(name=name)
+    if meta is None or meta.get("type") != "bpe":
+        raise ValueError(
+            f"no BPE sidecar '{name}' under {idx.root}; was it stored "
+            "with store_bpe_merges?"
+        )
+    return [(a, b) for a, b in meta["merges"]], bool(meta["lowercase"])
+
+
 def merges_df(spark, merges: list[Pair]) -> DataFrame:
     """The learned merge table as ``(rank, left, right)`` — the
     storable/joinable artifact (write it next to the corpus the way

@@ -873,7 +873,70 @@ def q_text_profile(spark, sf_dir):
         F.lit("").alias("s1"),
         F.col("keep").alias("b1"),
     )
-    return stats.unionByName(lang).unionByName(quality)
+    # BPE gate variants (r13, VERDICT r12 #2): the trainer's merge
+    # choice is SQL-inexpressible, so the oracle gates the parts that
+    # ARE and pins the rest through invariants the oracle states as
+    # literals (the shaped-gate pattern sketch_range_estimate uses):
+    #   bpe        per doc — n1 = pre-token count (exact SQL),
+    #              n2 = length of the encoded-token concatenation and
+    #              s1 = the concatenation itself: equal to the
+    #              pre-token concatenation IFF encoding is lossless
+    #              (merges only ever join adjacent symbols within one
+    #              pre-token), which the oracle computes directly from
+    #              lower(text); b1 = Spark-side monotonicity bit
+    #              (pretokens <= encoded tokens <= encoded chars) the
+    #              oracle asserts as TRUE.
+    #   bpe_words  the trainer's ONE distributed stage (word_counts)
+    #              gated exactly: per distinct pre-token, n1 = corpus
+    #              frequency, s1 = the pre-token (doc_id = -1: these
+    #              are corpus-level rows).
+    from level_mapreduce_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+        word_counts,
+    )
+
+    merges = train_bpe(docs, num_merges=200, max_words=20_000)
+    pre_cnt = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(tx.BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).cast("long").alias("n_pre"),
+    )
+    enc = bpe_encode(docs, merges).join(pre_cnt, "doc_id")
+    joined = F.array_join("tokens", "")
+    bpe = enc.select(
+        F.lit("bpe").alias("variant"),
+        "doc_id",
+        F.col("n_pre").alias("n1"),
+        F.length(joined).cast("long").alias("n2"),
+        *[zero.alias(c) for c in ("n3", "n4", "n5", "n6")],
+        F.lit(0.0).alias("r1"),
+        F.lit(0.0).alias("r2"),
+        joined.alias("s1"),
+        (
+            (F.col("n_tokens") >= F.col("n_pre"))
+            & (F.col("n_tokens") <= F.length(joined))
+        ).alias("b1"),
+    )
+    bpe_w = word_counts(docs).select(
+        F.lit("bpe_words").alias("variant"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("count").cast("long").alias("n1"),
+        *[zero.alias(c) for c in ("n2", "n3", "n4", "n5", "n6")],
+        F.lit(0.0).alias("r1"),
+        F.lit(0.0).alias("r2"),
+        F.col("word").alias("s1"),
+        F.lit(False).alias("b1"),
+    )
+    return (
+        stats.unionByName(lang)
+        .unionByName(quality)
+        .unionByName(bpe)
+        .unionByName(bpe_w)
+    )
 
 
 def q_text_clean(spark, sf_dir):
@@ -2840,6 +2903,9 @@ def _text_profile_sql() -> str:
     max_word = (
         f"coalesce(list_max(list_transform({_TOKS}, t -> length(t))), 0)"
     )
+    # DuckDB string literal for the shared GPT-2-style pre-token regex
+    # (single quotes doubled) — one source of truth with the Spark side
+    _BPE_RE_SQL = "'" + tx.BPE_PRETOKEN_RE.replace("'", "''") + "'"
     alpha = f"round(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) / len({_TOKS}), 6)"
     return f"""
       SELECT 'stats' AS variant, CAST(doc_id AS BIGINT) AS doc_id,
@@ -2871,6 +2937,34 @@ def _text_profile_sql() -> str:
               AND {max_word} <= 50
               AND {alpha} >= 0.6)
       FROM documents
+      UNION ALL
+      -- bpe: the oracle computes the PRE-token side from lower(text);
+      -- Spark emits the ENCODED side. They agree iff BPE encoding is
+      -- lossless (concat of tokens == concat of pre-tokens), which
+      -- gates the whole train->broadcast->encode path content-exactly.
+      -- b1 restates Spark's monotonicity bit as the literal it must be.
+      SELECT 'bpe', CAST(doc_id AS BIGINT),
+             CAST(len(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS BIGINT),
+             CAST(length(array_to_string(
+               regexp_extract_all(lower(text), {_BPE_RE_SQL}), ''
+             )) AS BIGINT),
+             {z4},
+             0.0, 0.0,
+             array_to_string(regexp_extract_all(lower(text), {_BPE_RE_SQL}), ''),
+             true
+      FROM documents
+      UNION ALL
+      -- bpe_words: word_counts (the trainer's one distributed stage)
+      -- gated exactly — per distinct pre-token, corpus frequency
+      SELECT 'bpe_words', CAST(-1 AS BIGINT),
+             CAST(count(*) AS BIGINT),
+             {z5},
+             0.0, 0.0, word, false
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(text), {_BPE_RE_SQL})) AS word
+        FROM documents
+      )
+      GROUP BY word
     """
 
 

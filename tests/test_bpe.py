@@ -176,6 +176,57 @@ def test_merges_df_roundtrip(spark):
     assert back == merges
 
 
+def test_bpe_sidecar_lifecycle(spark, tmp_path):
+    """Stored-artifact lifecycle (the pq.py codebook contract): train
+    once, store the merges as a sidecar beside a real index, reload
+    from a FRESH handle with no retraining, encode identically — and
+    the sidecar must survive churn (update) and compact()'s directory
+    swap. A handle without the sidecar must refuse loudly."""
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.bpe import (
+        load_bpe_merges,
+        store_bpe_merges,
+    )
+    from level_mapreduce_spark.operators.text import inverted_index_mapper
+
+    store = str(tmp_path)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = MapIndex(
+        spark, "bpe_vocab_host", inverted_index_mapper(), store,
+        doc_key="doc_id",
+    )
+    idx.build(docs, assume_unique=True)
+    merges = train_bpe(docs, num_merges=40, max_words=5_000)
+    assert merges
+    store_bpe_merges(idx, merges, lowercase=True)
+
+    fresh = MapIndex(
+        spark, "bpe_vocab_host", inverted_index_mapper(), store,
+        doc_key="doc_id",
+    )
+    got, lower = load_bpe_merges(fresh)
+    assert got == merges and lower is True
+    a = bpe_encode(docs, merges).orderBy("doc_id").collect()
+    b = bpe_encode(docs, got, lowercase=lower).orderBy("doc_id").collect()
+    assert a == b
+
+    # churn + compact: sidecars sit beside segments/ and must survive
+    churn = docs.limit(5).withColumn(
+        "text", F.concat(F.lit("changed "), F.col("text"))
+    )
+    idx.update(churn, assume_unique=True)
+    idx.compact()
+    got2, _ = load_bpe_merges(fresh)
+    assert got2 == merges
+
+    bare = MapIndex(
+        spark, "bpe_no_sidecar", inverted_index_mapper(), store,
+        doc_key="doc_id",
+    )
+    with pytest.raises(ValueError, match="no BPE sidecar"):
+        load_bpe_merges(bare)
+
+
 def test_bpe_plans(spark):
     """Scale-shape pins: word_counts partial-aggregates map-side and
     stays JVM-only; bpe_encode's Python hop is Arrow-batched (never
