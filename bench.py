@@ -99,8 +99,10 @@ def main() -> None:
             import urllib.request
 
             base = spark.sparkContext.uiWebUrl
-            with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
-                app_id = json.load(r)[0]["id"]
+            # THIS run's app id, not applications[0] (ADVICE r12): the
+            # list index mis-attributes stages if the REST endpoint
+            # ever serves more than one application
+            app_id = spark.sparkContext.applicationId
             with urllib.request.urlopen(
                 f"{base}/api/v1/applications/{app_id}/stages"
             ) as r:

@@ -45,6 +45,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scale-aware shuffle width: AQE can only COALESCE a plain
+        # agg/join exchange, never split it, so the pre-AQE width is a
+        # hard parallelism/partition-size ceiling — on a 100 TB
+        # cluster set SPARK_INITIAL_PARTITIONS wide (~input-bytes /
+        # advisory-size) and AQE right-sizes every exchange DOWN by
+        # bytes. The default stays = shuffle width: the r13 A/B
+        # (scripts/tfidf_scale_probe.py + full bench both widths)
+        # measured initial=8x ncores COSTING 1.5 s across the sf0.1
+        # set (3x on sub-second sketch-rollup folds — 256 map-side
+        # buckets of overhead on KB-sized shuffles) while the feared
+        # sf1.0 agg exponent was ALREADY sublinear at fixed width
+        # (tfidf 3.9x, inverted_index 4.0x wall for 10x data) — the
+        # r12 13.2x reading was driver-box band plus the single-file
+        # corpus's 2-split input ceiling, not reduce-side width.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_INITIAL_PARTITIONS", str(shuffle_partitions)
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -71,12 +91,17 @@ def get_spark(
     if os.environ.get("SPARK_GRAFT_UI"):
         requested["spark.ui.enabled"] = os.environ["SPARK_GRAFT_UI"]
     stale = {}
+    # read through sparkContext.getConf(): spark.conf.get RAISES on
+    # static confs an existing session never set, and swallowing that
+    # into "skip the key" is exactly the silent under-count this guard
+    # exists to prevent (ADVICE r12). A fresh session built above has
+    # every requested conf in its SparkConf, so ABSENCE here always
+    # means getOrCreate() returned a pre-existing session that ignored
+    # the request — flag it like a mismatch.
+    sc_conf = spark.sparkContext.getConf()
     for k, v in requested.items():
-        try:
-            got = spark.conf.get(k)
-        except Exception:
-            got = None
-        if got is not None and str(got).lower() != str(v).lower():
+        got = sc_conf.get(k, None)
+        if got is None or str(got).lower() != str(v).lower():
             stale[k] = (v, got)
     if stale:
         raise RuntimeError(

@@ -13,6 +13,7 @@ PYTHON_PATH_QUERIES = {
     "query_map_variants",
     "query_filter_variants",
     "group_collect",  # carries the arbitrary-Python finish_fn variant
+    "text_profile",  # bpe variant: Arrow-batched merge-loop encode
 }
 SF_DIR = "/root/testdata/sf0.001"
 
