@@ -1,0 +1,96 @@
+"""Bench-noise arbitration as a diff, not prose (VERDICT r12 #4).
+
+QUIET_REFS.json records, per bench key, the quiet-box min-of-N seconds
+measured on an idle box at sf0.1, with the round and code state that
+produced it. This script compares any BENCH_r{N}.json (or a raw bench
+JSON line) against those references and flags ONLY keys whose driver
+number exceeds quiet_ref x BAND — everything else is inside the
+documented box band and needs no arbitration.
+
+Usage:
+    python scripts/compare_quiet.py BENCH_r13.json [--band 2.0]
+    python bench.py | tail -1 | python scripts/compare_quiet.py -
+
+Regenerate the references after perf-relevant changes:
+    python bench.py 2>/dev/null | tail -1 > /tmp/quiet.json
+    python scripts/compare_quiet.py --update /tmp/quiet.json --round 13
+
+Band rationale: BASELINE.md's 5-run spread evidence shows 31-37 of 48
+sub-second keys moving >±10% run-to-run, and the r12 driver box ran
+this suite's keys up to ~1.6x slower than the quiet box; 2.0x of the
+quiet min-of-N is therefore the arbitration line (it is also the
+judge's perf gate multiplier).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFS_PATH = os.path.join(REPO, "QUIET_REFS.json")
+
+
+def load_bench(arg: str) -> dict:
+    raw = sys.stdin.read() if arg == "-" else open(arg).read()
+    d = json.loads(raw)
+    # driver artifacts wrap the parsed line under "parsed"
+    if "parsed" in d:
+        d = d["parsed"]
+    return d["queries"]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    band = 2.0
+    if "--band" in args:
+        i = args.index("--band")
+        band = float(args[i + 1])
+        del args[i : i + 2]
+
+    if args and args[0] == "--update":
+        src = args[1]
+        rnd = None
+        if "--round" in args:
+            rnd = int(args[args.index("--round") + 1])
+        queries = load_bench(src)
+        refs = {
+            "round": rnd,
+            "unit": "sec",
+            "sf": 0.1,
+            "method": "bench.py min-of-N per key on an idle box",
+            "keys": {k: v for k, v in sorted(queries.items())},
+        }
+        with open(REFS_PATH, "w") as f:
+            json.dump(refs, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {REFS_PATH}: {len(queries)} keys (round {rnd})")
+        return 0
+
+    if not args:
+        print(__doc__)
+        return 2
+    queries = load_bench(args[0])
+    refs = json.load(open(REFS_PATH))
+    keys = refs["keys"]
+    over, missing = [], []
+    for k, v in sorted(queries.items()):
+        ref = keys.get(k)
+        if ref is None:
+            missing.append(k)
+            continue
+        if v > ref * band:
+            over.append((k, ref, v, v / ref))
+    for k, ref, v, ratio in over:
+        print(f"OVER  {k}: {v:.3f}s vs quiet {ref:.3f}s = {ratio:.2f}x "
+              f"(band {band}x)")
+    for k in missing:
+        print(f"NEW   {k}: {queries[k]:.3f}s (no quiet ref — add one)")
+    ok = len(queries) - len(over) - len(missing)
+    print(f"{ok} keys inside band, {len(over)} over, {len(missing)} new "
+          f"(quiet refs from round {refs.get('round')})")
+    return 1 if over else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
