@@ -63,6 +63,11 @@ def main() -> None:
         # move >±10 % between consecutive runs), which made untouched
         # keys flag phantom 1.5-1.8× regressions round over round;
         # min-of-3 costs ~15 s across the whole set and damps it.
+        # stderr marker: Spark WARNs (large task binaries, spill, ...)
+        # land on stderr with stage ids but no job context; this line
+        # lets any stderr capture be correlated to the key that was
+        # running (r12 shipped an unattributable 1 MB-task-binary WARN)
+        print(f"[bench-key] {name}", file=sys.stderr, flush=True)
         best = None
         try:
             for _ in range(repeat):

@@ -841,6 +841,19 @@ def edit_distance_pairs(
                     f" 'sl', CAST({_sql_slen(lv, j)} AS INT))"
                 )
     probe_array = F.expr("array(" + ",".join(probe_structs) + ")")
+    # The unrolled struct arrays make THIS operator's stage the one
+    # "Broadcasting large task binary (~1 MB)" WARN in the full bench
+    # (r13 attribution via bench.py's [bench-key] stderr markers): the
+    # task binary carries the serialized stage plan, and ~40 probe
+    # structs each embedding the segment-arithmetic tree serialize to
+    # ~1 MB. Measured split at sf0.1: build 0.5 s / plan 0.1 s / exec
+    # 2.5 s — planning is NOT the bottleneck, and the binary is
+    # broadcast once per STAGE (executors fetch it once), so the WARN
+    # is a one-time ~1 MB transfer, not per-task overhead. Folding the
+    # structs into a transform() over a literal (j, delta, shift)
+    # table would shrink the plan but re-introduce per-element Column
+    # construction on the probe hot path this comment's block replaced
+    # (5-8 s of py4j driver time — see the render-as-SQL note above).
     # partner lengths that do not EXIST in the corpus can never match
     # an index row — prune those probe rows before the substring
     # extraction and dedup shuffle (a fixed-length corpus otherwise
