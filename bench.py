@@ -414,6 +414,11 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     from level_mapreduce_spark.operators.text import text_repetition
 
     timed("chunk_dedup", lambda: materialize(chunk_dedup(docs, chunk_tokens=20)))
+    # r13: Lee et al. exact-substring dedup — sliding 10-token window,
+    # corpus-wide duplicate windows merged to maximal per-doc spans
+    from level_mapreduce_spark.operators.dedup import repeated_spans
+
+    timed("repeated_spans", lambda: materialize(repeated_spans(docs, ngram=10)))
     # r9: PassJoin-blocked edit-distance pairs over 40-char prefixes —
     # the operator whose q-gram form was the documented out-of-envelope
     # regime on this corpus (338 s at sf0.1); the segment-blocked form

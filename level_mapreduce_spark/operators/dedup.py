@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -554,6 +554,122 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
             F.count("*").alias("n_chunks"),
             F.sum(is_dup).alias("n_dup_chunks"),
             F.round(F.sum(is_dup) / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame, ngram: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Exact repeated-substring dedup signals (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): per document,
+    the maximal token spans covered by some ``ngram``-token window whose
+    text occurs MORE THAN ONCE corpus-wide (any two occurrences count —
+    across documents or within one). Unlike :func:`chunk_dedup`'s fixed
+    20-token grid, the window SLIDES, so a duplicated passage is caught
+    at any alignment and reported as one maximal span, not a row of
+    grid-aligned chunk flags.
+
+    Returns ``(doc_id, n_tokens, n_spans, dup_tokens, dup_span_frac)``
+    for every document: ``n_spans`` maximal merged spans covering
+    ``dup_tokens`` tokens (0/0/0.0 for docs with no duplicated window,
+    including docs shorter than ``ngram`` tokens).
+
+    Plan shape (all Column expressions, no UDFs):
+
+    1. shingle explode — ``transform(sequence(...))`` + ``posexplode``
+       emits (doc_id, pos, md5-of-window) — one row per token position,
+       corpus-linear, windows ride as 32-char md5 never text;
+    2. duplicate windows — groupBy(hash).count() HAVING count > 1: the
+       partial-aggregable form (a boilerplate window repeated 10⁹ times
+       reduces map-side to one candidate per input partition; a window
+       rank would funnel every occurrence through one reducer), then an
+       inner join back on the hash (AQE splits residual hot keys);
+    3. interval merge — each duplicated occurrence covers
+       [pos, pos+ngram-1]; classic gaps-and-islands per doc: a
+       running-max-of-end window (ordered by pos, rows unbounded
+       preceding to 1 preceding — doc-bounded state, positions are
+       distinct per doc so the order is total) opens a new island when
+       a window starts past covered+1, then one groupBy per island and
+       one per doc;
+    4. left join back onto the full doc list for the zero rows.
+
+    Reference anchor: a map-fn emit + group fold (index.js:47-52,
+    :64-89) — the reference could express the shingle emit but not the
+    corpus-wide second pass; this is the scale path it lacks.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    base = docs.select(
+        "doc_id", F.size("_toks").alias("n_tokens"), "_toks"
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, ngram), " ")),
+        ),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode_outer(grams).alias("_p0", "_h")
+    ).where(F.col("_h").isNotNull())
+    # pos is 1-based token index of the window start
+    occ = occ.select(
+        "doc_id", (F.col("_p0") + 1).alias("pos"), "_h"
+    )
+    dup_hashes = (
+        occ.groupBy("_h").count().where(F.col("count") > 1).select("_h")
+    )
+    dup_occ = occ.join(dup_hashes, "_h").select(
+        "doc_id", "pos", (F.col("pos") + (ngram - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dup_occ.withColumn("_pmax", F.max("end").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull()
+                | (F.col("pos") > F.col("_pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+    )
+    spans = islands.groupBy("doc_id", "_isl").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", zero).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", zero)
+            .cast("long")
+            .alias("dup_tokens"),
+            F.when(F.col("n_tokens") > 0, F.round(
+                F.coalesce("dup_tokens", zero) / F.col("n_tokens"), 6
+            )).otherwise(F.lit(0.0)).alias("dup_span_frac"),
         )
     )
 

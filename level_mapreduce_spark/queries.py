@@ -2399,10 +2399,40 @@ def q_ann_lsh_ivf(spark, sf_dir):
 
 
 def q_chunk_dedup(spark, sf_dir):
-    """Sub-document duplicate-chunk flags (C4/RefinedWeb-style): every
-    20-token chunk seen earlier (by (doc_id, chunk_idx) order) anywhere
-    in the corpus is counted as a duplicate."""
-    return dd.chunk_dedup(_docs(spark, sf_dir), chunk_tokens=20)
+    """Sub-document dedup signals as one tagged union (r13: the
+    `span` variant joined the entry; registry is at the 50-slot cap):
+
+    - ``chunk``: C4/RefinedWeb-style fixed-grid duplicate-chunk flags —
+      every 20-token chunk seen earlier (by (doc_id, chunk_idx) order)
+      anywhere in the corpus counts as a duplicate.
+    - ``span``: Lee et al. ACL'22 exact-substring dedup — maximal
+      token spans covered by a sliding 10-token window whose text
+      occurs more than once corpus-wide (alignment-free, merged via
+      gaps-and-islands; the oracle replicates the interval merge with
+      the same window frames).
+
+    Shared frame (variant, doc_id, n1, n2, n3, r1): chunk maps
+    (n_chunks, n_dup_chunks, 0, dup_frac); span maps
+    (n_tokens, dup_tokens, n_spans, dup_span_frac)."""
+    docs = _docs(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    chunk = dd.chunk_dedup(docs, chunk_tokens=20).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n1"),
+        F.col("n_dup_chunks").cast("long").alias("n2"),
+        zero.alias("n3"),
+        F.col("dup_frac").cast("double").alias("r1"),
+    )
+    span = dd.repeated_spans(docs, ngram=10).select(
+        F.lit("span").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").alias("n1"),
+        F.col("dup_tokens").alias("n2"),
+        F.col("n_spans").alias("n3"),
+        F.col("dup_span_frac").cast("double").alias("r1"),
+    )
+    return chunk.unionByName(span)
 
 
 def q_knn_join(spark, sf_dir):
@@ -3734,18 +3764,73 @@ ORACLES: dict[str, str] = {
         SELECT chunk_hash,
                min(doc_id * 1000000 + chunk_idx) AS first_key
         FROM ch GROUP BY chunk_hash
+      ),
+      chunk_rows AS (
+        SELECT ch.doc_id,
+               CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
+                                  <> f.first_key
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               round(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
+                                   <> f.first_key
+                              THEN 1 ELSE 0 END) * 1.0 / count(*),
+                     6) AS r1
+        FROM ch JOIN f USING (chunk_hash)
+        GROUP BY ch.doc_id
+      ),
+      occ AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(toks[i:i + 9], ' ')) AS h
+        FROM (
+          SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS i
+          FROM t WHERE len(toks) >= 10
+        )
+      ),
+      dups AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+      dup_occ AS (
+        SELECT o.doc_id, o.pos, o.pos + 9 AS e
+        FROM occ o JOIN dups USING (h)
+      ),
+      isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pmax IS NULL OR pos > pmax + 1
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS g
+        FROM (
+          SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+          FROM dup_occ
+        )
+      ),
+      spans AS (
+        SELECT doc_id, g, min(pos) AS s, max(e) AS ee
+        FROM isl GROUP BY doc_id, g
+      ),
+      span_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(ee - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+      ),
+      span_rows AS (
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n1,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS n2,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n3,
+               CASE WHEN len(t.toks) > 0
+                    THEN round(coalesce(p.dup_tokens, 0) * 1.0
+                               / len(t.toks), 6)
+                    ELSE 0.0 END AS r1
+        FROM t LEFT JOIN span_doc p USING (doc_id)
       )
-      SELECT ch.doc_id,
-             CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
-                                <> f.first_key
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-             round(sum(CASE WHEN ch.doc_id * 1000000 + ch.chunk_idx
-                                 <> f.first_key
-                            THEN 1 ELSE 0 END) * 1.0 / count(*),
-                   6) AS dup_frac
-      FROM ch JOIN f USING (chunk_hash)
-      GROUP BY ch.doc_id
+      SELECT 'chunk' AS variant, doc_id, n1, n2,
+             CAST(0 AS BIGINT) AS n3, r1
+      FROM chunk_rows
+      UNION ALL
+      SELECT 'span', doc_id, n1, n2, n3, r1 FROM span_rows
     """,
     "knn_join": """
       WITH scored AS (

@@ -458,6 +458,106 @@ def test_chunk_dedup_planted_chunk(spark):
     assert got[3] == (1, 0, 0.0)
 
 
+def test_repeated_spans_hand_checked(spark):
+    """Hand-computed span merges: cross-doc shared passage, overlapping
+    windows merged into one maximal span, an internal repeat whose
+    touching coverage intervals fuse, and zero rows for unique/short
+    docs."""
+    from level_mapreduce_spark.operators.dedup import repeated_spans
+
+    rows = [
+        (0, "a b c d e"),           # shared with doc 1: 1 span, all 5
+        (1, "a b c d e u1 u2"),     # same 5-token prefix, 2 unique
+        (2, "x y z q w"),           # unique: no dup windows
+        (3, "p q r s p q r s"),     # internal repeat: pqr/qrs twice,
+                                    # coverage [1,4]+[5,8] touches -> 1 span
+        (4, "k m"),                 # shorter than ngram: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["dup_tokens"], r["dup_span_frac"]
+        )
+        for r in repeated_spans(df, ngram=3).collect()
+    }
+    assert got[0] == (5, 1, 5, 1.0)
+    assert got[1] == (7, 1, 5, pytest.approx(5 / 7, abs=1e-6))
+    assert got[2] == (5, 0, 0, 0.0)
+    assert got[3] == (8, 1, 8, 1.0)
+    assert got[4] == (2, 0, 0, 0.0)
+
+
+def test_repeated_spans_disjoint_spans(spark):
+    """Two separated duplicated passages in one doc stay two spans —
+    the island break (pos > covered_end + 1) is exercised, and a
+    duplicate WITHIN ngram-1 tokens of the previous span's end merges
+    instead."""
+    from level_mapreduce_spark.operators.dedup import repeated_spans
+
+    shared_a = "a1 a2 a3"
+    shared_b = "b1 b2 b3"
+    rows = [
+        # doc 0: both shared passages, separated by 3 unique tokens ->
+        # coverage [1,3] and [7,9]: two spans, 6 dup tokens of 9
+        (0, f"{shared_a} u1 u2 u3 {shared_b}"),
+        (1, f"{shared_a} v1 v2 v3 v4"),
+        (2, f"{shared_b} w1 w2 w3 w4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"])
+        for r in repeated_spans(df, ngram=3).collect()
+    }
+    assert got[0] == (2, 6)
+    assert got[1] == (1, 3)
+    assert got[2] == (1, 3)
+
+
+def test_repeated_spans_differential_bruteforce(spark):
+    """Randomized differential: repeated_spans vs a pure-Python
+    brute-force over 60 docs drawn from a tiny vocabulary (dense
+    duplicate structure), seeds pinned."""
+    import random as _random
+
+    from level_mapreduce_spark.operators.dedup import repeated_spans
+
+    rng = _random.Random(1307)
+    n, vocab = 5, [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+        for i in range(60)
+    ]
+    # brute force: every n-token window text -> occurrence count;
+    # per doc union covered positions of windows with count > 1
+    from collections import Counter
+
+    toks = {i: [t for t in s.lower().split(" ") if t] for i, s in docs}
+    cnt = Counter(
+        tuple(tk[p : p + n])
+        for tk in toks.values()
+        for p in range(len(tk) - n + 1)
+    )
+    expect = {}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - n + 1):
+            if cnt[tuple(tk[p : p + n])] > 1:
+                covered.update(range(p, p + n))
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        expect[i] = (len(tk), spans, len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for r in repeated_spans(df, ngram=n).collect()
+    }
+    assert got == expect
+
+
 def test_text_repetition_signals(spark):
     """Hand-checked ratios, and sub-2-token docs get null bigram
     metrics rather than garbage."""

@@ -70,6 +70,21 @@ def test_scan_limit_plans_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_repeated_spans_partial_agg_no_cartesian(spark):
+    """repeated_spans' duplicate-window detector must keep its
+    map-side combine (a boilerplate window repeated 10⁹ times reduces
+    to one candidate per input partition before the shuffle) and must
+    never plan a cartesian/nested-loop pair generator."""
+    from level_mapreduce_spark.operators.dedup import repeated_spans
+
+    docs = q._docs(spark, SF_DIR)
+    plan = plan_of(repeated_spans(docs, ngram=10))
+    assert "partial_count" in plan, "shingle count lost map-side combine"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_dim_join_broadcasts(spark):
     """The broadcast variant of the merged join-strategies entry must
     plan the orders x customer dim join as a broadcast hash join (no
