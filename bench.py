@@ -406,6 +406,15 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         "neardup_blocked",
         lambda: materialize(cosine_neardup_pairs_blocked(emb, threshold=0.42)),
     )
+    # r13: SemDeDup — trained k-means codebook + within-cluster
+    # greedy leader dedup (the real path; the gate variant uses the
+    # literal codebook)
+    from level_mapreduce_spark.operators.similarity import semantic_dedup
+
+    timed(
+        "semantic_dedup",
+        lambda: materialize(semantic_dedup(emb, n_clusters=16, threshold=0.95)),
+    )
 
     # r4/r5 LLM-pipeline additions: sub-document chunk dedup, batch
     # k-NN join, Gopher repetition signals

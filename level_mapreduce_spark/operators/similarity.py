@@ -674,6 +674,163 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via coarse clustering — cluster the embedding space,
+    then mark a vector a duplicate iff some cluster-mate ranked before
+    it is cosine-similar above ``threshold``. The paper keeps the
+    examples with LOW similarity to their cluster centroid; the rank
+    order here is exactly that — ``(round(centroid_sim, 6) ASC,
+    vec_id ASC)`` — so the kept representative of every duplicate
+    neighborhood is the most centroid-distant member, deterministically.
+
+    Returns one row per input vector:
+    ``(vec_id, cluster, centroid_sim, keep, leader_id, leader_sim)``
+    where ``leader_id`` is the EARLIEST-ranked similar predecessor
+    (null when kept). Zero-norm vectors have no cosine geometry:
+    cluster -1, centroid_sim 0.0, always kept.
+
+    ``centroids``: pass a trained/stored codebook, or None to train
+    k-means on a bounded deterministic sample (:func:`ivf.
+    train_centroids` — the FAISS-style scale practice; at 100 TB use
+    ``trainer="mllib"`` kmeans|| and pass the result in).
+
+    Scale shape: assignment is one narrow projection (HOF dot per
+    centroid over a broadcast-literal codebook, scores rounded to 6dp
+    so the argmax is oracle-reproducible); the pair generator is a
+    within-cluster self-join — O(Σ cluster_size²) candidates, NEVER
+    corpus² — so ``n_clusters`` must grow with the corpus
+    (k ≈ n/target_cluster_size, the paper's regime); clusters larger
+    than ``max_cluster`` are exempted from pairing (all members kept)
+    rather than allowed to detonate a reducer, mirroring
+    ``max_bucket`` in :func:`cosine_neardup_pairs_lsh`. The leader
+    pick is a partial-aggregable ``min(struct(rank, ...))``, not a
+    window re-sort over candidates.
+    """
+    if centroids is None:
+        from level_mapreduce_spark.operators.ivf import train_centroids
+
+        centroids = train_centroids(
+            embeddings, n_centroids=n_clusters, seed=seed
+        )
+    from level_mapreduce_spark.functions.litarr import (
+        lit_doubles,
+        lit_doubles_2d,
+    )
+    from pyspark.sql.window import Window
+
+    cents = lit_doubles_2d(centroids)
+    half_norms = lit_doubles(
+        [sum(v * v for v in c) / 2.0 for c in centroids]
+    )
+    vec = _as_double_array(F.col("embedding"))
+    norm2 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    # scores rounded to 6dp BEFORE the argmax: raw double scores can
+    # drift in the last bits across engines, flipping the assignment
+    # of a point near a cell boundary; at 6dp both engines see the
+    # same number and break exact ties to the lowest cluster id
+    scores = F.zip_with(
+        cents,
+        half_norms,
+        lambda c, hn: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - hn,
+            6,
+        ),
+    )
+    cluster = F.when(
+        norm2 > 0,
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    ).otherwise(F.lit(-1).cast("int"))
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    dim = len(embeddings.select("embedding").head()[0])
+    assigned = (
+        embeddings.repartition(n_part, "vec_id")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            vec.alias("_e"),
+            F.sqrt(norm2).alias("_n"),
+            cluster.alias("cluster"),
+        )
+        .withColumn(
+            "centroid_sim",
+            F.when(F.col("cluster") < 0, F.lit(0.0)).otherwise(
+                F.round(
+                    cosine_sim(
+                        F.col("_e"), F.element_at(cents, F.col("cluster") + 1)
+                    ),
+                    6,
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
+    sizes = assigned.where(F.col("cluster") >= 0).groupBy("cluster").agg(
+        F.count("*").alias("_n")
+    )
+    ranked = (
+        assigned.where(F.col("cluster") >= 0)
+        .join(
+            F.broadcast(sizes.where(F.col("_n") <= max_cluster)),
+            "cluster",
+            "left_semi",
+        )
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    # per-pair cosine UNROLLED (HOFs don't codegen and allocate per
+    # evaluation — on the Σc² pair join that is the runtime), computed
+    # once as a column; unpushable keeps the threshold out of the join
+    # condition where it would re-evaluate interpreted per pair
+    pair_dot = _dot_unrolled(F.col("x._e"), F.col("y._e"), dim)
+    cands = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), "cluster")
+        .where(F.col("y._rk") < F.col("x._rk"))
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("y._rk").alias("_r"),
+            F.col("y.vec_id").alias("_lid"),
+            F.when(
+                F.col("x._n") * F.col("y._n") > 0,
+                F.round(pair_dot / (F.col("x._n") * F.col("y._n")), 6),
+            ).alias("_ls"),
+        )
+        .where(unpushable(F.col("_ls") >= threshold))
+    )
+    leaders = (
+        cands.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_r"),
+                    F.col("_lid").alias("leader_id"),
+                    F.col("_ls").alias("leader_sim"),
+                )
+            ).alias("_ld")
+        )
+        .select("vec_id", "_ld.leader_id", "_ld.leader_sim")
+    )
+    return assigned.join(leaders, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "centroid_sim",
+        F.col("leader_id").isNull().alias("keep"),
+        "leader_id",
+        "leader_sim",
+    )
+
+
 def knn_join(
     embeddings: DataFrame, probes: DataFrame, k: int = 10
 ) -> DataFrame:

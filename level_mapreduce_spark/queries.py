@@ -2039,21 +2039,70 @@ def q_neardup_cosine_blocked(spark, sf_dir):
     )
 
 
+def _semdedup_centroids(
+    dim: int = 64, k: int = 8, seed: int = 777
+) -> list[list[float]]:
+    """Data-independent literal codebook for the semdedup gate: unit-
+    normalized PCG64 Gaussian directions (stream-stability is a numpy
+    API guarantee, the _plane_matrix precedent). Unit norm matters:
+    with unequal |c|², argmax(x·c − |c|²/2) degenerates to
+    argmin |c|² and every vector lands in one cell — normalized, the
+    assignment is a balanced nearest-direction partition."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    m = rng.standard_normal((k, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return [[float(v) for v in row] for row in m]
+
+
 def q_neardup_cosine_lsh(spark, sf_dir):
-    """Sign-LSH bucketed embedding near-dup — the 100 TB path — run in
-    its design regime: every 10th vector is planted as an exact
-    duplicate (vec_id + 10M) and the operator detects them at
-    threshold 0.95. Identical vectors share every LSH bucket, so
-    recall is deterministically 1.0 and the result hash-checks against
-    the exact all-pairs oracle (the corpus' max natural sim is ~0.6,
-    well under threshold — no probabilistic pairs in range)."""
+    """Bucketed embedding near-dup at scale, two variants in one
+    tagged union (r13: `semdedup` joined; registry at the 50 cap):
+
+    - ``pairs``: sign-LSH bucketed near-dup — every 10th vector is
+      planted as an exact duplicate (vec_id + 10M) and detected at
+      threshold 0.95. Identical vectors share every LSH bucket, so
+      recall is deterministically 1.0 and the rows hash-check against
+      the exact all-pairs oracle (the corpus' max natural sim is ~0.6
+      — no probabilistic pairs in range).
+    - ``semdedup``: SemDeDup (Abbas et al. 2023) over the SAME
+      augmented corpus with a literal unit-Gaussian codebook (k=8,
+      seed 777 — data-independent, so DuckDB replays assignment,
+      centroid-sim ranking, and the earliest-leader pick from first
+      principles). The planted copies pin the interesting rows: each
+      copy ties its original on rounded centroid-sim, ranks second on
+      the vec_id tie-break, and must resolve leader=original at
+      sim 1.0.
+
+    Shared frame (variant, vec_id_a, vec_id_b, n1, sim, r2):
+    pairs maps (a, b, 0, cosine, 0.0); semdedup maps
+    (vec_id, leader_id|-1, cluster, centroid_sim, leader_sim|0.0)."""
     emb = load_table(spark, sf_dir, "embeddings")
     copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(10_000_000)
     )
-    return sim.cosine_neardup_pairs_lsh(
-        emb.unionByName(copies), threshold=0.95
+    aug = emb.unionByName(copies)
+    zero = F.lit(0).cast("long")
+    pairs = sim.cosine_neardup_pairs_lsh(aug, threshold=0.95).select(
+        F.lit("pairs").alias("variant"),
+        F.col("vec_id_a").cast("long").alias("vec_id_a"),
+        F.col("vec_id_b").cast("long").alias("vec_id_b"),
+        zero.alias("n1"),
+        F.col("sim").cast("double").alias("sim"),
+        F.lit(0.0).alias("r2"),
     )
+    sd = sim.semantic_dedup(
+        aug, centroids=_semdedup_centroids(), threshold=0.95
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.coalesce("leader_id", F.lit(-1)).cast("long").alias("vec_id_b"),
+        F.col("cluster").cast("long").alias("n1"),
+        F.col("centroid_sim").cast("double").alias("sim"),
+        F.coalesce("leader_sim", F.lit(0.0)).cast("double").alias("r2"),
+    )
+    return pairs.unionByName(sd)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2912,6 +2961,93 @@ _JACCARD_PAIRS = f"""
 """
 
 
+def _neardup_lsh_semdedup_sql() -> str:
+    """Oracle for q_neardup_cosine_lsh on the (variant, vec_id_a,
+    vec_id_b, n1, sim, r2) frame. The `pairs` block is the exact
+    all-pairs cosine join (the LSH side's recall is deterministically
+    1.0 in this planted regime). The `semdedup` block replays the
+    whole SemDeDup decision from first principles against the SAME
+    literal unit-Gaussian codebook: nearest-direction assignment
+    (argmax of round(x·c − |c|²/2, 6), ties to the lowest cluster id),
+    centroid-sim ranking (round 6dp ASC, vec_id tie-break), and the
+    earliest-ranked similar predecessor as leader. Zero-norm vectors
+    ride a separate branch (cluster -1, kept) because DuckDB's
+    list_cosine_similarity yields -1.0 where Spark guards to NULL."""
+    cents = _semdedup_centroids()
+
+    def arr(row):
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    cent_vals = ", ".join(
+        f"({j}, {arr(c)}::DOUBLE[])" for j, c in enumerate(cents)
+    )
+    return f"""
+      WITH aug AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + 10000000 AS BIGINT),
+               CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 10 = 0
+      ),
+      pairs_rows AS (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+      ),
+      cents(cid, c) AS (VALUES {cent_vals}),
+      scored AS (
+        SELECT a.vec_id, a.v, c.cid,
+               round(list_dot_product(a.v, c.c)
+                     - list_dot_product(c.c, c.c) / 2.0, 6) AS s
+        FROM aug a CROSS JOIN cents c
+        WHERE list_dot_product(a.v, a.v) > 0
+      ),
+      asg AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cid
+          ) AS rn FROM scored
+        ) WHERE rn = 1
+      ),
+      withsim AS (
+        SELECT a.vec_id, a.v, a.cid,
+               round(list_cosine_similarity(a.v, c.c), 6) AS csim
+        FROM asg a JOIN cents c USING (cid)
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY cid ORDER BY csim, vec_id
+        ) AS rk FROM withsim
+      ),
+      led AS (
+        SELECT vec_id, leader, lsim FROM (
+          SELECT x.vec_id, y.vec_id AS leader,
+                 round(list_cosine_similarity(x.v, y.v), 6) AS lsim,
+                 row_number() OVER (
+                   PARTITION BY x.vec_id ORDER BY y.rk
+                 ) AS pr
+          FROM ranked x JOIN ranked y
+            ON x.cid = y.cid AND y.rk < x.rk
+          WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.95
+        ) WHERE pr = 1
+      )
+      SELECT 'pairs' AS variant, vec_id_a, vec_id_b,
+             CAST(0 AS BIGINT) AS n1, sim, 0.0 AS r2
+      FROM pairs_rows
+      UNION ALL
+      SELECT 'semdedup', w.vec_id, coalesce(l.leader, -1),
+             CAST(w.cid AS BIGINT), w.csim, coalesce(l.lsim, 0.0)
+      FROM withsim w LEFT JOIN led l USING (vec_id)
+      UNION ALL
+      SELECT 'semdedup', vec_id, CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), 0.0, 0.0
+      FROM aug WHERE list_dot_product(v, v) = 0
+    """
+
+
 def _lang_score(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
     return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
@@ -3447,20 +3583,7 @@ ORACLES: dict[str, str] = {
         FROM grams
       )
     """,
-    "neardup_cosine_lsh": """
-      WITH aug AS (
-        SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT CAST(vec_id + 10000000 AS BIGINT), embedding
-        FROM embeddings WHERE vec_id % 10 = 0
-      )
-      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
-      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
-    """,
+    "neardup_cosine_lsh": _neardup_lsh_semdedup_sql(),
     "neardup_cosine": """
       SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -603,6 +603,127 @@ def test_knn_join_matches_brute_topk(emb):
     assert got == want
 
 
+def test_semantic_dedup_planted_copies(spark):
+    """Exact copies must resolve leader=original at sim 1.0 (the copy
+    ties its original on rounded centroid-sim and loses the vec_id
+    tie-break); unique vectors and the zero vector are kept."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(30, 8))
+    X[20:25] = X[0:5]  # exact copies
+    X[29] = 0.0
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(4, 8))]
+    cents = [
+        [v / sum(x * x for x in c) ** 0.5 for v in c] for c in cents
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    }
+    assert len(out) == 30
+    for i in range(20, 25):
+        r = out[i]
+        assert not r["keep"] and r["leader_id"] == i - 20, dict(r.asDict())
+        assert r["leader_sim"] == 1.0
+        assert r["cluster"] == out[i - 20]["cluster"]
+    z = out[29]
+    assert z["keep"] and z["cluster"] == -1 and z["centroid_sim"] == 0.0
+    # originals keep (corpus is random gaussian — no natural 0.95 pair)
+    assert all(out[i]["keep"] for i in range(5))
+
+
+def test_semantic_dedup_differential_bruteforce(spark):
+    """Randomized differential vs a numpy replica of the full SemDeDup
+    decision (assignment argmax on rounded scores, centroid-sim rank,
+    earliest-leader pick) with a TRAINED codebook and planted
+    near-dups."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.ivf import train_centroids
+    from level_mapreduce_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    X = rng.normal(size=(n, d))
+    X[80:100] = X[0:20] + rng.normal(scale=1e-4, size=(20, d))
+    X[110] = 0.0
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_centroids(df, n_centroids=6, seed=42)
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    }
+
+    def rnd6(v):
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(float(v))).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    C = np.array(cents)
+    hn = (C * C).sum(1) / 2
+    clu, csim = {}, {}
+    for i in range(n):
+        x = X[i]
+        if (x * x).sum() == 0:
+            clu[i], csim[i] = -1, 0.0
+            continue
+        s = np.array([rnd6(v) for v in x @ C.T - hn])
+        c = int(np.where(s == s.max())[0][0])
+        clu[i] = c
+        csim[i] = rnd6(
+            x @ C[c] / (np.linalg.norm(x) * np.linalg.norm(C[c]))
+        )
+    order = {}
+    for c in set(clu.values()):
+        if c < 0:
+            continue
+        members = sorted(
+            [i for i in range(n) if clu[i] == c],
+            key=lambda i: (csim[i], i),
+        )
+        for rk, i in enumerate(members):
+            order[i] = rk + 1
+    for i in range(n):
+        r = got[i]
+        assert r["cluster"] == clu[i], (i, r["cluster"], clu[i])
+        assert abs(r["centroid_sim"] - csim[i]) < 2e-6
+        if clu[i] < 0:
+            assert r["keep"]
+            continue
+        best = None
+        for j in range(n):
+            if clu[j] == clu[i] and order[j] < order[i]:
+                nj, ni = np.linalg.norm(X[j]), np.linalg.norm(X[i])
+                if nj * ni == 0:
+                    continue
+                cs = rnd6(X[i] @ X[j] / (ni * nj))
+                if cs >= 0.95 and (best is None or order[j] < best[0]):
+                    best = (order[j], j, cs)
+        if best is None:
+            assert r["keep"], i
+        else:
+            assert not r["keep"] and r["leader_id"] == best[1], (
+                i,
+                dict(r.asDict()),
+                best,
+            )
+            assert abs(r["leader_sim"] - best[2]) < 2e-6
+
+
 def test_pack_documents_shards_track_parallelism(spark):
     """pack_documents' only window partitions by shard, so shard count
     IS its parallelism ceiling — the default must track the cluster
