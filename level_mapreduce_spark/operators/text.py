@@ -495,16 +495,19 @@ def text_repetition(docs: DataFrame, mode: str = "expr") -> DataFrame:
     Two physically different plans, identical results:
 
     - ``mode='expr'`` (default): pure narrow Column transforms — no
-      shuffle, embarrassingly parallel. The top-bigram count is
-      O(distinct·total) per doc via nested HOFs over the STAGED
-      ``_bg`` attribute (row buffer reads; an inline bigram expression
-      would re-derive the array per lambda invocation — see staging
-      module docstring). Right for web-page-sized docs (the quadratic
-      term is bounded by doc length).
+      shuffle, embarrassingly parallel. The top-bigram count is the
+      LONGEST EQUAL RUN of the sorted bigram array — one
+      ``array_sort`` + one ``aggregate`` fold, O(t log t) per doc —
+      over the STAGED ``_bg`` attribute (row buffer reads; an inline
+      bigram expression would re-derive the array per lambda
+      invocation — see staging module docstring). The r13 rewrite:
+      the previous nested-HOF count-per-distinct form was
+      O(distinct·total) per doc and measured 2.2× slower at sf0.1
+      (1.88 → 0.86 s), value-identical.
     - ``mode='grouped'``: explode bigrams -> partial-aggregable
       groupBy((doc_id, bigram)) -> max per doc -> join back. One
-      shuffle on (doc_id, bigram), but O(total) work per doc — the
-      book-length-document path where distinct·total explodes.
+      shuffle on (doc_id, bigram) but no per-doc array
+      materialization — the book-length-document path.
     """
     if mode == "grouped":
         return _text_repetition_grouped(docs)
@@ -525,11 +528,26 @@ def text_repetition(docs: DataFrame, mode: str = "expr") -> DataFrame:
     docs = docs.withColumn("_bg", bigrams)
     bg = F.col("_bg")
     n_bg = F.size(bg)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+    # longest equal run of the sorted array == count of the most
+    # frequent bigram; the "" initial prev can never equal a bigram
+    # (tokens are non-empty and joined with "_")
+    def _run_step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
         )
+
+    top_cnt = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc.best,
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
