@@ -755,25 +755,42 @@ def semantic_dedup(
     ).otherwise(F.lit(-1).cast("int"))
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     dim = len(embeddings.select("embedding").head()[0])
+    # vectors + norms: a cheap projection kept SEPARATE from the
+    # HOF-heavy assignment so the pair stage can fetch them back by id
+    # without re-running the k-dot argmax
+    vecs = embeddings.repartition(n_part, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        vec.alias("_e"),
+        F.sqrt(norm2).alias("_n"),
+    )
+    # the NARROW assignment table (vec_id, cluster, centroid_sim)
+    # feeds four consumers (sizes, both self-join sides, the final
+    # left side); localCheckpoint (eager RDD blocks, ContextCleaner-
+    # reclaimed) pins it so the k HOF dots + argmax run ONCE per
+    # vector — without pinning each consumer re-evaluates the whole
+    # assignment stack (measured 7-10 s vs ~1 s at sf0.1). Same
+    # pattern as cosine_neardup_pairs_lsh's bucket table.
     assigned = (
         embeddings.repartition(n_part, "vec_id")
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
             vec.alias("_e"),
-            F.sqrt(norm2).alias("_n"),
             cluster.alias("cluster"),
         )
-        .withColumn(
-            "centroid_sim",
+        .select(
+            "vec_id",
+            "cluster",
             F.when(F.col("cluster") < 0, F.lit(0.0)).otherwise(
                 F.round(
                     cosine_sim(
-                        F.col("_e"), F.element_at(cents, F.col("cluster") + 1)
+                        F.col("_e"),
+                        F.element_at(cents, F.col("cluster") + 1),
                     ),
                     6,
                 )
-            ),
+            ).alias("centroid_sim"),
         )
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
     sizes = assigned.where(F.col("cluster") >= 0).groupBy("cluster").agg(
@@ -788,12 +805,14 @@ def semantic_dedup(
         )
         .withColumn("_rk", F.row_number().over(w))
     )
-    # per-pair cosine UNROLLED (HOFs don't codegen and allocate per
-    # evaluation — on the Σc² pair join that is the runtime), computed
-    # once as a column; unpushable keeps the threshold out of the join
-    # condition where it would re-evaluate interpreted per pair
-    pair_dot = _dot_unrolled(F.col("x._e"), F.col("y._e"), dim)
-    cands = (
+    # rank pairs are generated NARROW (ids + ranks only — 64-double
+    # vectors never ride the cluster shuffle), then vectors are
+    # fetched back by id; the per-pair cosine is UNROLLED (HOFs don't
+    # codegen and allocate per evaluation — on the Σc² pair join that
+    # is the runtime) and computed once as a column; unpushable keeps
+    # the threshold out of the join condition where it would
+    # re-evaluate interpreted per pair
+    rank_pairs = (
         ranked.alias("x")
         .join(ranked.alias("y"), "cluster")
         .where(F.col("y._rk") < F.col("x._rk"))
@@ -801,9 +820,33 @@ def semantic_dedup(
             F.col("x.vec_id").alias("vec_id"),
             F.col("y._rk").alias("_r"),
             F.col("y.vec_id").alias("_lid"),
+        )
+    )
+    pair_dot = _dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
+    cands = (
+        rank_pairs.join(
+            vecs.select(
+                F.col("vec_id"),
+                F.col("_e").alias("_ea"),
+                F.col("_n").alias("_na"),
+            ),
+            "vec_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("_lid"),
+                F.col("_e").alias("_eb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "_lid",
+        )
+        .select(
+            "vec_id",
+            "_r",
+            "_lid",
             F.when(
-                F.col("x._n") * F.col("y._n") > 0,
-                F.round(pair_dot / (F.col("x._n") * F.col("y._n")), 6),
+                F.col("_na") * F.col("_nb") > 0,
+                F.round(pair_dot / (F.col("_na") * F.col("_nb")), 6),
             ).alias("_ls"),
         )
         .where(unpushable(F.col("_ls") >= threshold))
