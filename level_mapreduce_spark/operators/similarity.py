@@ -827,9 +827,26 @@ def semantic_dedup(
     # sf0.1 125k-pair join, value-identical); unpushable keeps the
     # threshold out of the join condition where it would re-evaluate
     # per candidate
+    # SALTED self-join (the r13 sf1.0 lesson): the cluster key has
+    # only n_clusters distinct values and the rank table is KB-sized,
+    # so a plain join-on-cluster lets AQE coalesce the Σc² pair
+    # EXPLOSION onto ~1 task (95 s at sf1.0, single-core). The x side
+    # takes salt = _rk % B, the y side is replicated once per salt,
+    # and both sides are explicitly co-partitioned on (cluster, salt)
+    # — explicit numPartitions, so AQE cannot re-coalesce — spreading
+    # the explosion across B×n_clusters cells. y replication is B
+    # copies of a NARROW row (vectors are fetched after), bounded by
+    # B × corpus ids.
+    salt_b = n_part
+    x_side = ranked.withColumn(
+        "_salt", F.pmod(F.col("_rk"), F.lit(salt_b))
+    ).repartition(n_part, "cluster", "_salt")
+    y_side = ranked.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_b - 1)))
+    ).repartition(n_part, "cluster", "_salt")
     rank_pairs = (
-        ranked.alias("x")
-        .join(ranked.alias("y"), "cluster")
+        x_side.alias("x")
+        .join(y_side.alias("y"), ["cluster", "_salt"])
         .where(F.col("y._rk") < F.col("x._rk"))
         .select(
             F.col("x.vec_id").alias("vec_id"),
