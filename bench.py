@@ -428,6 +428,39 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     from level_mapreduce_spark.operators.dedup import repeated_spans
 
     timed("repeated_spans", lambda: materialize(repeated_spans(docs, ngram=10)))
+    # r13: the stored span index — build + 1% churn maintenance + the
+    # index-served stats (the incremental sub-document-dedup path)
+    from level_mapreduce_spark.operators.dedup import (
+        build_span_index,
+        repeated_spans_from_index,
+    )
+
+    span_idx: dict = {}
+
+    def span_build(_n=[0]):
+        _n[0] += 1
+        span_idx["idx"] = build_span_index(
+            spark, docs, store, name=f"bench_span_{_n[0]}", ngram=10
+        )
+
+    timed("span_index_build", span_build)
+
+    if "idx" in span_idx:
+
+        def span_update():
+            churn_docs = docs.where(F.col("doc_id") % 100 == 0).withColumn(
+                "text", F.concat(F.lit("changed "), F.col("text"))
+            )
+            span_idx["idx"].update(churn_docs, assume_unique=True)
+
+        timed("span_index_update_1pct", span_update)
+        timed(
+            "span_index_serve",
+            lambda: materialize(repeated_spans_from_index(span_idx["idx"])),
+        )
+    else:
+        dep_failed("span_index_update_1pct", "span_index_build")
+        dep_failed("span_index_serve", "span_index_build")
     # r9: PassJoin-blocked edit-distance pairs over 40-char prefixes —
     # the operator whose q-gram form was the documented out-of-envelope
     # regime on this corpus (338 s at sf0.1); the segment-blocked form

@@ -621,6 +621,16 @@ def repeated_spans(
     occ = occ.select(
         "doc_id", (F.col("_p0") + 1).alias("pos"), "_h"
     )
+    return _span_stats(occ, base.select("doc_id", "n_tokens"), ngram)
+
+
+def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
+    """Shared tail of the repeated-span pipeline: duplicate-window
+    detection + gaps-and-islands merge + per-doc stats, over ``occ``
+    (doc_id, pos, _h) window occurrences — whether they came from a
+    live tokenize (:func:`repeated_spans`) or a stored span index
+    (:func:`repeated_spans_from_index`). ``base`` is the full
+    (doc_id, n_tokens) doc list for the zero rows."""
     dup_hashes = (
         occ.groupBy("_h").count().where(F.col("count") > 1).select("_h")
     )
@@ -658,8 +668,7 @@ def repeated_spans(
     )
     zero = F.lit(0).cast("long")
     return (
-        base.select("doc_id", "n_tokens")
-        .join(per_doc, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -672,6 +681,136 @@ def repeated_spans(
             )).otherwise(F.lit(0.0)).alias("dup_span_frac"),
         )
     )
+
+
+# span-index value packing: value = doc_id * 2^21 + pos. 21 bits of
+# window position caps documents at ~2M tokens and doc ids at 2^41 —
+# both asserted at build time rather than silently corrupted.
+_SPAN_POS_BITS = 21
+_SPAN_POS_MOD = 1 << _SPAN_POS_BITS
+
+
+def span_occurrence_mapper(ngram: int = 10):
+    """Map fn for the stored span index — repeated-substring dedup on
+    the engine's incremental spine (reference write path,
+    index.js:173-249): per document one length row
+    (``L#<doc_id>`` -> n_tokens) plus one row per sliding window
+    (``W#<md5>`` -> doc_id*2^21 + pos). A churn batch through
+    ``MapIndex.update`` tombstones the doc's old windows and emits the
+    new ones — maintenance is O(changed docs' tokens), never a corpus
+    re-tokenize; :func:`repeated_spans_from_index` then serves the
+    span stats from one scan of the stored pairs."""
+    from level_mapreduce_spark.engine.mapper import ExprMapper
+
+    toks = F.col("_toks")
+    win_structs = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.struct(
+                F.concat(
+                    F.lit("W#"),
+                    F.md5(F.array_join(F.slice(toks, i, ngram), " ")),
+                ).alias("index_key"),
+                (
+                    F.col("doc_id").cast("long") * F.lit(_SPAN_POS_MOD)
+                    + i.cast("long")
+                ).alias("value"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<index_key: string, value: bigint>>"
+        )
+    )
+    len_struct = F.struct(
+        F.concat(F.lit("L#"), F.col("doc_id").cast("long").cast("string"))
+        .alias("index_key"),
+        F.size(toks).cast("long").alias("value"),
+    )
+    return ExprMapper(
+        F.concat(F.array(len_struct), win_structs),
+        value_type=T.LongType(),
+        stages={"_toks": tokens_expr("text")},
+    )
+
+
+def build_span_index(
+    spark,
+    docs: DataFrame,
+    store: str,
+    name: str = "span_index",
+    ngram: int = 10,
+):
+    """Build the stored span index (see :func:`span_occurrence_mapper`).
+    Persists the window width in a sidecar — an ``update()`` in a
+    fresh session must shingle with the SAME ngram or new windows
+    silently never collide with stored ones."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(
+        spark, name, span_occurrence_mapper(ngram), store, doc_key="doc_id"
+    )
+    idx.put_sidecar({"type": "span", "ngram": ngram}, name="span.json")
+    idx.span_ngram = ngram
+    # explicit partition count: the mapper is compute-bound on small
+    # bytes (the AQE small-byte coalescing trap)
+    n_part = spark.sparkContext.defaultParallelism
+    idx.build(docs.repartition(n_part, "doc_id"), assume_unique=True)
+    return idx
+
+
+def load_span_index(spark, store: str, name: str = "span_index"):
+    """Reopen a stored span index with the persisted window width;
+    refuses handles without a span sidecar (an update with guessed
+    geometry would silently split every duplicate window)."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    probe = MapIndex(
+        spark, name, span_occurrence_mapper(), store, doc_key="doc_id"
+    )
+    meta = probe.get_sidecar(name="span.json")
+    if meta is None or meta.get("type") != "span":
+        raise ValueError(
+            f"no span sidecar under {probe.root}; was this index built "
+            "by build_span_index?"
+        )
+    idx = MapIndex(
+        spark,
+        name,
+        span_occurrence_mapper(meta["ngram"]),
+        store,
+        doc_key="doc_id",
+    )
+    idx.span_ngram = meta["ngram"]
+    return idx
+
+
+def repeated_spans_from_index(idx) -> DataFrame:
+    """Serve :func:`repeated_spans` stats from a stored span index:
+    one scan of the persisted (key, value) pairs — O(index), never a
+    corpus re-tokenize — through the same duplicate-detection +
+    island-merge tail as the batch operator, so the two agree exactly
+    (pinned by tests and the ``span_idx`` gate variant)."""
+    ngram = getattr(idx, "span_ngram", None)
+    if ngram is None:
+        meta = idx.get_sidecar(name="span.json")
+        if meta is None:
+            raise ValueError("handle has no span geometry")
+        ngram = meta["ngram"]
+    rows = idx.read().select("index_key", F.col("value").cast("long"))
+    occ = rows.where(F.col("index_key").startswith("W#")).select(
+        # integer div, not /-then-cast: `/` is DOUBLE division, exact
+        # only while the packed value fits the 53-bit mantissa
+        F.expr(f"value div {_SPAN_POS_MOD}").alias("doc_id"),
+        F.pmod(F.col("value"), F.lit(_SPAN_POS_MOD)).alias("pos"),
+        F.col("index_key").alias("_h"),
+    )
+    base = rows.where(F.col("index_key").startswith("L#")).select(
+        F.substring("index_key", 3, 20).cast("long").alias("doc_id"),
+        F.col("value").alias("n_tokens"),
+    )
+    return _span_stats(occ, base, ngram)
 
 
 def contamination_check(

@@ -2459,9 +2459,16 @@ def q_chunk_dedup(spark, sf_dir):
       occurs more than once corpus-wide (alignment-free, merged via
       gaps-and-islands; the oracle replicates the interval merge with
       the same window frames).
+    - ``span_idx`` (r13): the SAME stats served from a STORED span
+      index (build_span_index -> one scan of the persisted
+      (window-hash, packed doc/pos) pairs -> the shared island-merge
+      tail) — the incremental-maintenance path (reference write path
+      index.js:173-249 applied to sub-document dedup), gated against
+      the identical oracle values: the stored round-trip must lose or
+      mangle nothing.
 
     Shared frame (variant, doc_id, n1, n2, n3, r1): chunk maps
-    (n_chunks, n_dup_chunks, 0, dup_frac); span maps
+    (n_chunks, n_dup_chunks, 0, dup_frac); span/span_idx map
     (n_tokens, dup_tokens, n_spans, dup_span_frac)."""
     docs = _docs(spark, sf_dir)
     zero = F.lit(0).cast("long")
@@ -2473,15 +2480,36 @@ def q_chunk_dedup(spark, sf_dir):
         zero.alias("n3"),
         F.col("dup_frac").cast("double").alias("r1"),
     )
-    span = dd.repeated_spans(docs, ngram=10).select(
-        F.lit("span").alias("variant"),
-        "doc_id",
-        F.col("n_tokens").alias("n1"),
-        F.col("dup_tokens").alias("n2"),
-        F.col("n_spans").alias("n3"),
-        F.col("dup_span_frac").cast("double").alias("r1"),
+
+    def span_frame(df, label):
+        return df.select(
+            F.lit(label).alias("variant"),
+            "doc_id",
+            F.col("n_tokens").alias("n1"),
+            F.col("dup_tokens").alias("n2"),
+            F.col("n_spans").alias("n3"),
+            F.col("dup_span_frac").cast("double").alias("r1"),
+        )
+
+    span = span_frame(dd.repeated_spans(docs, ngram=10), "span")
+    span_idx = span_frame(
+        dd.repeated_spans_from_index(_span_index(spark, sf_dir)),
+        "span_idx",
     )
-    return chunk.unionByName(span)
+    return chunk.unionByName(span).unionByName(span_idx)
+
+
+def _span_index(spark: SparkSession, sf_dir: str):
+    def build():
+        return dd.build_span_index(
+            spark,
+            _docs(spark, sf_dir),
+            _store(),
+            name=f"span_{abs(hash(sf_dir)) % 10**8}",
+            ngram=10,
+        )
+
+    return _cached(spark, sf_dir, "span", build)
 
 
 def q_knn_join(spark, sf_dir):
@@ -3954,6 +3982,10 @@ ORACLES: dict[str, str] = {
       FROM chunk_rows
       UNION ALL
       SELECT 'span', doc_id, n1, n2, n3, r1 FROM span_rows
+      UNION ALL
+      -- span_idx: the stored-index round-trip must reproduce the
+      -- exact same values the live computation produces
+      SELECT 'span_idx', doc_id, n1, n2, n3, r1 FROM span_rows
     """,
     "knn_join": """
       WITH scored AS (

@@ -416,3 +416,97 @@ def test_band_index_short_docs_no_mega_bucket(spark, tmp_path):
         for r in lsh_pairs_from_index(idx, docs, threshold=0.7).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_span_index_serve_equals_batch(spark, store, sf_dir):
+    """Stored span index round-trip: build -> serve must equal the
+    live repeated_spans frame exactly on real documents."""
+    from level_mapreduce_spark.operators.dedup import (
+        build_span_index,
+        repeated_spans,
+        repeated_spans_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_span_index(spark, docs, store, name="span_eq", ngram=10)
+    got = sorted(
+        tuple(r) for r in repeated_spans_from_index(idx).collect()
+    )
+    want = sorted(
+        tuple(r) for r in repeated_spans(docs, ngram=10).collect()
+    )
+    assert got == want and got
+
+
+def test_span_index_churn_propagates_cross_doc(spark, store):
+    """Incremental contract: updating ONE doc must flip the dup status
+    of a doc that was never re-mapped (its duplicate partner vanished /
+    appeared), and the served frame must equal a full batch recompute
+    on the post-churn corpus."""
+    from level_mapreduce_spark.operators.dedup import (
+        build_span_index,
+        load_span_index,
+        repeated_spans,
+        repeated_spans_from_index,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j k l"),
+        (1, "a b c d e f g h i j x y"),  # shares a 10-window with doc 0
+        (2, "q w e r t y u i o p z m"),
+        (3, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_span_index(spark, docs, store, name="span_churn", ngram=10)
+    pre = {r["doc_id"]: r for r in repeated_spans_from_index(idx).collect()}
+    assert pre[0]["n_spans"] == 1 and pre[1]["n_spans"] == 1
+
+    # doc 1 rewritten to clone doc 2 instead: doc 0 loses its partner,
+    # doc 2 gains one — neither 0 nor 2 is in the churn batch
+    changed = spark.createDataFrame(
+        [(1, "q w e r t y u i o p z m")], "doc_id long, text string"
+    )
+    idx.update(changed, assume_unique=True)
+    post_docs = spark.createDataFrame(
+        [rows[0], (1, "q w e r t y u i o p z m"), rows[2], rows[3]],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in repeated_spans_from_index(idx).collect()
+    )
+    want = sorted(
+        tuple(r) for r in repeated_spans(post_docs, ngram=10).collect()
+    )
+    assert got == want
+    post = {r[0]: r for r in got}
+    assert post[0][2] == 0  # n_spans: partner gone
+    assert post[2][2] == 1  # n_spans: partner appeared
+
+    # reload in a fresh handle: geometry from the sidecar, identical serve
+    idx2 = load_span_index(spark, store, name="span_churn")
+    got2 = sorted(
+        tuple(r) for r in repeated_spans_from_index(idx2).collect()
+    )
+    assert got2 == got
+
+
+def test_span_index_refuses_missing_sidecar(spark, store):
+    """A span handle without its geometry sidecar is refused — an
+    update with guessed ngram would silently split every duplicate."""
+    import pytest
+
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.dedup import (
+        load_span_index,
+        span_occurrence_mapper,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    raw = MapIndex(
+        spark, "span_nosc", span_occurrence_mapper(), store, doc_key="doc_id"
+    )
+    raw.build(docs, assume_unique=True)
+    with pytest.raises(ValueError, match="span sidecar"):
+        load_span_index(spark, store, name="span_nosc")
