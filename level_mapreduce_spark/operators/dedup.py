@@ -684,10 +684,15 @@ def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
 
 
 # span-index value packing: value = doc_id * 2^21 + pos. 21 bits of
-# window position caps documents at ~2M tokens and doc ids at 2^41 —
-# both asserted at build time rather than silently corrupted.
+# window position caps documents at ~2M tokens and doc ids at 2^42
+# (63 usable bits in a signed long minus 21 position bits) — both
+# enforced by a per-doc raise_error guard inside the mapper (see
+# span_occurrence_mapper), so an out-of-range doc fails the
+# build/update instead of silently corrupting the packed value (a
+# negative doc_id would additionally desync the div/pmod unpack).
 _SPAN_POS_BITS = 21
 _SPAN_POS_MOD = 1 << _SPAN_POS_BITS
+_SPAN_DOC_ID_LIMIT = 1 << (63 - _SPAN_POS_BITS)
 
 
 def span_occurrence_mapper(ngram: int = 10):
@@ -723,10 +728,37 @@ def span_occurrence_mapper(ngram: int = 10):
             "array<struct<index_key: string, value: bigint>>"
         )
     )
+    # bounds guard rides the L# row every doc emits: packing is only
+    # injective for doc_id in [0, 2^42) and window pos < 2^21, so an
+    # out-of-range doc must FAIL the build/update, not unpack as some
+    # other document's windows. raise_error is NullType; when/otherwise
+    # coerces it under the long branch and it throws per offending row.
+    doc_id_l = F.col("doc_id").cast("long")
+    n_win = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
+    bounds_ok = (
+        doc_id_l.isNotNull()
+        & (doc_id_l >= 0)
+        & (doc_id_l < F.lit(_SPAN_DOC_ID_LIMIT))
+        & (n_win < F.lit(_SPAN_POS_MOD))
+    )
+    guarded_len = F.when(bounds_ok, F.size(toks).cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("span index packing overflow: doc_id="),
+                F.coalesce(doc_id_l.cast("string"), F.lit("null")),
+                F.lit(
+                    " (must be in [0, 2^%d)) n_windows="
+                    % (63 - _SPAN_POS_BITS)
+                ),
+                n_win.cast("string"),
+                F.lit(" (must be < 2^%d)" % _SPAN_POS_BITS),
+            )
+        )
+    )
     len_struct = F.struct(
         F.concat(F.lit("L#"), F.col("doc_id").cast("long").cast("string"))
         .alias("index_key"),
-        F.size(toks).cast("long").alias("value"),
+        guarded_len.alias("value"),
     )
     return ExprMapper(
         F.concat(F.array(len_struct), win_structs),

@@ -683,6 +683,24 @@ def lsh_topk(
     )
 
 
+# semantic_dedup's self-join salt only needs to spread the Σc²
+# pair-explosion across enough cells that no single reducer owns a
+# whole cluster's pair volume — it must NOT track cluster width: the
+# y side is replicated once per salt value, so salt =
+# defaultParallelism would replicate the (narrow) rank table 2,000×
+# on a 2,000-core cluster for zero extra skew relief. 64 cells per
+# cluster already splits the worst sf1.0 cluster's pairs to < 2% per
+# cell (the r13 AQE-collapse fix needed only "more than one").
+_SEMDEDUP_SALT_CAP = 64
+
+
+def _semdedup_salt_width(n_part: int) -> int:
+    """Salt width for the within-cluster self-join: the session's
+    parallelism, capped at :data:`_SEMDEDUP_SALT_CAP` so y-side
+    replication is bounded by pair volume, never cluster size."""
+    return max(1, min(int(n_part), _SEMDEDUP_SALT_CAP))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -837,7 +855,7 @@ def semantic_dedup(
     # the explosion across B×n_clusters cells. y replication is B
     # copies of a NARROW row (vectors are fetched after), bounded by
     # B × corpus ids.
-    salt_b = n_part
+    salt_b = _semdedup_salt_width(n_part)
     x_side = ranked.withColumn(
         "_salt", F.pmod(F.col("_rk"), F.lit(salt_b))
     ).repartition(n_part, "cluster", "_salt")

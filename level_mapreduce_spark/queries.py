@@ -2092,8 +2092,17 @@ def q_neardup_cosine_lsh(spark, sf_dir):
         F.col("sim").cast("double").alias("sim"),
         F.lit(0.0).alias("r2"),
     )
+    # max_cluster pinned provably unreachable: the DuckDB oracle
+    # (_neardup_lsh_semdedup_sql) ranks/leads EVERY cluster and does
+    # not model the oversize exemption, so the gate is only sound
+    # while no cluster can hit the cap. 2^40 vectors in one cluster
+    # exceeds any gated scale factor (sf1.0 augmented corpus is ~66k
+    # rows total) by ~7 orders of magnitude.
     sd = sim.semantic_dedup(
-        aug, centroids=_semdedup_centroids(), threshold=0.95
+        aug,
+        centroids=_semdedup_centroids(),
+        threshold=0.95,
+        max_cluster=1 << 40,
     ).select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("vec_id_a"),

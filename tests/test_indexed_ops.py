@@ -3,6 +3,7 @@ operators plus the capability the index adds — incremental maintenance
 of the bucket structures.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from level_mapreduce_spark.operators.dedup import minhash_lsh_pairs
@@ -510,3 +511,40 @@ def test_span_index_refuses_missing_sidecar(spark, store):
     raw.build(docs, assume_unique=True)
     with pytest.raises(ValueError, match="span sidecar"):
         load_span_index(spark, store, name="span_nosc")
+
+
+def test_span_index_build_rejects_out_of_range_doc_ids(spark, store):
+    """Packing guard (value = doc_id * 2^21 + pos): a doc_id outside
+    [0, 2^42) must FAIL the build with the overflow message, never
+    silently unpack as some other document's windows."""
+    from level_mapreduce_spark.operators.dedup import (
+        _SPAN_DOC_ID_LIMIT,
+        build_span_index,
+    )
+
+    for bad in (-1, _SPAN_DOC_ID_LIMIT):
+        docs = spark.createDataFrame(
+            [(bad, "a b c d e f g h i j k l")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="span index packing overflow"):
+            build_span_index(
+                spark, docs, store, name=f"span_bad_{bad}", ngram=10
+            )
+
+
+def test_span_index_build_rejects_overlong_doc(spark, store):
+    """A document with >= 2^21 sliding windows overflows the 21
+    position bits; the guard must fail the build. The 2M-token text is
+    synthesized JVM-side (repeat), never shipped from the driver."""
+    from level_mapreduce_spark.operators.dedup import (
+        _SPAN_POS_MOD,
+        build_span_index,
+    )
+
+    docs = spark.range(1).select(
+        F.lit(7).cast("long").alias("doc_id"),
+        F.repeat(F.lit("a "), _SPAN_POS_MOD + 9).alias("text"),
+    )
+    with pytest.raises(Exception, match="span index packing overflow"):
+        build_span_index(spark, docs, store, name="span_long", ngram=10)

@@ -2116,3 +2116,17 @@ def test_multimodal_oracle_matches_on_short_texts(spark, tmp_path):
         tuple(r) for r in con.sql(q.ORACLES["multimodal_features"]).fetchall()
     )
     assert got == want
+
+
+def test_semdedup_salt_width_is_capped():
+    """The self-join salt spreads pair volume, not cluster width: on a
+    wide cluster (defaultParallelism >> cap) the y-side replication
+    factor must stay bounded."""
+    from level_mapreduce_spark.operators.similarity import (
+        _SEMDEDUP_SALT_CAP,
+        _semdedup_salt_width,
+    )
+
+    assert _semdedup_salt_width(8) == 8
+    assert _semdedup_salt_width(2000) == _SEMDEDUP_SALT_CAP
+    assert _semdedup_salt_width(0) == 1
