@@ -96,6 +96,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # key count rides the artifact so round-over-round totals are
+        # traceable to "N keys" without recounting the queries dict
+        # (BASELINE.md quotes this field)
+        "n_keys": len(times),
         "queries": times,
         "sf": sf,
     }
@@ -266,6 +270,50 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         "bm25_topk",
         lambda: materialize(bm25_topk(docs, q._BM25_QUERY, k=10)),
     )
+
+    # r14: the stored postings index — build + 1% churn maintenance +
+    # both served retrieval paths. The headline comparison is
+    # tfidf (corpus rescan) vs tfidf_from_index (stored postings) and
+    # bm25_topk vs bm25_from_index (O(query-terms) pruned scan).
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk_from_index,
+        build_postings_index,
+        tfidf_from_index,
+    )
+
+    post_idx: dict = {}
+
+    def postings_build(_n=[0]):
+        _n[0] += 1
+        post_idx["idx"] = build_postings_index(
+            spark, docs, store, name=f"bench_postings_{_n[0]}"
+        )
+
+    timed("postings_index_build", postings_build)
+
+    if "idx" in post_idx:
+
+        def postings_update():
+            churn_docs = docs.where(F.col("doc_id") % 100 == 0).withColumn(
+                "text", F.concat(F.lit("changed "), F.col("text"))
+            )
+            post_idx["idx"].update(churn_docs, assume_unique=True)
+
+        timed("postings_index_update_1pct", postings_update)
+        timed(
+            "tfidf_from_index",
+            lambda: materialize(tfidf_from_index(post_idx["idx"])),
+        )
+        timed(
+            "bm25_from_index",
+            lambda: materialize(
+                bm25_topk_from_index(post_idx["idx"], q._BM25_QUERY, k=10)
+            ),
+        )
+    else:
+        dep_failed("postings_index_update_1pct", "postings_index_build")
+        dep_failed("tfidf_from_index", "postings_index_build")
+        dep_failed("bm25_from_index", "postings_index_build")
 
     from level_mapreduce_spark.operators.text import inverted_index_mapper
 

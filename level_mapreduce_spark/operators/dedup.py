@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from level_mapreduce_spark.functions import pin_array_arg, unpushable
+from level_mapreduce_spark.functions.packing import (
+    PACK_BITS as _SPAN_POS_BITS,
+    PACK_DOC_ID_LIMIT as _SPAN_DOC_ID_LIMIT,
+    PACK_MOD as _SPAN_POS_MOD,
+    guard_packed as _guard_packed,
+)
 from level_mapreduce_spark.operators.text import (
     shingles_from_tokens,
     tokens_expr,
@@ -683,16 +689,9 @@ def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
     )
 
 
-# span-index value packing: value = doc_id * 2^21 + pos. 21 bits of
-# window position caps documents at ~2M tokens and doc ids at 2^42
-# (63 usable bits in a signed long minus 21 position bits) — both
-# enforced by a per-doc raise_error guard inside the mapper (see
-# span_occurrence_mapper), so an out-of-range doc fails the
-# build/update instead of silently corrupting the packed value (a
-# negative doc_id would additionally desync the div/pmod unpack).
-_SPAN_POS_BITS = 21
-_SPAN_POS_MOD = 1 << _SPAN_POS_BITS
-_SPAN_DOC_ID_LIMIT = 1 << (63 - _SPAN_POS_BITS)
+# span-index value packing: value = doc_id * 2^21 + pos — the shared
+# functions/packing scheme (bounds + raise_error guard); the aliases
+# are imported at the top of the module.
 
 
 def span_occurrence_mapper(ngram: int = 10):
@@ -731,29 +730,11 @@ def span_occurrence_mapper(ngram: int = 10):
     # bounds guard rides the L# row every doc emits: packing is only
     # injective for doc_id in [0, 2^42) and window pos < 2^21, so an
     # out-of-range doc must FAIL the build/update, not unpack as some
-    # other document's windows. raise_error is NullType; when/otherwise
-    # coerces it under the long branch and it throws per offending row.
+    # other document's windows (functions/packing).
     doc_id_l = F.col("doc_id").cast("long")
     n_win = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
-    bounds_ok = (
-        doc_id_l.isNotNull()
-        & (doc_id_l >= 0)
-        & (doc_id_l < F.lit(_SPAN_DOC_ID_LIMIT))
-        & (n_win < F.lit(_SPAN_POS_MOD))
-    )
-    guarded_len = F.when(bounds_ok, F.size(toks).cast("long")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("span index packing overflow: doc_id="),
-                F.coalesce(doc_id_l.cast("string"), F.lit("null")),
-                F.lit(
-                    " (must be in [0, 2^%d)) n_windows="
-                    % (63 - _SPAN_POS_BITS)
-                ),
-                n_win.cast("string"),
-                F.lit(" (must be < 2^%d)" % _SPAN_POS_BITS),
-            )
-        )
+    guarded_len = _guard_packed(
+        F.size(toks).cast("long"), doc_id_l, n_win, "n_windows", "span index"
     )
     len_struct = F.struct(
         F.concat(F.lit("L#"), F.col("doc_id").cast("long").cast("string"))

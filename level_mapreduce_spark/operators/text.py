@@ -409,6 +409,23 @@ def bm25_topk(
     ).where(F.col("term").isin(q_terms))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _bm25_score(tf, dfreq, dl, stats, k, k1, b)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring tail over (doc_id, term, tf) / (term, df) /
+    (doc_id, dl) / 1-row (n_docs, avgdl) frames — one expression for
+    both the corpus-rescan path (:func:`bm25_topk`) and the stored-
+    postings path (:func:`bm25_topk_from_index`), so the two are
+    value-identical by construction, not by parallel maintenance."""
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
@@ -434,6 +451,215 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+def postings_mapper() -> ExprMapper:
+    """Map fn for the stored postings index — ranked retrieval
+    (TF-IDF / BM25) on the engine's incremental spine (reference
+    write path, index.js:173-249): per document one length row
+    (``L#<doc_id>`` -> n_tokens) plus one row per DISTINCT term
+    (``T#<term>`` -> doc_id * 2^21 + tf, functions/packing). A churn
+    batch through ``MapIndex.update`` tombstones the doc's old
+    postings and emits the new ones — maintenance is O(changed docs'
+    tokens), never a corpus re-tokenize — and the serve paths
+    (:func:`tfidf_from_index`, :func:`bm25_topk_from_index`) answer
+    from the stored pairs: the reference's own materialize-once
+    promise (index.js:173-249 vs :124-172) applied to the corpus'
+    heaviest text aggregations.
+
+    Per-doc tf is the RUN LENGTHS of the sorted token array — one
+    ``array_sort`` + two staged projections, O(t log t) per doc,
+    pure Column exprs (the text_repetition longest-run trick,
+    generalized to all runs). Stages are attribute references so no
+    tokenize/sort re-evaluates inside a HOF lambda (staging module
+    docstring). The n_tokens < 2^21 guard on the L# row also bounds
+    every tf (tf <= n_tokens), so one guarded column per doc covers
+    the whole packing.
+    """
+    from level_mapreduce_spark.functions.packing import (
+        guard_packed,
+        pack,
+    )
+
+    toks = F.col("_toks")
+    st = F.col("_st")
+    starts = F.col("_starts")
+    doc_id_l = F.col("doc_id").cast("long")
+    n_runs = F.size(starts)
+
+    def run_struct(j: Column) -> Column:
+        # next run start; the last run ends at size(st) + 1. The when
+        # guards the ANSI out-of-bounds element_at (CaseWhen branches
+        # evaluate lazily).
+        nxt = F.when(
+            j < n_runs, F.element_at(starts, (j + 1).cast("int"))
+        ).otherwise(F.size(st) + 1)
+        start = F.element_at(starts, j)
+        return F.struct(
+            F.concat(F.lit("T#"), F.element_at(st, start)).alias(
+                "index_key"
+            ),
+            pack(doc_id_l, nxt - start).alias("value"),
+        )
+
+    term_structs = F.when(
+        F.size(toks) >= 1,
+        F.transform(F.sequence(F.lit(1), n_runs), run_struct),
+    ).otherwise(
+        F.array().cast("array<struct<index_key: string, value: bigint>>")
+    )
+    len_struct = F.struct(
+        F.concat(F.lit("L#"), doc_id_l.cast("string")).alias("index_key"),
+        guard_packed(
+            F.size(toks).cast("long"),
+            doc_id_l,
+            F.size(toks).cast("long"),
+            "n_tokens",
+            "postings index",
+        ).alias("value"),
+    )
+    # run starts: positions i where st[i] opens a new equal run. The
+    # greatest(i-1, 1) keeps element_at off index 0 (always an ANSI
+    # error; boolean OR does not short-circuit) — at i=1 the compare
+    # is st[1] != st[1] = false and the i == 1 arm decides.
+    starts_expr = F.when(
+        F.size(st) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(st)),
+            lambda i: (i == 1)
+            | (
+                F.element_at(st, F.greatest(i - 1, F.lit(1)))
+                != F.element_at(st, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return ExprMapper(
+        F.concat(F.array(len_struct), term_structs),
+        value_type=T.LongType(),
+        stages={
+            "_toks": tokens_expr("text"),
+            "_st": F.array_sort(F.col("_toks")),
+            "_starts": starts_expr,
+        },
+    )
+
+
+def build_postings_index(
+    spark,
+    docs: DataFrame,
+    store: str,
+    name: str = "postings_index",
+):
+    """Build the stored postings index (see :func:`postings_mapper`).
+    Persists the index kind in a sidecar so a fresh session's loader
+    can refuse a non-postings handle."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(
+        spark, name, postings_mapper(), store, doc_key="doc_id"
+    )
+    idx.put_sidecar({"type": "postings"}, name="postings.json")
+    # explicit partition count: the mapper is compute-bound on small
+    # bytes (the AQE small-byte coalescing trap)
+    n_part = spark.sparkContext.defaultParallelism
+    idx.build(docs.repartition(n_part, "doc_id"), assume_unique=True)
+    return idx
+
+
+def load_postings_index(spark, store: str, name: str = "postings_index"):
+    """Reopen a stored postings index in a fresh session; refuses
+    handles without a postings sidecar (serving term stats from an
+    arbitrary index would silently misparse its keys)."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(
+        spark, name, postings_mapper(), store, doc_key="doc_id"
+    )
+    meta = idx.get_sidecar(name="postings.json")
+    if meta is None or meta.get("type") != "postings":
+        raise ValueError(
+            f"no postings sidecar under {idx.root}; was this index "
+            "built by build_postings_index?"
+        )
+    return idx
+
+
+def _postings_frames(
+    idx, terms: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc lengths) from a stored postings index: postings
+    = (term, doc_id, tf) from the ``T#`` rows, lengths = (doc_id, dl)
+    from the ``L#`` rows. The slice predicates are on the RAW
+    ``index_key`` (prefix / literal In — a predicate on the derived
+    ``term`` column would not reach the scan) over the
+    range-partitioned index layout, so they push to the Parquet scan
+    (min/max row-group skipping): a caller that touches only a few
+    terms reads only those postings."""
+    from level_mapreduce_spark.functions.packing import (
+        unpack_doc_id,
+        unpack_n,
+    )
+
+    rows = idx.read().select("index_key", F.col("value").cast("long"))
+    if terms is None:
+        t_rows = rows.where(F.col("index_key").startswith("T#"))
+    else:
+        t_rows = rows.where(
+            F.col("index_key").isin([f"T#{t}" for t in terms])
+        )
+    post = t_rows.select(
+        F.expr("substring(index_key, 3)").alias("term"),
+        unpack_doc_id(F.col("value")).alias("doc_id"),
+        unpack_n(F.col("value")).alias("tf"),
+    )
+    dl = rows.where(F.col("index_key").startswith("L#")).select(
+        F.expr("substring(index_key, 3)").cast("long").alias("doc_id"),
+        F.col("value").alias("dl"),
+    )
+    return post, dl
+
+
+def tfidf_from_index(idx) -> DataFrame:
+    """Serve :func:`tfidf` from a stored postings index — no corpus
+    re-tokenize: tf rides the stored ``T#`` rows, df is one
+    aggregation of them, N is a count of the narrow ``L#`` slice
+    (driver-side by design — one scalar, the same contract as
+    ``tfidf``'s ``docs.count()``). Value-identical to the batch
+    operator (same formula, integer inputs)."""
+    post, dl = _postings_frames(idx)
+    n = dl.count()
+    df = post.groupBy("term").agg(F.count("*").alias("df"))
+    return post.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias(
+            "score"
+        ),
+    )
+
+
+def bm25_topk_from_index(
+    idx,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve :func:`bm25_topk` from a stored postings index. The
+    query's ``T#`` keys are a literal In over the range-partitioned
+    layout — the scan reads O(query-terms' postings), never the
+    corpus; dl/N/avgdl come from the narrow ``L#`` slice. Scoring is
+    the SHARED :func:`_bm25_score` tail, so batch and served results
+    are identical by construction."""
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk_from_index: query has no tokens")
+    tf, dl = _postings_frames(idx, terms=q_terms)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _bm25_score(tf, dfreq, dl, stats, k, k1, b)
 
 
 def doc_fingerprints(

@@ -395,6 +395,18 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> MapIndex:
     return _cached(spark, sf_dir, "inverted", build)
 
 
+def _postings_index(spark: SparkSession, sf_dir: str):
+    def build():
+        return tx.build_postings_index(
+            spark,
+            _docs(spark, sf_dir),
+            _store(),
+            name=f"postings_{abs(hash(sf_dir)) % 10**8}",
+        )
+
+    return _cached(spark, sf_dir, "postings", build)
+
+
 # --------------------------------------------------------------------------
 # Query callables (spark, sf_dir) -> DataFrame
 # --------------------------------------------------------------------------
@@ -1108,7 +1120,27 @@ def q_inverted_index(spark, sf_dir):
 
 
 def q_tfidf(spark, sf_dir):
-    return tx.tfidf(_docs(spark, sf_dir))
+    """TF-IDF, two variants in one tagged union (r14: `served`
+    joined; registry at the 50-slot cap):
+
+    - ``batch``: the corpus-rescan operator (tokenize + two
+      aggregations every call).
+    - ``served``: identical values from the STORED postings index
+      (build_postings_index -> tf from the persisted T# rows, N from
+      the L# slice — no re-tokenize). The engine's materialize-once
+      promise (index.js:173-249 vs :124-172) applied to the heaviest
+      sf1.0 text key.
+
+    The oracle computes the frame once and emits it under both
+    labels, so `served` is gated hash-identical to `batch`."""
+    docs = _docs(spark, sf_dir)
+    batch = tx.tfidf(docs).select(
+        F.lit("batch").alias("variant"), "*"
+    )
+    served = tx.tfidf_from_index(_postings_index(spark, sf_dir)).select(
+        F.lit("served").alias("variant"), "*"
+    )
+    return batch.unionByName(served)
 
 
 # fixed gate query: words drawn from the synthetic corpus vocabulary.
@@ -1124,8 +1156,22 @@ def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 retrieval for a fixed query — the ranking
     workhorse the inverted-index/TF-IDF family builds toward. Exact
     floating formula mirrored in the DuckDB oracle (idf, length
-    normalization, 6-decimal rounding, doc_id tiebreak)."""
-    return tx.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+    normalization, 6-decimal rounding, doc_id tiebreak).
+
+    Two variants in one tagged union (r14: `served` joined): `batch`
+    rescans the corpus; `served` answers from the STORED postings
+    index — the query's T# keys as a pushed literal In (reads
+    O(query-terms' postings), never the corpus) + the narrow L#
+    doc-length slice, through the SAME _bm25_score tail. The oracle
+    computes the ranking once and emits it under both labels."""
+    docs = _docs(spark, sf_dir)
+    batch = tx.bm25_topk(docs, _BM25_QUERY, k=10).select(
+        F.lit("batch").alias("variant"), "*"
+    )
+    served = tx.bm25_topk_from_index(
+        _postings_index(spark, sf_dir), _BM25_QUERY, k=10
+    ).select(F.lit("served").alias("variant"), "*")
+    return batch.unionByName(served)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -3572,10 +3618,17 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
         GROUP BY 1, 2
       ),
-      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-      SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 6) AS score
-      FROM tf JOIN df ON tf.term = df.term
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      res AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 6) AS score
+        FROM tf JOIN df ON tf.term = df.term
+      )
+      -- `served` must be hash-identical to `batch`: one computation,
+      -- two labels
+      SELECT 'batch' AS variant, * FROM res
+      UNION ALL
+      SELECT 'served' AS variant, * FROM res
     """,
     "bm25_topk": f"""
       WITH toks AS (
@@ -3590,20 +3643,27 @@ ORACLES: dict[str, str] = {
         WHERE t IN ({_BM25_TERMS_SQL})
         GROUP BY 1, 2
       ),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-      SELECT t.doc_id,
-             round(sum(
-               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * (t.tf * 2.2)
-               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
-             ), 6) AS score
-      FROM tf t
-      JOIN dfreq d USING (term)
-      JOIN dl l USING (doc_id)
-      CROSS JOIN stats s
-      GROUP BY t.doc_id
-      ORDER BY score DESC, t.doc_id
-      LIMIT 10
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      res AS (
+        SELECT t.doc_id,
+               round(sum(
+                 ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf t
+        JOIN dfreq d USING (term)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+        ORDER BY score DESC, t.doc_id
+        LIMIT 10
+      )
+      -- `served` must be hash-identical to `batch`: one ranking, two
+      -- labels
+      SELECT 'batch' AS variant, doc_id, score FROM res
+      UNION ALL
+      SELECT 'served' AS variant, doc_id, score FROM res
     """,
     "doc_fingerprint": """
       WITH grams AS (

@@ -41,6 +41,39 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
+def split_variants(cols, rows):
+    """{variant: rows} for tagged-union entries (a `variant` column),
+    else None — so a red union entry names its variant instead of
+    forcing a manual bisect (VERDICT r13 #5)."""
+    if "variant" not in cols:
+        return None
+    vi = cols.index("variant")
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[vi], []).append(r)
+    return out
+
+
+def variant_report(spark_cols, sr, orr):
+    """Per-variant lines: row counts + first differing value on each
+    side. Only called when shapes already matched column-wise."""
+    sv = split_variants(spark_cols, sr)
+    if sv is None:
+        return
+    ov = split_variants(spark_cols, orr) or {}
+    for v in sorted(set(sv) | set(ov)):
+        a, b = sv.get(v, []), ov.get(v, [])
+        if a == b:
+            print(f"    variant {v}: OK ({len(a)} rows)")
+        else:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:1]
+            print(
+                f"    variant {v}: MISMATCH spark={len(a)} "
+                f"oracle={len(b)} rows"
+                + (f", e.g. {diff[0]}" if diff else "")
+            )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -87,14 +120,25 @@ def main():
             n_fail += 1
         elif len(sr) != len(orr):
             print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}")
+            variant_report(sc, sr, orr)
             n_fail += 1
         elif sr != orr:
             diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
             print(f"FAIL {name}: values differ, e.g. {diff}")
+            variant_report(sc, sr, orr)
             n_fail += 1
         else:
+            sv = split_variants(sc, sr)
+            per_variant = (
+                " [" + ", ".join(
+                    f"{v}:{len(rs)}" for v, rs in sorted(sv.items())
+                ) + "]"
+                if sv
+                else ""
+            )
             print(
-                f"PASS {name}: {len(sr)} rows ({time.time() - t0:.1f}s)"
+                f"PASS {name}: {len(sr)} rows{per_variant}"
+                f" ({time.time() - t0:.1f}s)"
             )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")

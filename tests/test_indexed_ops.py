@@ -548,3 +548,64 @@ def test_span_index_build_rejects_overlong_doc(spark, store):
     )
     with pytest.raises(Exception, match="span index packing overflow"):
         build_span_index(spark, docs, store, name="span_long", ngram=10)
+
+
+def test_postings_index_serve_equals_batch_and_churn(spark, store, sf_dir):
+    """Stored postings index: served TF-IDF and BM25 must equal the
+    corpus-rescan operators on real documents; after a churn batch
+    the served frames must equal a full recompute on the post-churn
+    corpus — including docs NOT in the batch whose df/idf shifted
+    because a term's document frequency changed under them."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        load_postings_index,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_postings_index(spark, docs, store, name="post_eq")
+    assert sorted(
+        tuple(r) for r in tfidf_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in tfidf(docs).collect())
+    q = "spark merge window"
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q, k=10).collect()
+    ] == [tuple(r) for r in bm25_topk(docs, q, k=10).collect()]
+
+    # churn: rewrite 10% of docs to a fixed query-term text — df for
+    # the query terms jumps, so every OTHER doc's idf moves too
+    changed = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "text", F.concat(F.lit("spark spark merge "), F.col("text"))
+    )
+    idx.update(changed, assume_unique=True)
+    post_docs = docs.where(F.col("doc_id") % 10 != 0).unionByName(changed)
+    assert sorted(
+        tuple(r) for r in tfidf_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in tfidf(post_docs).collect())
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q, k=10).collect()
+    ] == [tuple(r) for r in bm25_topk(post_docs, q, k=10).collect()]
+
+    # reload in a fresh handle: identical serve; loader refuses a
+    # non-postings namespace
+    idx2 = load_postings_index(spark, store, name="post_eq")
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx2, q, k=10).collect()
+    ] == [tuple(r) for r in bm25_topk(post_docs, q, k=10).collect()]
+    with pytest.raises(ValueError, match="postings sidecar"):
+        load_postings_index(spark, store, name="absent_ns")
+
+
+def test_postings_index_build_rejects_out_of_range_doc_ids(spark, store):
+    """Same packing contract as the span index: value = doc_id * 2^21
+    + tf, so out-of-range doc ids must fail the build."""
+    from level_mapreduce_spark.operators.text import build_postings_index
+
+    docs = spark.createDataFrame(
+        [(-3, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="postings index packing overflow"):
+        build_postings_index(spark, docs, store, name="post_bad")
