@@ -701,6 +701,71 @@ def _semdedup_salt_width(n_part: int) -> int:
     return max(1, min(int(n_part), _SEMDEDUP_SALT_CAP))
 
 
+def _semdedup_assignment(
+    embeddings: DataFrame, centroids: list[list[float]], n_part: int
+) -> DataFrame:
+    """``(vec_id, _e, cluster, centroid_sim)`` nearest-centroid
+    assignment — ONE expression shared by :func:`semantic_dedup` and
+    the stored-index paths (:func:`build_semdedup_index` /
+    :func:`semdedup_update`), so batch and incremental assignments
+    can never drift. Scores are rounded to 6dp BEFORE the argmax:
+    raw double scores can drift in the last bits across engines,
+    flipping the assignment of a point near a cell boundary; at 6dp
+    both engines see the same number and break exact ties to the
+    lowest cluster id. Zero-norm vectors have no cosine geometry:
+    cluster -1, centroid_sim 0.0."""
+    from level_mapreduce_spark.functions.litarr import (
+        lit_doubles,
+        lit_doubles_2d,
+    )
+
+    cents = lit_doubles_2d(centroids)
+    half_norms = lit_doubles(
+        [sum(v * v for v in c) / 2.0 for c in centroids]
+    )
+    vec = _as_double_array(F.col("embedding"))
+    norm2 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    scores = F.zip_with(
+        cents,
+        half_norms,
+        lambda c, hn: F.round(
+            F.aggregate(
+                F.zip_with(vec, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - hn,
+            6,
+        ),
+    )
+    cluster = F.when(
+        norm2 > 0,
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    ).otherwise(F.lit(-1).cast("int"))
+    return (
+        embeddings.repartition(n_part, "vec_id")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            vec.alias("_e"),
+            cluster.alias("cluster"),
+        )
+        .select(
+            "vec_id",
+            "_e",
+            "cluster",
+            F.when(F.col("cluster") < 0, F.lit(0.0)).otherwise(
+                F.round(
+                    cosine_sim(
+                        F.col("_e"),
+                        F.element_at(cents, F.col("cluster") + 1),
+                    ),
+                    6,
+                )
+            ).alias("centroid_sim"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -747,39 +812,10 @@ def semantic_dedup(
         centroids = train_centroids(
             embeddings, n_centroids=n_clusters, seed=seed
         )
-    from level_mapreduce_spark.functions.litarr import (
-        lit_doubles,
-        lit_doubles_2d,
-    )
     from pyspark.sql.window import Window
 
-    cents = lit_doubles_2d(centroids)
-    half_norms = lit_doubles(
-        [sum(v * v for v in c) / 2.0 for c in centroids]
-    )
     vec = _as_double_array(F.col("embedding"))
     norm2 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
-    # scores rounded to 6dp BEFORE the argmax: raw double scores can
-    # drift in the last bits across engines, flipping the assignment
-    # of a point near a cell boundary; at 6dp both engines see the
-    # same number and break exact ties to the lowest cluster id
-    scores = F.zip_with(
-        cents,
-        half_norms,
-        lambda c, hn: F.round(
-            F.aggregate(
-                F.zip_with(vec, c, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            - hn,
-            6,
-        ),
-    )
-    cluster = F.when(
-        norm2 > 0,
-        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
-    ).otherwise(F.lit(-1).cast("int"))
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     # vectors + norms: a cheap projection kept SEPARATE from the
     # HOF-heavy assignment so the pair stage can fetch them back by id
@@ -797,25 +833,8 @@ def semantic_dedup(
     # assignment stack (measured 7-10 s vs ~1 s at sf0.1). Same
     # pattern as cosine_neardup_pairs_lsh's bucket table.
     assigned = (
-        embeddings.repartition(n_part, "vec_id")
-        .select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            vec.alias("_e"),
-            cluster.alias("cluster"),
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            F.when(F.col("cluster") < 0, F.lit(0.0)).otherwise(
-                F.round(
-                    cosine_sim(
-                        F.col("_e"),
-                        F.element_at(cents, F.col("cluster") + 1),
-                    ),
-                    6,
-                )
-            ).alias("centroid_sim"),
-        )
+        _semdedup_assignment(embeddings, centroids, n_part)
+        .select("vec_id", "cluster", "centroid_sim")
         .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
@@ -923,6 +942,325 @@ def semantic_dedup(
         "cluster",
         "centroid_sim",
         F.col("leader_id").isNull().alias("keep"),
+        "leader_id",
+        "leader_sim",
+    )
+
+
+_SEMDEDUP_VALUE_T = T.StructType(
+    [
+        T.StructField("rank", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("centroid_sim", T.DoubleType()),
+        T.StructField("keep", T.BooleanType()),
+        T.StructField("leader_id", T.LongType()),
+        T.StructField("leader_sim", T.DoubleType()),
+        T.StructField("emb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _semdedup_member_mapper():
+    """Map fn for the stored semdedup index: one row per vector under
+    its cluster key ``C#<cluster>``, carrying the FROZEN decision
+    (rank, keep, leader) plus the embedding — the piece
+    :func:`semdedup_update` compares new vectors against. Cluster
+    keys make the update's read a literal In over the affected
+    clusters only (key-pruned, like the IVF lists)."""
+    from level_mapreduce_spark.engine.mapper import ExprMapper
+
+    return ExprMapper(
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("C#"), F.col("cluster").cast("string")
+                ).alias("index_key"),
+                F.struct(
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("centroid_sim")
+                    .cast("double")
+                    .alias("centroid_sim"),
+                    F.col("keep").cast("boolean").alias("keep"),
+                    F.col("leader_id").cast("long").alias("leader_id"),
+                    F.col("leader_sim")
+                    .cast("double")
+                    .alias("leader_sim"),
+                    F.col("_e").alias("emb"),
+                ).alias("value"),
+            )
+        ),
+        value_type=_SEMDEDUP_VALUE_T,
+    )
+
+
+def build_semdedup_index(
+    spark,
+    embeddings: DataFrame,
+    store: str,
+    name: str = "semdedup_index",
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int = 100_000,
+    seed: int = 42,
+):
+    """SemDeDup on the engine's incremental spine: run the batch
+    :func:`semantic_dedup` once, then persist every vector's FROZEN
+    decision (rank within its cluster, keep/leader) plus its
+    embedding in a MapIndex keyed by cluster, with the codebook +
+    threshold in a sidecar so a fresh session can extend it.
+
+    **Consistency contract — frozen leaders.** The stored ranks and
+    decisions never change under churn: :func:`semdedup_update`
+    appends new vectors AFTER every stored rank and dedups them
+    against the stored members (plus earlier members of the same
+    batch). This is the streaming-ingest semantics ("is this new
+    document a duplicate of anything we already kept?"); it is NOT
+    equivalent to a full recompute, which could rank a new
+    centroid-distant vector FIRST and flip existing decisions. Epoch
+    recompute = rebuild the index. The batch/incremental split is
+    the reference's own build-vs-update contract (index.js:173-249)
+    applied to a corpus-global operator by pinning the global state
+    (rank order) at build time."""
+    if centroids is None:
+        from level_mapreduce_spark.operators.ivf import train_centroids
+
+        centroids = train_centroids(
+            embeddings, n_centroids=n_clusters, seed=seed
+        )
+    from level_mapreduce_spark.engine.index import MapIndex
+    from pyspark.sql.window import Window
+
+    decisions = semantic_dedup(
+        embeddings,
+        centroids=centroids,
+        threshold=threshold,
+        max_cluster=max_cluster,
+    )
+    w = Window.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
+    ranked = decisions.withColumn(
+        "rank",
+        F.when(
+            F.col("cluster") >= 0, F.row_number().over(w).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    vecs = embeddings.repartition(n_part, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double_array(F.col("embedding")).alias("_e"),
+    )
+    rows = ranked.join(vecs, "vec_id")
+    idx = MapIndex(
+        spark, name, _semdedup_member_mapper(), store, doc_key="vec_id"
+    )
+    idx.put_sidecar(
+        {
+            "type": "semdedup",
+            "threshold": threshold,
+            "max_cluster": max_cluster,
+            "centroids": [[float(v) for v in c] for c in centroids],
+        },
+        name="semdedup.json",
+    )
+    idx.build(rows.repartition(n_part, "vec_id"), assume_unique=True)
+    return idx
+
+
+def load_semdedup_index(spark, store: str, name: str = "semdedup_index"):
+    """Reopen a stored semdedup index with the persisted codebook +
+    threshold; refuses handles without a semdedup sidecar (an update
+    against a guessed codebook would silently mis-assign every new
+    vector)."""
+    from level_mapreduce_spark.engine.index import MapIndex
+
+    idx = MapIndex(
+        spark, name, _semdedup_member_mapper(), store, doc_key="vec_id"
+    )
+    meta = idx.get_sidecar(name="semdedup.json")
+    if meta is None or meta.get("type") != "semdedup":
+        raise ValueError(
+            f"no semdedup sidecar under {idx.root}; was this index "
+            "built by build_semdedup_index?"
+        )
+    return idx
+
+
+def semdedup_from_index(idx) -> DataFrame:
+    """The stored decisions as :func:`semantic_dedup`'s output frame
+    ``(vec_id, cluster, centroid_sim, keep, leader_id, leader_sim)``
+    — one scan of the persisted members, no assignment or pairing
+    re-run. Immediately after a build this equals the batch frame
+    exactly; after updates it reflects the frozen-leader history
+    (see :func:`build_semdedup_index`)."""
+    return idx.read().select(
+        F.col("value.vec_id").alias("vec_id"),
+        F.expr("cast(substring(index_key, 3) as int)").alias("cluster"),
+        F.col("value.centroid_sim").alias("centroid_sim"),
+        F.col("value.keep").alias("keep"),
+        F.col("value.leader_id").alias("leader_id"),
+        F.col("value.leader_sim").alias("leader_sim"),
+    )
+
+
+def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
+    """Incrementally dedup ``new_embeddings`` against a stored
+    semdedup index under the FROZEN-LEADERS contract (see
+    :func:`build_semdedup_index`): assign with the sidecar codebook,
+    rank the batch AFTER every stored member of its cluster
+    (in-batch order = the batch semantics' ``(centroid_sim ASC,
+    vec_id)``), mark a vector duplicate iff some earlier-ranked
+    member — stored OR earlier in this batch — is cosine-similar
+    above the stored threshold, append the new members to the index,
+    and return their decision frame.
+
+    Scale shape: the stored read is a literal In over the batch's
+    affected cluster keys (key-pruned — never the whole index); the
+    affected-cluster collect is bounded by n_clusters; clusters whose
+    STORED population exceeds the sidecar ``max_cluster`` keep the
+    batch semantics' oversize exemption (new members kept unpaired).
+    The pair join is cluster-keyed and sized batch × cluster members
+    — incremental batches are assumed small next to the corpus (the
+    engine's O(changed docs) update contract); for a corpus-sized
+    batch, rebuild."""
+    meta = idx.get_sidecar(name="semdedup.json")
+    if meta is None or meta.get("type") != "semdedup":
+        raise ValueError(
+            f"no semdedup sidecar under {idx.root}; was this index "
+            "built by build_semdedup_index?"
+        )
+    centroids = meta["centroids"]
+    threshold = float(meta["threshold"])
+    max_cluster = int(meta.get("max_cluster", 100_000))
+    spark = idx.spark
+    n_part = spark.sparkContext.defaultParallelism
+    from pyspark.sql.window import Window
+
+    newa = _semdedup_assignment(
+        new_embeddings, centroids, n_part
+    ).localCheckpoint(eager=True)
+    # bounded collect: <= n_clusters distinct values by construction
+    live = sorted(
+        r["cluster"]
+        for r in newa.where(F.col("cluster") >= 0)
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    stored = idx.read().where(
+        F.col("index_key").isin([f"C#{c}" for c in live])
+    ).select(
+        F.expr("cast(substring(index_key, 3) as int)").alias("cluster"),
+        F.col("value.rank").alias("rank"),
+        F.col("value.vec_id").alias("vec_id"),
+        F.col("value.emb").alias("_e"),
+    )
+    base = stored.groupBy("cluster").agg(
+        F.max("rank").alias("_base"), F.count("*").alias("_nstored")
+    )
+    w = Window.partitionBy("cluster").orderBy("centroid_sim", "vec_id")
+    ranked_new = (
+        newa.where(F.col("cluster") >= 0)
+        .withColumn("_rk_in", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(base), "cluster", "left")
+        .withColumn(
+            "rank",
+            F.coalesce(F.col("_base"), F.lit(0).cast("long"))
+            + F.col("_rk_in"),
+        )
+        .withColumn(
+            "_skip",
+            F.coalesce(F.col("_nstored"), F.lit(0).cast("long"))
+            > max_cluster,
+        )
+        .localCheckpoint(eager=True)
+    )
+    preds = stored.select(
+        "cluster",
+        F.col("rank").alias("_r"),
+        F.col("vec_id").alias("_lid"),
+        F.col("_e").alias("_eb"),
+    ).unionByName(
+        ranked_new.select(
+            "cluster",
+            F.col("rank").alias("_r"),
+            F.col("vec_id").alias("_lid"),
+            F.col("_e").alias("_eb"),
+        )
+    )
+    x_side = ranked_new.where(~F.col("_skip")).select(
+        "cluster",
+        F.col("rank").alias("_xrk"),
+        "vec_id",
+        F.col("_e").alias("_ea"),
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.when(
+        F.col("_na") * F.col("_nb") > 0,
+        F.round(
+            _pair_dot(F.col("_ea"), F.col("_eb"))
+            / (F.col("_na") * F.col("_nb")),
+            6,
+        ),
+    )
+    cands = (
+        x_side.join(preds, "cluster")
+        .where(F.col("_r") < F.col("_xrk"))
+        .withColumn("_na", norm(F.col("_ea")))
+        .withColumn("_nb", norm(F.col("_eb")))
+        .withColumn("_ls", sim)
+        .where(unpushable(F.col("_ls") >= threshold))
+    )
+    leaders = (
+        cands.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_r"),
+                    F.col("_lid").alias("leader_id"),
+                    F.col("_ls").alias("leader_sim"),
+                )
+            ).alias("_ld")
+        )
+        .select("vec_id", "_ld.leader_id", "_ld.leader_sim")
+    )
+    all_new = ranked_new.select(
+        "vec_id", "cluster", "centroid_sim", "rank", "_e"
+    ).unionByName(
+        newa.where(F.col("cluster") < 0).select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.lit(0).cast("long").alias("rank"),
+            "_e",
+        )
+    )
+    # pinned BEFORE the update: the plan reads the index's current
+    # epochs, and update() may auto-compact (rewrite/remove those
+    # files); eager localCheckpoint materializes the decisions first
+    # so both the write and the returned frame are storage-stable
+    out = (
+        all_new.join(leaders, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.col("leader_id").isNull().alias("keep"),
+            "leader_id",
+            "leader_sim",
+            "rank",
+            "_e",
+        )
+        .localCheckpoint(eager=True)
+    )
+    idx.update(out, assume_unique=True)
+    return out.select(
+        "vec_id",
+        "cluster",
+        "centroid_sim",
+        "keep",
         "leader_id",
         "leader_sim",
     )

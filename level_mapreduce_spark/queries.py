@@ -2157,7 +2157,41 @@ def q_neardup_cosine_lsh(spark, sf_dir):
         F.col("centroid_sim").cast("double").alias("sim"),
         F.coalesce("leader_sim", F.lit(0.0)).cast("double").alias("r2"),
     )
-    return pairs.unionByName(sd)
+    # r14: the SAME decisions served from the STORED semdedup index
+    # (build = batch decisions + embeddings frozen under C#<cluster>
+    # keys; serve = one scan, no assignment/pairing re-run) — must be
+    # hash-identical to the `semdedup` variant, so the oracle emits
+    # its semdedup block twice
+    sd_idx = sim.semdedup_from_index(
+        _semdedup_index(spark, sf_dir)
+    ).select(
+        F.lit("semdedup_idx").alias("variant"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.coalesce("leader_id", F.lit(-1)).cast("long").alias("vec_id_b"),
+        F.col("cluster").cast("long").alias("n1"),
+        F.col("centroid_sim").cast("double").alias("sim"),
+        F.coalesce("leader_sim", F.lit(0.0)).cast("double").alias("r2"),
+    )
+    return pairs.unionByName(sd).unionByName(sd_idx)
+
+
+def _semdedup_index(spark: SparkSession, sf_dir: str):
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        copies = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+        return sim.build_semdedup_index(
+            spark,
+            emb.unionByName(copies),
+            _store(),
+            name=f"semdedup_{abs(hash(sf_dir)) % 10**8}",
+            centroids=_semdedup_centroids(),
+            threshold=0.95,
+            max_cluster=1 << 40,
+        )
+
+    return _cached(spark, sf_dir, "semdedup", build)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3120,14 +3154,19 @@ def _neardup_lsh_semdedup_sql() -> str:
       SELECT 'pairs' AS variant, vec_id_a, vec_id_b,
              CAST(0 AS BIGINT) AS n1, sim, 0.0 AS r2
       FROM pairs_rows
+      -- the stored-index serve (`semdedup_idx`) must be
+      -- hash-identical to the batch decisions: one computation, two
+      -- labels (same construction as the tfidf/bm25 served variants)
       UNION ALL
-      SELECT 'semdedup', w.vec_id, coalesce(l.leader, -1),
+      SELECT lbl, w.vec_id, coalesce(l.leader, -1),
              CAST(w.cid AS BIGINT), w.csim, coalesce(l.lsim, 0.0)
       FROM withsim w LEFT JOIN led l USING (vec_id)
+      CROSS JOIN (VALUES ('semdedup'), ('semdedup_idx')) labels(lbl)
       UNION ALL
-      SELECT 'semdedup', vec_id, CAST(-1 AS BIGINT),
+      SELECT lbl, vec_id, CAST(-1 AS BIGINT),
              CAST(-1 AS BIGINT), 0.0, 0.0
-      FROM aug WHERE list_dot_product(v, v) = 0
+      FROM aug CROSS JOIN (VALUES ('semdedup'), ('semdedup_idx')) labels(lbl)
+      WHERE list_dot_product(v, v) = 0
     """
 
 

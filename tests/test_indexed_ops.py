@@ -609,3 +609,79 @@ def test_postings_index_build_rejects_out_of_range_doc_ids(spark, store):
     )
     with pytest.raises(Exception, match="postings index packing overflow"):
         build_postings_index(spark, docs, store, name="post_bad")
+
+
+def test_semdedup_index_frozen_leader_churn(spark, store):
+    """Stored semdedup index (frozen-leaders contract): serve ==
+    batch after build; an update batch dedups against STORED members
+    (and earlier batch members) without recomputing the corpus, and
+    never flips a stored decision."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        load_semdedup_index,
+        semantic_dedup,
+        semdedup_from_index,
+        semdedup_update,
+    )
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(30, 8))
+    X[20:25] = X[0:5]  # exact copies: 20..24 duplicate 0..4
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(4, 8))]
+    cents = [
+        [v / sum(x * x for x in c) ** 0.5 for v in c] for c in cents
+    ]
+    idx = build_semdedup_index(
+        spark, df, store, name="sd_churn", centroids=cents, threshold=0.95
+    )
+    batch = sorted(
+        tuple(r)
+        for r in semantic_dedup(df, centroids=cents, threshold=0.95).collect()
+    )
+    served = sorted(tuple(r) for r in semdedup_from_index(idx).collect())
+    assert served == batch
+
+    # update batch: a copy of kept original 3, a copy of duplicate 23
+    # (same vector as 3 — must still resolve leader=3, the earliest
+    # rank), one novel far vector, and that same novel vector twice
+    # (in-batch chain: second copy dedups against the first)
+    novel = rng.normal(size=8) * 10
+    rows = [
+        (100, [float(v) for v in X[3]]),
+        (101, [float(v) for v in X[23]]),
+        (102, [float(v) for v in novel]),
+        (103, [float(v) for v in novel]),
+        (104, [0.0] * 8),  # zero-norm: cluster -1, kept
+    ]
+    new_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r for r in semdedup_update(idx, new_df).collect()}
+    assert not got[100]["keep"] and got[100]["leader_id"] == 3
+    assert got[100]["leader_sim"] == 1.0
+    assert not got[101]["keep"] and got[101]["leader_id"] == 3
+    assert got[102]["keep"] and got[102]["leader_id"] is None
+    assert not got[103]["keep"] and got[103]["leader_id"] == 102
+    assert got[104]["keep"] and got[104]["cluster"] == -1
+
+    # frozen: stored decisions for the original 30 are unchanged
+    post = {
+        r["vec_id"]: tuple(r)
+        for r in semdedup_from_index(idx).collect()
+    }
+    assert len(post) == 35
+    assert sorted(v for k, v in post.items() if k < 100) == batch
+
+    # fresh-session handle: identical serve; loader refuses non-semdedup
+    idx2 = load_semdedup_index(spark, store, name="sd_churn")
+    assert sorted(
+        tuple(r) for r in semdedup_from_index(idx2).collect()
+    ) == sorted(post.values())
+    with pytest.raises(ValueError, match="semdedup sidecar"):
+        load_semdedup_index(spark, store, name="missing_sd")
