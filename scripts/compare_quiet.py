@@ -10,10 +10,16 @@ documented box band and needs no arbitration.
 Usage:
     python scripts/compare_quiet.py BENCH_r13.json [--band 2.0]
     python bench.py | tail -1 | python scripts/compare_quiet.py -
+    python scripts/compare_quiet.py --refs QUIET_REFS_sf1.json BENCH_sf1_r14.json
 
 Regenerate the references after perf-relevant changes:
     python bench.py 2>/dev/null | tail -1 > /tmp/quiet.json
     python scripts/compare_quiet.py --update /tmp/quiet.json --round 13
+
+The sf1.0 references live in QUIET_REFS_sf1.json (VERDICT r13 #7 —
+scale-regression arbitration as a diff too): pass --refs to compare
+a BENCH_sf1_r{N}.json against them, and --refs + --sf 1.0 with
+--update to regenerate them.
 
 Band rationale: BASELINE.md's 5-run spread evidence shows 31-37 of 48
 sub-second keys moving >±10% run-to-run, and the r12 driver box ran
@@ -43,9 +49,19 @@ def load_bench(arg: str) -> dict:
 def main() -> int:
     args = sys.argv[1:]
     band = 2.0
+    refs_path = REFS_PATH
+    sf = 0.1
     if "--band" in args:
         i = args.index("--band")
         band = float(args[i + 1])
+        del args[i : i + 2]
+    if "--refs" in args:
+        i = args.index("--refs")
+        refs_path = os.path.join(REPO, args[i + 1])
+        del args[i : i + 2]
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf = float(args[i + 1])
         del args[i : i + 2]
 
     if args and args[0] == "--update":
@@ -57,21 +73,21 @@ def main() -> int:
         refs = {
             "round": rnd,
             "unit": "sec",
-            "sf": 0.1,
+            "sf": sf,
             "method": "bench.py min-of-N per key on an idle box",
             "keys": {k: v for k, v in sorted(queries.items())},
         }
-        with open(REFS_PATH, "w") as f:
+        with open(refs_path, "w") as f:
             json.dump(refs, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"wrote {REFS_PATH}: {len(queries)} keys (round {rnd})")
+        print(f"wrote {refs_path}: {len(queries)} keys (round {rnd})")
         return 0
 
     if not args:
         print(__doc__)
         return 2
     queries = load_bench(args[0])
-    refs = json.load(open(REFS_PATH))
+    refs = json.load(open(refs_path))
     keys = refs["keys"]
     over, missing = [], []
     for k, v in sorted(queries.items()):

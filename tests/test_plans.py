@@ -94,3 +94,17 @@ def test_dim_join_broadcasts(spark):
     bcast = full.where(F.col("variant") == "broadcast")
     plan = plan_of(bcast)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_served_pushes_query_term_keys(spark):
+    """The stored-postings BM25 serve must read O(query-terms'
+    postings): the literal In over the T# keys and the L# prefix both
+    reach the Parquet scan as pushed filters (min/max row-group
+    skipping over the range-partitioned index layout)."""
+    from level_mapreduce_spark.operators.text import bm25_topk_from_index
+
+    idx = q._postings_index(spark, SF_DIR)
+    plan = plan_of(bm25_topk_from_index(idx, q._BM25_QUERY, k=10))
+    assert "In(index_key, [T#merge,T#spark,T#window])" in plan
+    assert "StringStartsWith(index_key,L#)" in plan
+    assert "EvalPython" not in plan
