@@ -476,6 +476,13 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     from level_mapreduce_spark.operators.dedup import repeated_spans
 
     timed("repeated_spans", lambda: materialize(repeated_spans(docs, ngram=10)))
+    # r14: the cut — duplicated spans removed from the text
+    from level_mapreduce_spark.operators.dedup import remove_repeated_spans
+
+    timed(
+        "span_remove",
+        lambda: materialize(remove_repeated_spans(docs, ngram=10)),
+    )
     # r13: the stored span index — build + 1% churn maintenance + the
     # index-served stats (the incremental sub-document-dedup path)
     from level_mapreduce_spark.operators.dedup import (

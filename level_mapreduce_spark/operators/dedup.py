@@ -604,14 +604,29 @@ def repeated_spans(
     :64-89) — the reference could express the shingle emit but not the
     corpus-wide second pass; this is the scale path it lacks.
     """
+    staged = _span_staged(docs, text_col)
+    occ = _span_occ(staged, ngram)
+    return _span_stats(
+        occ,
+        staged.select("doc_id", F.size("_toks").alias("n_tokens")),
+        ngram,
+    )
+
+
+def _span_staged(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, _toks) pre-partitioned on doc_id — the staged input
+    every span-family operator shingles from."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(n_part, "doc_id").select(
+    return docs.repartition(n_part, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens_expr(text_col).alias("_toks"),
     )
-    base = docs.select(
-        "doc_id", F.size("_toks").alias("n_tokens"), "_toks"
-    )
+
+
+def _span_occ(staged: DataFrame, ngram: int) -> DataFrame:
+    """(doc_id, pos, _h) sliding-window occurrences (pos 1-based,
+    _h = md5 of the window text) — the shingle explode shared by
+    :func:`repeated_spans` and :func:`remove_repeated_spans`."""
     toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= ngram,
@@ -620,23 +635,19 @@ def repeated_spans(
             lambda i: F.md5(F.array_join(F.slice(toks, i, ngram), " ")),
         ),
     )
-    occ = base.select(
+    occ = staged.select(
         "doc_id", F.posexplode_outer(grams).alias("_p0", "_h")
     ).where(F.col("_h").isNotNull())
-    # pos is 1-based token index of the window start
-    occ = occ.select(
-        "doc_id", (F.col("_p0") + 1).alias("pos"), "_h"
-    )
-    return _span_stats(occ, base.select("doc_id", "n_tokens"), ngram)
+    return occ.select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
 
 
-def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
-    """Shared tail of the repeated-span pipeline: duplicate-window
-    detection + gaps-and-islands merge + per-doc stats, over ``occ``
-    (doc_id, pos, _h) window occurrences — whether they came from a
-    live tokenize (:func:`repeated_spans`) or a stored span index
-    (:func:`repeated_spans_from_index`). ``base`` is the full
-    (doc_id, n_tokens) doc list for the zero rows."""
+def _merged_spans(occ: DataFrame, ngram: int) -> DataFrame:
+    """Maximal merged duplicated spans ``(doc_id, s, e)`` (1-based
+    token bounds, inclusive) from ``occ`` (doc_id, pos, _h) window
+    occurrences: duplicate-window detection (partial-aggregable
+    groupBy-HAVING) + doc-local gaps-and-islands merge. Shared by the
+    stats tail (:func:`_span_stats`) and the cut operator
+    (:func:`remove_repeated_spans`)."""
     dup_hashes = (
         occ.groupBy("_h").count().where(F.col("count") > 1).select("_h")
     )
@@ -665,9 +676,19 @@ def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
         )
         .withColumn("_isl", F.sum("_new").over(w_run))
     )
-    spans = islands.groupBy("doc_id", "_isl").agg(
+    return islands.groupBy("doc_id", "_isl").agg(
         F.min("pos").alias("s"), F.max("end").alias("e")
     )
+
+
+def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
+    """Shared tail of the repeated-span pipeline: duplicate-window
+    detection + gaps-and-islands merge + per-doc stats, over ``occ``
+    (doc_id, pos, _h) window occurrences — whether they came from a
+    live tokenize (:func:`repeated_spans`) or a stored span index
+    (:func:`repeated_spans_from_index`). ``base`` is the full
+    (doc_id, n_tokens) doc list for the zero rows."""
+    spans = _merged_spans(occ, ngram)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -686,6 +707,63 @@ def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
                 F.coalesce("dup_tokens", zero) / F.col("n_tokens"), 6
             )).otherwise(F.lit(0.0)).alias("dup_span_frac"),
         )
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame, ngram: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """The ACTION step of exact-substring dedup (Lee et al. ACL'22
+    remove the duplicated substrings, not just measure them): every
+    maximal duplicated span found by the :func:`repeated_spans`
+    pipeline is CUT from the document. Returns
+    ``(doc_id, text, n_kept, removed_tokens, removed_frac)`` for
+    every input doc — ``text`` is the kept-token stream re-joined
+    with single spaces in the tokenizer's canonical form (lowercased,
+    whitespace-normalized): the shape a training pipeline feeds the
+    tokenizer, not a byte-faithful reconstruction of the original.
+
+    Plan shape: the shingle/duplicate/merge stages are shared with
+    :func:`repeated_spans` (corpus-linear, no cartesian); the cut is
+    one left join of the docs against their per-doc sorted span
+    arrays plus a doc-local filter — keep token i iff no span covers
+    it (O(tokens x spans) per doc; spans are maximal and merged, so
+    they are few). Span bounds ride as materialized columns so no
+    HOF lambda re-derives them per token."""
+    staged = _span_staged(docs, text_col)
+    spans = _merged_spans(_span_occ(staged, ngram), ngram)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_sp0")
+    )
+    empty_sp = F.array().cast("array<struct<s: int, e: int>>")
+    joined = (
+        staged.join(span_arr, "doc_id", "left")
+        .withColumn("_sp", F.coalesce(F.col("_sp0"), empty_sp))
+    )
+    toks, sp = F.col("_toks"), F.col("_sp")
+    kept = F.when(
+        F.size(toks) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: ~F.exists(sp, lambda x: (i >= x.s) & (i <= x.e)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged2 = joined.withColumn("_kept", kept)
+    n_tok = F.size("_toks")
+    n_kept = F.size("_kept")
+    return staged2.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("_kept"), lambda i: F.element_at(F.col("_toks"), i)
+            ),
+            " ",
+        ).alias("text"),
+        n_kept.cast("long").alias("n_kept"),
+        (n_tok - n_kept).cast("long").alias("removed_tokens"),
+        F.when(
+            n_tok > 0, F.round((n_tok - n_kept) / n_tok, 6)
+        ).otherwise(F.lit(0.0)).alias("removed_frac"),
     )
 
 

@@ -662,6 +662,88 @@ def bm25_topk_from_index(
     return _bm25_score(tf, dfreq, dl, stats, k, k1, b)
 
 
+def bm25_batch_from_index(
+    idx,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 over a stored postings index: top-``k`` documents
+    for EVERY query in ``queries`` (``query_id``, ``text``) in one
+    plan — the bulk retrieval shape (RAG context fetch, hard-negative
+    mining) next to :func:`bm25_topk_from_index`'s single query, the
+    same pairing :func:`knn_join` is to ``brute_topk``.
+
+    Per query the result is IDENTICAL to ``bm25_topk_from_index``
+    (same idf/length normalization, 6dp rounding, doc_id tiebreak) —
+    differential-tested, with ties inside one query's term set
+    resolved identically because scoring never mixes queries: df is
+    computed per term over the UNION slice, which equals the per-term
+    df of any single query touching that term.
+
+    Scale shape: the union of all queries' terms becomes ONE pushed
+    literal In over the T# keys (driver-side distinct of the query
+    texts — bounded by the probe set, the knn_join contract), the
+    postings slice is joined to the (query_id, term) pairs broadcast,
+    and the final top-k is a per-query window over the scored
+    candidates — rows ∝ Σ per-query candidate docs, never
+    queries × corpus.
+
+    Returns ``(query_id, doc_id, score)``, top-k rows per query,
+    (score DESC, doc_id) within each query.
+    """
+    from pyspark.sql.window import Window
+
+    q_terms = (
+        queries.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(tokens_expr("text")).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # bounded collect: distinct terms across the PROBE query set
+    terms = sorted(
+        {r["term"] for r in q_terms.select("term").distinct().collect()}
+    )
+    if not terms:
+        raise ValueError("bm25_batch_from_index: queries have no tokens")
+    post, dl = _postings_frames(idx, terms=terms)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        post.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame, k: int = 8, window: int = 4
 ) -> DataFrame:

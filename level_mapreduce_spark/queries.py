@@ -2585,7 +2585,23 @@ def q_chunk_dedup(spark, sf_dir):
         dd.repeated_spans_from_index(_span_index(spark, sf_dir)),
         "span_idx",
     )
-    return chunk.unionByName(span).unionByName(span_idx)
+    # span_rm (r14): the CUT — every duplicated span removed; gated on
+    # kept-token count AND the cleaned text's character length (the
+    # oracle reconstructs the kept-token string too, so a
+    # reconstruction bug cannot hide behind matching counts)
+    span_rm = dd.remove_repeated_spans(docs, ngram=10).select(
+        F.lit("span_rm").alias("variant"),
+        "doc_id",
+        F.col("n_kept").alias("n1"),
+        F.length("text").cast("long").alias("n2"),
+        F.col("removed_tokens").alias("n3"),
+        F.col("removed_frac").cast("double").alias("r1"),
+    )
+    return (
+        chunk.unionByName(span)
+        .unionByName(span_idx)
+        .unionByName(span_rm)
+    )
 
 
 def _span_index(spark: SparkSession, sf_dir: str):
@@ -4084,6 +4100,42 @@ ORACLES: dict[str, str] = {
                                / len(t.toks), 6)
                     ELSE 0.0 END AS r1
         FROM t LEFT JOIN span_doc p USING (doc_id)
+      ),
+      -- span_rm: reconstruct the kept-token string (positions not
+      -- covered by any merged span) so the gate checks the CUT text's
+      -- length, not just the counts
+      pos_tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+        FROM (
+          SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+          FROM t WHERE len(toks) > 0
+        )
+      ),
+      covered AS (
+        SELECT doc_id, CAST(unnest(range(s, ee + 1)) AS BIGINT) AS pos
+        FROM spans
+      ),
+      kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos_tok p ANTI JOIN covered c
+          ON p.doc_id = c.doc_id AND p.pos = c.pos
+      ),
+      kept_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+               CAST(length(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT)
+                 AS clen
+        FROM kept GROUP BY doc_id
+      ),
+      rm_rows AS (
+        SELECT t.doc_id,
+               CAST(coalesce(k.nk, 0) AS BIGINT) AS n1,
+               CAST(coalesce(k.clen, 0) AS BIGINT) AS n2,
+               CAST(len(t.toks) - coalesce(k.nk, 0) AS BIGINT) AS n3,
+               CASE WHEN len(t.toks) > 0
+                    THEN round((len(t.toks) - coalesce(k.nk, 0)) * 1.0
+                               / len(t.toks), 6)
+                    ELSE 0.0 END AS r1
+        FROM t LEFT JOIN kept_doc k USING (doc_id)
       )
       SELECT 'chunk' AS variant, doc_id, n1, n2,
              CAST(0 AS BIGINT) AS n3, r1
@@ -4094,6 +4146,8 @@ ORACLES: dict[str, str] = {
       -- span_idx: the stored-index round-trip must reproduce the
       -- exact same values the live computation produces
       SELECT 'span_idx', doc_id, n1, n2, n3, r1 FROM span_rows
+      UNION ALL
+      SELECT 'span_rm', doc_id, n1, n2, n3, r1 FROM rm_rows
     """,
     "knn_join": """
       WITH scored AS (

@@ -685,3 +685,38 @@ def test_semdedup_index_frozen_leader_churn(spark, store):
     ) == sorted(post.values())
     with pytest.raises(ValueError, match="semdedup sidecar"):
         load_semdedup_index(spark, store, name="missing_sd")
+
+
+def test_bm25_batch_from_index_matches_single_query(spark, store, sf_dir):
+    """Batch retrieval must equal the single-query serve per query —
+    including a query whose terms miss the corpus entirely (zero
+    rows for that query_id, not a job failure)."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_batch_from_index,
+        bm25_topk_from_index,
+        build_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_postings_index(spark, docs, store, name="post_batch")
+    qtexts = [
+        (0, "spark merge window"),
+        (1, "window"),
+        (2, "merge spark spark"),  # dup tokens: one distinct term set
+        (3, "zzzznotaterm qqqqmissing"),
+    ]
+    queries = spark.createDataFrame(qtexts, "query_id long, text string")
+    got = {}
+    for r in bm25_batch_from_index(idx, queries, k=10).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qid, text in qtexts:
+        if qid == 3:
+            assert 3 not in got
+            continue
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_from_index(idx, text, k=10).collect()
+        ]
+        assert got.get(qid, []) == want, qid

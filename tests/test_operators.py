@@ -2130,3 +2130,51 @@ def test_semdedup_salt_width_is_capped():
     assert _semdedup_salt_width(8) == 8
     assert _semdedup_salt_width(2000) == _SEMDEDUP_SALT_CAP
     assert _semdedup_salt_width(0) == 1
+
+
+def test_remove_repeated_spans_differential_bruteforce(spark):
+    """Randomized differential for the CUT operator: the kept-token
+    text must equal a pure-Python brute-force removal over 60
+    dense-duplicate docs (same corpus shape as the span stats
+    differential), seeds pinned."""
+    import random as _random
+    from collections import Counter
+
+    from level_mapreduce_spark.operators.dedup import remove_repeated_spans
+
+    rng = _random.Random(1409)
+    n, vocab = 5, [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+        for i in range(60)
+    ]
+    toks = {i: [t for t in s.lower().split(" ") if t] for i, s in docs}
+    cnt = Counter(
+        tuple(tk[p : p + n])
+        for tk in toks.values()
+        for p in range(len(tk) - n + 1)
+    )
+    expect = {}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - n + 1):
+            if cnt[tuple(tk[p : p + n])] > 1:
+                covered.update(range(p, p + n))
+        kept = [t for p, t in enumerate(tk) if p not in covered]
+        expect[i] = (
+            " ".join(kept),
+            len(kept),
+            len(covered),
+            round(len(covered) / len(tk), 6) if tk else 0.0,
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["text"],
+            r["n_kept"],
+            r["removed_tokens"],
+            r["removed_frac"],
+        )
+        for r in remove_repeated_spans(df, ngram=n).collect()
+    }
+    assert got == expect
