@@ -723,3 +723,73 @@ def test_sessionize_stream_survives_arrow_chunking(spark, tmp_path):
     }
     assert got == want
     assert sorted(set(want.values())) == [1, 2, 3]
+
+
+def test_stream_postings_ingest_ranked_retrieval_stays_fresh(
+    spark, store, tmp_path
+):
+    """Continuous-ingest ranked retrieval: documents streamed through
+    stream_into -> the postings MapIndex -> served BM25/TF-IDF equal
+    a batch recompute over exactly the drained corpus after every
+    micro-batch wave — the reference's sink-pipe contract
+    (index.js:121, 173) applied to the retrieval index."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    src = str(tmp_path / "docsrc")
+    ckpt = str(tmp_path / "docckpt")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    seed = [
+        (0, "spark merge window spark"),
+        (1, "merge conflict resolution guide"),
+        (2, "window functions in sql"),
+    ]
+    idx = build_postings_index(
+        spark,
+        spark.createDataFrame(seed, doc_schema),
+        store,
+        name="post_stream",
+    )
+
+    def drain_docs(rows):
+        with open(os.path.join(src, f"b{len(os.listdir(src))}.json"), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        stream = spark.readStream.schema(doc_schema).json(src)
+        q = stream_into(idx, stream, ckpt, assume_unique=True)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # wave 1: new docs + an overwrite of doc 1 (term set changes)
+    wave1 = [(3, "spark window pane"), (1, "spark spark spark")]
+    drain_docs(wave1)
+    corpus = {r[0]: r[1] for r in seed}
+    corpus.update(dict(wave1))
+    docs_now = spark.createDataFrame(sorted(corpus.items()), doc_schema)
+    q_text = "spark window"
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q_text, k=5).collect()
+    ] == [tuple(r) for r in bm25_topk(docs_now, q_text, k=5).collect()]
+    assert sorted(
+        tuple(r) for r in tfidf_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in tfidf(docs_now).collect())
+
+    # wave 2: another overwrite through the SAME checkpoint lineage
+    wave2 = [(2, "merge window merge")]
+    drain_docs(wave2)
+    corpus.update(dict(wave2))
+    docs_now = spark.createDataFrame(sorted(corpus.items()), doc_schema)
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q_text, k=5).collect()
+    ] == [tuple(r) for r in bm25_topk(docs_now, q_text, k=5).collect()]
