@@ -589,6 +589,27 @@ def test_postings_index_serve_equals_batch_and_churn(spark, store, sf_dir):
         tuple(r) for r in bm25_topk_from_index(idx, q, k=10).collect()
     ] == [tuple(r) for r in bm25_topk(post_docs, q, k=10).collect()]
 
+    # tombstone: deleting docs drops their postings AND length rows,
+    # so N/avgdl/df shrink for everyone else
+    victims = post_docs.where(F.col("doc_id") % 7 == 3)
+    # change-feed delete rows carry the payload columns as null (the
+    # mapper only maps LIVE docs, but analysis needs the schema)
+    idx.update(
+        victims.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(True).alias("deleted"),
+        ),
+        assume_unique=True,
+    )
+    post_docs = post_docs.where(F.col("doc_id") % 7 != 3)
+    assert sorted(
+        tuple(r) for r in tfidf_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in tfidf(post_docs).collect())
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q, k=10).collect()
+    ] == [tuple(r) for r in bm25_topk(post_docs, q, k=10).collect()]
+
     # reload in a fresh handle: identical serve; loader refuses a
     # non-postings namespace
     idx2 = load_postings_index(spark, store, name="post_eq")
