@@ -1147,8 +1147,11 @@ def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
         .distinct()
         .collect()
     )
+    keys = [f"C#{c}" for c in live]
+    # an all-zero-norm batch has no affected clusters: empty isin is
+    # not a valid In, so pin the stored side empty explicitly
     stored = idx.read().where(
-        F.col("index_key").isin([f"C#{c}" for c in live])
+        F.col("index_key").isin(keys) if keys else F.lit(False)
     ).select(
         F.expr("cast(substring(index_key, 3) as int)").alias("cluster"),
         F.col("value.rank").alias("rank"),
