@@ -463,6 +463,46 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         "semantic_dedup",
         lambda: materialize(semantic_dedup(emb, n_clusters=16, threshold=0.95)),
     )
+    # r14: the stored semdedup index — build (batch decisions +
+    # embeddings frozen under cluster keys), 1% frozen-leader churn,
+    # and the stored-decisions serve
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        semdedup_from_index,
+        semdedup_update,
+    )
+
+    sd_idx: dict = {}
+
+    def semdedup_build(_n=[0]):
+        _n[0] += 1
+        sd_idx["idx"] = build_semdedup_index(
+            spark,
+            emb,
+            store,
+            name=f"bench_semdedup_{_n[0]}",
+            n_clusters=16,
+            threshold=0.95,
+        )
+
+    timed("semdedup_index_build", semdedup_build)
+
+    if "idx" in sd_idx:
+
+        def semdedup_churn():
+            new_vecs = emb.where(F.col("vec_id") % 100 == 0).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(20_000_000)
+            )
+            materialize(semdedup_update(sd_idx["idx"], new_vecs))
+
+        timed("semdedup_index_update_1pct", semdedup_churn)
+        timed(
+            "semdedup_index_serve",
+            lambda: materialize(semdedup_from_index(sd_idx["idx"])),
+        )
+    else:
+        dep_failed("semdedup_index_update_1pct", "semdedup_index_build")
+        dep_failed("semdedup_index_serve", "semdedup_index_build")
 
     # r4/r5 LLM-pipeline additions: sub-document chunk dedup, batch
     # k-NN join, Gopher repetition signals
