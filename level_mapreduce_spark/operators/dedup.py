@@ -34,6 +34,7 @@ from level_mapreduce_spark.functions.packing import (
 from level_mapreduce_spark.operators.text import (
     shingles_from_tokens,
     tokens_expr,
+    tokens_or_empty,
     word_shingles,
 )
 
@@ -822,7 +823,7 @@ def span_occurrence_mapper(ngram: int = 10):
     return ExprMapper(
         F.concat(F.array(len_struct), win_structs),
         value_type=T.LongType(),
-        stages={"_toks": tokens_expr("text")},
+        stages={"_toks": tokens_or_empty("text")},
     )
 
 

@@ -1022,7 +1022,16 @@ def build_semdedup_index(
     recompute = rebuild the index. The batch/incremental split is
     the reference's own build-vs-update contract (index.js:173-249)
     applied to a corpus-global operator by pinning the global state
-    (rank order) at build time."""
+    (rank order) at build time.
+
+    **Storage cost — stored embeddings.** Every member row carries
+    its full embedding (``value.emb``): the frozen-leader update must
+    compare new vectors against stored members without re-reading the
+    source table, so the index is a second full copy of the vector
+    column (~2x vector bytes corpus-wide at 100 TB). Accepted for
+    exactness; the planned shrink is PQ codes (operators/pq.py) as a
+    candidate filter with re-verification against the source table,
+    the ``ivfpq_knn_join`` pattern."""
     if centroids is None:
         from level_mapreduce_spark.operators.ivf import train_centroids
 
@@ -1103,7 +1112,9 @@ def semdedup_from_index(idx) -> DataFrame:
     )
 
 
-def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
+def semdedup_update(
+    idx, new_embeddings: DataFrame, max_batch: int = 100_000
+) -> DataFrame:
     """Incrementally dedup ``new_embeddings`` against a stored
     semdedup index under the FROZEN-LEADERS contract (see
     :func:`build_semdedup_index`): assign with the sidecar codebook,
@@ -1114,20 +1125,43 @@ def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
     above the stored threshold, append the new members to the index,
     and return their decision frame.
 
+    **Re-ingestion (overwrite) semantics.** A batch vec_id that is
+    already stored REPLACES its stored row (the engine's
+    delete-then-insert, index.js:182-205): the stale row is excluded
+    from the predecessor set before pairing — a vector is never
+    compared against its own previous embedding (which would
+    self-match at sim 1.0 and silently flip it to keep=false) — and
+    the vector gets a fresh rank appended after the surviving
+    members. Stored ``leader_id`` references elsewhere in the index
+    are as-of-decision-time history and are NOT rewritten when the
+    leader itself is overwritten. **Deletes are not supported** — a
+    ``deleted`` column in the batch raises; removing vectors
+    invalidates frozen decisions that cited them, so delete = rebuild.
+
     Scale shape: the stored read is a literal In over the batch's
     affected cluster keys (key-pruned — never the whole index); the
     affected-cluster collect is bounded by n_clusters; clusters whose
     STORED population exceeds the sidecar ``max_cluster`` keep the
     batch semantics' oversize exemption (new members kept unpaired).
-    The pair join is cluster-keyed and sized batch × cluster members
-    — incremental batches are assumed small next to the corpus (the
-    engine's O(changed docs) update contract); for a corpus-sized
-    batch, rebuild."""
+    The pair join is cluster-keyed on the bare (low-cardinality)
+    cluster key and sized batch × cluster members — correct only for
+    batches small next to the corpus (the engine's O(changed docs)
+    update contract). A corpus-sized batch through this join would
+    reproduce the single-task skew collapse that the batch
+    :func:`semantic_dedup` salts against, so batches larger than
+    ``max_batch`` rows are refused: rebuild instead (or raise the
+    knob deliberately after reading this paragraph)."""
     meta = idx.get_sidecar(name="semdedup.json")
     if meta is None or meta.get("type") != "semdedup":
         raise ValueError(
             f"no semdedup sidecar under {idx.root}; was this index "
             "built by build_semdedup_index?"
+        )
+    if "deleted" in new_embeddings.columns:
+        raise ValueError(
+            "semdedup_update does not support deletes: stored frozen "
+            "decisions may cite the deleted vectors as leaders — "
+            "rebuild the index without them (build_semdedup_index)"
         )
     centroids = meta["centroids"]
     threshold = float(meta["threshold"])
@@ -1139,6 +1173,16 @@ def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
     newa = _semdedup_assignment(
         new_embeddings, centroids, n_part
     ).localCheckpoint(eager=True)
+    # cheap batch-size guard (checkpointed: a metadata count) — see
+    # the docstring's skew paragraph for why big batches are refused
+    batch_n = newa.count()
+    if batch_n > max_batch:
+        raise ValueError(
+            f"semdedup_update batch has {batch_n} rows > max_batch="
+            f"{max_batch}: the unsalted cluster-keyed pair join is "
+            "sized for incremental batches — rebuild the index for "
+            "corpus-sized ingest, or raise max_batch deliberately"
+        )
     # bounded collect: <= n_clusters distinct values by construction
     live = sorted(
         r["cluster"]
@@ -1149,14 +1193,23 @@ def semdedup_update(idx, new_embeddings: DataFrame) -> DataFrame:
     )
     keys = [f"C#{c}" for c in live]
     # an all-zero-norm batch has no affected clusters: empty isin is
-    # not a valid In, so pin the stored side empty explicitly
-    stored = idx.read().where(
-        F.col("index_key").isin(keys) if keys else F.lit(False)
-    ).select(
-        F.expr("cast(substring(index_key, 3) as int)").alias("cluster"),
-        F.col("value.rank").alias("rank"),
-        F.col("value.vec_id").alias("vec_id"),
-        F.col("value.emb").alias("_e"),
+    # not a valid In, so pin the stored side empty explicitly.
+    # Re-ingestion: anti-join the stored members against the batch's
+    # vec_ids BEFORE ranking/pairing — a re-ingested vector must not
+    # rank against or match its own soon-to-be-tombstoned stale row
+    # (ADVICE r14), and the freed max-rank recomputes over survivors.
+    stored = (
+        idx.read()
+        .where(F.col("index_key").isin(keys) if keys else F.lit(False))
+        .select(
+            F.expr("cast(substring(index_key, 3) as int)").alias("cluster"),
+            F.col("value.rank").alias("rank"),
+            F.col("value.vec_id").alias("vec_id"),
+            F.col("value.emb").alias("_e"),
+        )
+        .join(
+            F.broadcast(newa.select("vec_id")), "vec_id", "left_anti"
+        )
     )
     base = stored.groupBy("cluster").agg(
         F.max("rank").alias("_base"), F.count("*").alias("_nstored")

@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from level_mapreduce_spark.engine.mapper import ExprMapper
+from level_mapreduce_spark.engine.index import MapIndex
+from level_mapreduce_spark.engine.mapper import DOC_KEY, ExprMapper
 
 # Stopword heads used for the language-ID heuristic and the quality
 # score's stopword ratio. Deliberately tiny and explicit so the DuckDB
@@ -42,6 +43,23 @@ def tokens_expr(text: Column | str) -> Column:
     """
     col = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+def tokens_or_empty(text: Column | str) -> Column:
+    """:func:`tokens_expr` with NULL text treated as the empty
+    document (``[]``). Used by every path that must agree on
+    null-text docs between the stored-index builds and the batch
+    rescans: ``tokens_expr`` propagates NULL, which (a) made the
+    packed-length guard's bounds check NULL -> raise_error, failing
+    ``build_postings_index``/``build_span_index`` on a null-text doc
+    the batch operators tolerate (ADVICE r14), and (b) would leave a
+    null ``dl`` that ``avg`` skips while ``count(*)`` counts — so a
+    null-text doc contributes (dl=0, no terms) identically in the
+    stored and rescan stats instead."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(
+        tokens_expr(col), F.array().cast("array<string>")
+    )
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
@@ -397,7 +415,7 @@ def bm25_topk(
         raise ValueError("bm25_topk: query has no tokens")
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        tokens_expr("text").alias("_toks"),
+        tokens_or_empty("text").alias("_toks"),
     )
     dl = base.select("doc_id", F.size("_toks").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -409,26 +427,26 @@ def bm25_topk(
     ).where(F.col("term").isin(q_terms))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return _bm25_score(tf, dfreq, dl, stats, k, k1, b)
+    return _bm25_score(tf.join(dl, "doc_id"), dfreq, stats, k, k1, b)
 
 
 def _bm25_score(
-    tf: DataFrame,
+    tfdl: DataFrame,
     dfreq: DataFrame,
-    dl: DataFrame,
     stats: DataFrame,
     k: int,
     k1: float,
     b: float,
 ) -> DataFrame:
-    """Shared BM25 scoring tail over (doc_id, term, tf) / (term, df) /
-    (doc_id, dl) / 1-row (n_docs, avgdl) frames — one expression for
-    both the corpus-rescan path (:func:`bm25_topk`) and the stored-
-    postings path (:func:`bm25_topk_from_index`), so the two are
-    value-identical by construction, not by parallel maintenance."""
+    """Shared BM25 scoring tail over (doc_id, term, tf, dl) /
+    (term, df) / 1-row (n_docs, avgdl) frames — one expression for
+    both the corpus-rescan path (:func:`bm25_topk`, which joins its
+    dl branch in) and the stored-postings path
+    (:func:`bm25_topk_from_index`, where dl rides each posting), so
+    the two are value-identical by construction, not by parallel
+    maintenance."""
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        tfdl.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_idf",
@@ -454,68 +472,107 @@ def _bm25_score(
 
 
 def postings_mapper() -> ExprMapper:
-    """Map fn for the stored postings index — ranked retrieval
-    (TF-IDF / BM25) on the engine's incremental spine (reference
-    write path, index.js:173-249): per document one length row
-    (``L#<doc_id>`` -> n_tokens) plus one row per DISTINCT term
-    (``T#<term>`` -> doc_id * 2^21 + tf, functions/packing). A churn
-    batch through ``MapIndex.update`` tombstones the doc's old
-    postings and emits the new ones — maintenance is O(changed docs'
-    tokens), never a corpus re-tokenize — and the serve paths
-    (:func:`tfidf_from_index`, :func:`bm25_topk_from_index`) answer
-    from the stored pairs: the reference's own materialize-once
-    promise (index.js:173-249 vs :124-172) applied to the corpus'
-    heaviest text aggregations.
+    """Map fn for the stored postings index (v2 layout) — ranked
+    retrieval (TF-IDF / BM25) on the engine's incremental spine
+    (reference write path, index.js:173-249). Rows per document,
+    value = ``struct<tf:int, dl:int>`` (the emitting doc's id rides
+    the engine's own ``doc_key`` column — never duplicated into the
+    value, unlike the v1 bit-packed long):
+
+    - ``L#<doc_id>`` -> (tf=0, dl=n_tokens): existence + length, one
+      per doc (also carries the bounds guard below);
+    - ``T#<term>`` -> (tf, dl), one per DISTINCT term: the posting.
+      Carrying ``dl`` on every posting is the v2 point — a BM25 serve
+      reads ONLY the query terms' T# slices plus the O(1) stats rows
+      (:class:`PostingsIndex`), never the corpus-sized L# slice;
+    - ``M#<doc_id>#<term>`` -> (tf, dl): the doc's term set under a
+      doc-prefixed key — the reference's per-doc meta reverse index
+      (index.js:182-205) re-expressed, so maintenance can read a
+      changed doc's OLD terms as a key-pruned prefix slice and keep
+      the stored per-term df exact in O(changed docs' tokens).
+      Storage cost: M# doubles the per-doc-term row count (narrow
+      rows: a string key + two ints) — the explicit price of
+      O(changed) stats maintenance, same trade as a database
+      secondary index.
 
     Per-doc tf is the RUN LENGTHS of the sorted token array — one
-    ``array_sort`` + two staged projections, O(t log t) per doc,
-    pure Column exprs (the text_repetition longest-run trick,
-    generalized to all runs). Stages are attribute references so no
-    tokenize/sort re-evaluates inside a HOF lambda (staging module
-    docstring). The n_tokens < 2^21 guard on the L# row also bounds
-    every tf (tf <= n_tokens), so one guarded column per doc covers
-    the whole packing.
+    ``array_sort`` + staged projections, O(t log t) per doc, pure
+    Column exprs (the text_repetition longest-run trick, generalized
+    to all runs). Stages are attribute references so no tokenize/sort
+    re-evaluates inside a HOF lambda (staging module docstring).
+
+    The v1 packing guard survives as the postings CONTRACT guard on
+    the L# row every doc emits exactly once: doc ids in [0, 2^42),
+    docs under 2^21 tokens — out-of-range documents FAIL the
+    build/update loudly instead of corrupting downstream packers
+    (span index) that share the id space. NULL text is the empty
+    document (``tokens_or_empty``), not a build failure (ADVICE r14).
     """
-    from level_mapreduce_spark.functions.packing import (
-        guard_packed,
-        pack,
-    )
+    from level_mapreduce_spark.functions.packing import guard_packed
 
     toks = F.col("_toks")
     st = F.col("_st")
     starts = F.col("_starts")
     doc_id_l = F.col("doc_id").cast("long")
+    doc_id_s = doc_id_l.cast("string")
     n_runs = F.size(starts)
+    dl_i = F.size(toks)
 
-    def run_struct(j: Column) -> Column:
+    def run_term(j: Column) -> Column:
+        return F.element_at(st, F.element_at(starts, j))
+
+    def run_tf(j: Column) -> Column:
         # next run start; the last run ends at size(st) + 1. The when
         # guards the ANSI out-of-bounds element_at (CaseWhen branches
         # evaluate lazily).
         nxt = F.when(
             j < n_runs, F.element_at(starts, (j + 1).cast("int"))
         ).otherwise(F.size(st) + 1)
-        start = F.element_at(starts, j)
+        return (nxt - F.element_at(starts, j)).cast("int")
+
+    def t_struct(j: Column) -> Column:
         return F.struct(
-            F.concat(F.lit("T#"), F.element_at(st, start)).alias(
-                "index_key"
-            ),
-            pack(doc_id_l, nxt - start).alias("value"),
+            F.concat(F.lit("T#"), run_term(j)).alias("index_key"),
+            F.struct(
+                run_tf(j).alias("tf"), dl_i.alias("dl")
+            ).alias("value"),
         )
 
+    def m_struct(j: Column) -> Column:
+        return F.struct(
+            F.concat(
+                F.lit("M#"), doc_id_s, F.lit("#"), run_term(j)
+            ).alias("index_key"),
+            F.struct(
+                run_tf(j).alias("tf"), dl_i.alias("dl")
+            ).alias("value"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<index_key: string,"
+        " value: struct<tf: int, dl: int>>>"
+    )
     term_structs = F.when(
         F.size(toks) >= 1,
-        F.transform(F.sequence(F.lit(1), n_runs), run_struct),
-    ).otherwise(
-        F.array().cast("array<struct<index_key: string, value: bigint>>")
-    )
+        F.transform(F.sequence(F.lit(1), n_runs), t_struct),
+    ).otherwise(empty)
+    meta_structs = F.when(
+        F.size(toks) >= 1,
+        F.transform(F.sequence(F.lit(1), n_runs), m_struct),
+    ).otherwise(empty)
     len_struct = F.struct(
-        F.concat(F.lit("L#"), doc_id_l.cast("string")).alias("index_key"),
-        guard_packed(
-            F.size(toks).cast("long"),
-            doc_id_l,
-            F.size(toks).cast("long"),
-            "n_tokens",
-            "postings index",
+        F.concat(F.lit("L#"), doc_id_s).alias("index_key"),
+        F.struct(
+            F.lit(0).cast("int").alias("tf"),
+            guard_packed(
+                dl_i,
+                doc_id_l,
+                dl_i.cast("long"),
+                "n_tokens",
+                "postings index",
+            )
+            .cast("int")
+            .alias("dl"),
         ).alias("value"),
     )
     # run starts: positions i where st[i] opens a new equal run. The
@@ -534,14 +591,374 @@ def postings_mapper() -> ExprMapper:
         ),
     ).otherwise(F.array().cast("array<int>"))
     return ExprMapper(
-        F.concat(F.array(len_struct), term_structs),
-        value_type=T.LongType(),
+        F.concat(F.array(len_struct), term_structs, meta_structs),
+        value_type=_POSTINGS_VALUE_T,
         stages={
-            "_toks": tokens_expr("text"),
+            "_toks": tokens_or_empty("text"),
             "_st": F.array_sort(F.col("_toks")),
             "_starts": starts_expr,
         },
     )
+
+
+#: stored value for every postings row (see :func:`postings_mapper`)
+_POSTINGS_VALUE_T = T.StructType(
+    [
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+#: stat-row keys in the sibling stats index (see :class:`PostingsIndex`)
+_SK_NDOCS = "N#"
+_SK_SUMDL = "DL#"
+_SK_DF = "DF#"
+
+#: changed-doc / touched-key count at or below which maintenance and
+#: batch-serve reads push literal In filters to the parquet scan;
+#: above it the literal list bloats the plan and the driver (the r14
+#: batch-BM25 finding), so reads degrade to a broadcast semi-join —
+#: a full (columnar, narrow) slice scan, but no driver-side key list
+#: and no O(keys) plan nodes.
+_POSTINGS_IN_MAX = 1024
+
+
+def _postings_stats_mapper() -> ExprMapper:
+    """Identity mapper for the stats index: docs are the stat rows
+    themselves, ``doc_key = skey``, so the engine's delete-then-insert
+    replaces a stat's value per fold (the stored-sketch pattern,
+    operators/sketches.py)."""
+    return ExprMapper.of(
+        (F.col("skey"), F.col("value").cast("long")),
+        value_type=T.LongType(),
+    )
+
+
+class PostingsIndex(MapIndex):
+    """The stored postings index plus its sibling STATS index,
+    maintained in lockstep so ranked-retrieval serves are
+    O(query-terms' postings) AT ANY CORPUS SIZE — no per-query corpus
+    aggregate (the r14 gap: every served BM25 paid a full L#-slice
+    scan for N/avgdl, and tfidf a full-T# groupBy for df; at 10B docs
+    that is 10B narrow rows per query).
+
+    Stats index (``<name>__stats``, value long, folded
+    replace-on-update exactly like the stored sketches):
+
+    - ``N#``  -> live document count
+    - ``DL#`` -> sum of live document lengths
+    - ``DF#<term>`` -> live document frequency of ``term``
+
+    These are exact maintained values, not approximations — the
+    served gates stay hash-identical to the batch rescan operators.
+
+    **Maintenance = O(changed docs' tokens).** ``update()`` reads the
+    changed docs' OLD state before the write — their ``L#`` rows by
+    literal In and their ``M#`` meta rows as a doc-prefixed slice
+    (both pushed to the parquet scan; above ``_POSTINGS_IN_MAX``
+    changed docs the literals degrade to a broadcast semi-join) —
+    then folds signed deltas into the stats rows: new-minus-old doc
+    count, length sum, and per-term presence. A term whose df reaches
+    0 is tombstoned out of the stats index.
+
+    **Write order & crash window.** Postings move first, stats
+    second, with a shared monotonically-increasing ``seq`` stamped in
+    both sidecars (postings side BEFORE the data write, stats side
+    after the fold). A crash between the two leaves the seqs
+    mismatched; :func:`load_postings_index` refuses the handle and
+    points at :func:`refresh_postings_stats` (an O(index-rows), no
+    re-tokenize rebuild of the stats alone). Within one process the
+    writer lease serializes the whole update+fold, so a reader in
+    ANOTHER session may observe new postings with stats one fold
+    behind for the duration of the fold — the documented
+    single-writer staleness window.
+
+    Reference parity: the stats rows are the reference's
+    materialize-once promise (index.js:173-249 vs :124-172) applied
+    to the corpus statistics themselves; the M# rows are its per-doc
+    meta reverse index (index.js:182-205).
+    """
+
+    def __init__(self, spark, name: str, store_path: str):
+        super().__init__(
+            spark, name, postings_mapper(), store_path, doc_key="doc_id"
+        )
+        self.stats = MapIndex(
+            spark,
+            name + "__stats",
+            _postings_stats_mapper(),
+            store_path,
+            doc_key="skey",
+        )
+
+    # ------------------------------------------------------ seq plumbing
+
+    def _read_seq(self) -> int:
+        meta = self.get_sidecar(name="postings.json") or {}
+        return int(meta.get("seq", 0))
+
+    def _stamp(self, seq: int) -> None:
+        self.put_sidecar(
+            {"type": "postings", "version": 2, "seq": seq},
+            name="postings.json",
+        )
+
+    def _stamp_stats(self, seq: int) -> None:
+        self.stats.put_sidecar(
+            {"type": "postings_stats", "seq": seq}, name="stats.json"
+        )
+
+    # -------------------------------------------------------- mutations
+
+    def build(self, docs: DataFrame, assume_unique: bool = False):
+        self._acquire_lease()
+        try:
+            seq = self._read_seq() + 1
+            self._stamp(seq)
+            super().build(docs, assume_unique=assume_unique)
+            self._rebuild_stats()
+            self._stamp_stats(seq)
+        finally:
+            self._release_lease()
+        return self
+
+    def update(
+        self, changes: DataFrame, assume_unique: bool = False
+    ) -> DataFrame:
+        self._acquire_lease()
+        try:
+            norm = self._normalize_changes(
+                changes, assume_unique=assume_unique
+            ).localCheckpoint(eager=True)
+            # old state pinned BEFORE the write: the plan reads this
+            # index's current epochs, which super().update() appends
+            # to (and may auto-compact)
+            old = self._old_doc_state(norm.select(DOC_KEY).distinct())
+            seq = self._read_seq() + 1
+            self._stamp(seq)
+            feed = super().update(norm, assume_unique=True)
+            live = norm.where(~F.col("deleted")).select(
+                DOC_KEY, tokens_or_empty("text").alias("_toks")
+            )
+            new_doc = live.select(
+                DOC_KEY, F.size("_toks").cast("long").alias("dl")
+            )
+            new_terms = live.select(
+                DOC_KEY,
+                F.explode_outer(F.array_distinct("_toks")).alias("term"),
+            ).where(F.col("term").isNotNull())
+            self._fold_stats(new_doc, new_terms, old)
+            self._stamp_stats(seq)
+            return feed
+        finally:
+            self._release_lease()
+
+    def delete_range(
+        self,
+        start: str | None = None,
+        end: str | None = None,
+        key: str | None = None,
+    ) -> int:
+        self._acquire_lease()
+        try:
+            doomed = (
+                self.scan(start=start, end=end, key=key)
+                .select(DOC_KEY)
+                .distinct()
+            )
+            old = self._old_doc_state(doomed)
+            seq = self._read_seq() + 1
+            self._stamp(seq)
+            n = super().delete_range(start=start, end=end, key=key)
+            if n:
+                spark = self.spark
+                self._fold_stats(
+                    spark.createDataFrame([], f"{DOC_KEY} string, dl long"),
+                    spark.createDataFrame(
+                        [], f"{DOC_KEY} string, term string"
+                    ),
+                    old,
+                )
+            self._stamp_stats(seq)
+            return n
+        finally:
+            self._release_lease()
+
+    def drop(self) -> None:
+        super().drop()
+        self.stats.drop()
+
+    # ------------------------------------------------- stats maintenance
+
+    def _old_doc_state(self, keys: DataFrame) -> DataFrame:
+        """Changed docs' stored (L# existence/length, M# term set)
+        rows, PINNED via eager localCheckpoint — O(changed docs'
+        tokens) read: L# by literal In, M# as a doc-prefixed slice
+        (clustered in key order, so the doc_key In prunes row groups
+        inside the M# range); above the literal threshold, one
+        broadcast semi-join over the L#/M# slices instead."""
+        n_changed = keys.count()
+        base = self.read().where(
+            F.col("index_key").startswith("L#")
+            | F.col("index_key").startswith("M#")
+        )
+        if n_changed == 0:
+            base = base.where(F.lit(False))
+        elif n_changed <= _POSTINGS_IN_MAX:
+            ids = sorted(r[0] for r in keys.collect())
+            base = base.where(
+                F.col("index_key").isin([f"L#{i}" for i in ids])
+                | (
+                    F.col("index_key").startswith("M#")
+                    & F.col(DOC_KEY).isin(ids)
+                )
+            )
+        else:
+            base = base.join(F.broadcast(keys), DOC_KEY, "left_semi")
+        return base.select(
+            DOC_KEY,
+            "index_key",
+            F.col("value.dl").cast("long").alias("dl"),
+        ).localCheckpoint(eager=True)
+
+    def _fold_stats(
+        self, new_doc: DataFrame, new_terms: DataFrame, old: DataFrame
+    ) -> None:
+        """Fold signed deltas into the stats rows (read-modify-write,
+        the stored-sketch pattern): +1/-1 presence rows summed per
+        term, +dl/-dl per doc for the scalars. The stored side is
+        key-pruned by literal In below the threshold; the fold plan
+        reads the stats index's own storage, which is safe under the
+        engine's write-invariant-key-set contract (MapIndex.update
+        docstring) — same shape as update_sketch_index."""
+        old_doc = old.where(F.col("index_key").startswith("L#")).select(
+            DOC_KEY, "dl"
+        )
+        old_terms = old.where(F.col("index_key").startswith("M#")).select(
+            DOC_KEY,
+            F.expr(
+                f"substring(index_key, length({DOC_KEY}) + 4)"
+            ).alias("term"),
+        )
+        scal = (
+            new_doc.select(F.lit(1).alias("_sgn"), F.col("dl"))
+            .unionByName(old_doc.select(F.lit(-1).alias("_sgn"), "dl"))
+            .agg(
+                F.coalesce(F.sum("_sgn"), F.lit(0))
+                .cast("long")
+                .alias("d_n"),
+                F.coalesce(
+                    F.sum(F.col("_sgn") * F.col("dl")),
+                    F.lit(0).cast("long"),
+                ).alias("d_dl"),
+            )
+        )
+        scal_rows = scal.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(_SK_NDOCS).alias("skey"),
+                        F.col("d_n").alias("delta"),
+                    ),
+                    F.struct(
+                        F.lit(_SK_SUMDL).alias("skey"),
+                        F.col("d_dl").alias("delta"),
+                    ),
+                )
+            ).alias("_r")
+        ).select("_r.skey", "_r.delta")
+        term_rows = (
+            new_terms.select("term", F.lit(1).alias("_d"))
+            .unionByName(old_terms.select("term", F.lit(-1).alias("_d")))
+            .groupBy("term")
+            .agg(F.sum("_d").cast("long").alias("delta"))
+            .where(F.col("delta") != 0)
+            .select(
+                F.concat(F.lit(_SK_DF), F.col("term")).alias("skey"),
+                "delta",
+            )
+        )
+        deltas = scal_rows.unionByName(term_rows).localCheckpoint(
+            eager=True
+        )
+        n_touched = deltas.count()
+        stored = self.stats.read().select(
+            F.col("index_key").alias("skey"),
+            F.col("value").cast("long").alias("_old"),
+        )
+        if n_touched <= _POSTINGS_IN_MAX:
+            skeys = [r["skey"] for r in deltas.select("skey").collect()]
+            stored = stored.where(F.col("skey").isin(skeys))
+        folded = (
+            deltas.join(stored, "skey", "left")
+            .select(
+                "skey",
+                (
+                    F.coalesce(F.col("_old"), F.lit(0).cast("long"))
+                    + F.col("delta")
+                ).alias("value"),
+            )
+            .withColumn(
+                "deleted",
+                F.col("skey").startswith(_SK_DF) & (F.col("value") == 0),
+            )
+        )
+        self.stats.update(folded, assume_unique=True)
+
+    def _rebuild_stats(self) -> None:
+        """Recompute every stat from the live postings rows — one
+        O(index-rows) pass, NO re-tokenize (narrow L#/T# column
+        reads). Build-time path and the crash-recovery path."""
+        rows = self.read()
+        lens = rows.where(F.col("index_key").startswith("L#")).select(
+            F.col("value.dl").cast("long").alias("dl")
+        )
+        scalars = (
+            lens.agg(
+                F.count("*").alias("_n"),
+                F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("_s"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(_SK_NDOCS).alias("skey"),
+                            F.col("_n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(_SK_SUMDL).alias("skey"),
+                            F.col("_s").alias("value"),
+                        ),
+                    )
+                ).alias("_r")
+            )
+            .select("_r.skey", "_r.value")
+        )
+        dfreq = (
+            rows.where(F.col("index_key").startswith("T#"))
+            .groupBy(F.expr("substring(index_key, 3)").alias("term"))
+            .agg(F.count("*").cast("long").alias("value"))
+            .select(
+                F.concat(F.lit(_SK_DF), F.col("term")).alias("skey"),
+                "value",
+            )
+        )
+        self.stats.build(scalars.unionByName(dfreq), assume_unique=True)
+
+
+def refresh_postings_stats(idx: PostingsIndex) -> None:
+    """Rebuild the stats index from the live postings rows and
+    re-align the seq stamps — the recovery path after a crash between
+    the postings write and the stats fold (detected by
+    :func:`load_postings_index`). O(index rows), no re-tokenize."""
+    idx._acquire_lease()
+    try:
+        seq = idx._read_seq() + 1
+        idx._stamp(seq)
+        idx._rebuild_stats()
+        idx._stamp_stats(seq)
+    finally:
+        idx._release_lease()
 
 
 def build_postings_index(
@@ -549,16 +966,12 @@ def build_postings_index(
     docs: DataFrame,
     store: str,
     name: str = "postings_index",
-):
-    """Build the stored postings index (see :func:`postings_mapper`).
-    Persists the index kind in a sidecar so a fresh session's loader
-    can refuse a non-postings handle."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    idx = MapIndex(
-        spark, name, postings_mapper(), store, doc_key="doc_id"
-    )
-    idx.put_sidecar({"type": "postings"}, name="postings.json")
+) -> PostingsIndex:
+    """Build the stored postings index + its stats sibling (see
+    :class:`PostingsIndex` / :func:`postings_mapper`). Persists the
+    index kind AND layout version in a sidecar so a fresh session's
+    loader can refuse a non-postings or pre-v2 handle."""
+    idx = PostingsIndex(spark, name, store)
     # explicit partition count: the mapper is compute-bound on small
     # bytes (the AQE small-byte coalescing trap)
     n_part = spark.sparkContext.defaultParallelism
@@ -566,70 +979,122 @@ def build_postings_index(
     return idx
 
 
-def load_postings_index(spark, store: str, name: str = "postings_index"):
+def load_postings_index(
+    spark, store: str, name: str = "postings_index"
+) -> PostingsIndex:
     """Reopen a stored postings index in a fresh session; refuses
     handles without a postings sidecar (serving term stats from an
-    arbitrary index would silently misparse its keys)."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    idx = MapIndex(
-        spark, name, postings_mapper(), store, doc_key="doc_id"
-    )
+    arbitrary index would silently misparse its keys), pre-v2
+    layouts (no stats sibling / packed-long values), and
+    postings/stats seq mismatches (a writer crashed between the
+    postings write and the stats fold — run
+    :func:`refresh_postings_stats`)."""
+    idx = PostingsIndex(spark, name, store)
     meta = idx.get_sidecar(name="postings.json")
     if meta is None or meta.get("type") != "postings":
         raise ValueError(
             f"no postings sidecar under {idx.root}; was this index "
             "built by build_postings_index?"
         )
+    if int(meta.get("version", 1)) < 2:
+        raise ValueError(
+            f"postings index {name} predates the v2 stats layout — "
+            "rebuild with build_postings_index"
+        )
+    smeta = idx.stats.get_sidecar(name="stats.json") or {}
+    if smeta.get("seq") != meta.get("seq"):
+        raise ValueError(
+            f"postings stats are stale (postings seq {meta.get('seq')}"
+            f" != stats seq {smeta.get('seq')}) — a writer crashed "
+            "between the postings and stats writes; run "
+            "refresh_postings_stats()"
+        )
     return idx
 
 
-def _postings_frames(
+def _postings_frame(
     idx, terms: list[str] | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """(postings, doc lengths) from a stored postings index: postings
-    = (term, doc_id, tf) from the ``T#`` rows, lengths = (doc_id, dl)
-    from the ``L#`` rows. The slice predicates are on the RAW
-    ``index_key`` (prefix / literal In — a predicate on the derived
-    ``term`` column would not reach the scan) over the
-    range-partitioned index layout, so they push to the Parquet scan
-    (min/max row-group skipping): a caller that touches only a few
-    terms reads only those postings."""
-    from level_mapreduce_spark.functions.packing import (
-        unpack_doc_id,
-        unpack_n,
-    )
-
-    rows = idx.read().select("index_key", F.col("value").cast("long"))
+) -> DataFrame:
+    """(term, doc_id, tf, dl) from the stored ``T#`` rows. The slice
+    predicate is on the RAW ``index_key`` (prefix / literal In) over
+    the range-partitioned layout, so it pushes to the parquet scan
+    (min/max row-group skipping): a caller that touches a few terms
+    reads only those postings. ``dl`` rides every posting (v2), so
+    serving never touches the L# slice."""
+    rows = idx.read()
     if terms is None:
-        t_rows = rows.where(F.col("index_key").startswith("T#"))
+        rows = rows.where(F.col("index_key").startswith("T#"))
     else:
-        t_rows = rows.where(
+        rows = rows.where(
             F.col("index_key").isin([f"T#{t}" for t in terms])
         )
-    post = t_rows.select(
+    return rows.select(
         F.expr("substring(index_key, 3)").alias("term"),
-        unpack_doc_id(F.col("value")).alias("doc_id"),
-        unpack_n(F.col("value")).alias("tf"),
+        F.col(DOC_KEY).cast("long").alias("doc_id"),
+        F.col("value.tf").cast("long").alias("tf"),
+        F.col("value.dl").cast("long").alias("dl"),
     )
-    dl = rows.where(F.col("index_key").startswith("L#")).select(
-        F.expr("substring(index_key, 3)").cast("long").alias("doc_id"),
-        F.col("value").alias("dl"),
+
+
+def _stats_frame(idx) -> DataFrame:
+    """1-row (n_docs, avgdl) served from the two scalar stats rows —
+    a literal In over the stats index (point lookups), NEVER a
+    corpus-slice aggregate. avgdl = sum_dl / n_docs in double, which
+    equals the batch path's ``avg(dl)`` exactly while sum_dl fits the
+    53-bit double mantissa (integer doc lengths; sums are exact far
+    past 100 TB-scale corpora)."""
+    rows = idx.stats.read().where(
+        F.col("index_key").isin([_SK_NDOCS, _SK_SUMDL])
     )
-    return post, dl
+    return rows.agg(
+        F.max(
+            F.when(
+                F.col("index_key") == _SK_NDOCS,
+                F.col("value").cast("long"),
+            )
+        ).alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("index_key") == _SK_SUMDL,
+                F.col("value").cast("long"),
+            )
+        ).alias("_sdl"),
+    ).select(
+        "n_docs",
+        (F.col("_sdl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+
+
+def _df_frame(idx, terms: list[str] | None = None) -> DataFrame:
+    """(term, df) from the stored ``DF#`` stats rows — maintained
+    exact values, so no groupBy over the postings slice at serve
+    time."""
+    rows = idx.stats.read()
+    if terms is None:
+        rows = rows.where(F.col("index_key").startswith(_SK_DF))
+    else:
+        rows = rows.where(
+            F.col("index_key").isin([f"{_SK_DF}{t}" for t in terms])
+        )
+    return rows.select(
+        F.expr(f"substring(index_key, {len(_SK_DF) + 1})").alias("term"),
+        F.col("value").cast("long").alias("df"),
+    )
 
 
 def tfidf_from_index(idx) -> DataFrame:
     """Serve :func:`tfidf` from a stored postings index — no corpus
-    re-tokenize: tf rides the stored ``T#`` rows, df is one
-    aggregation of them, N is a count of the narrow ``L#`` slice
-    (driver-side by design — one scalar, the same contract as
-    ``tfidf``'s ``docs.count()``). Value-identical to the batch
-    operator (same formula, integer inputs)."""
-    post, dl = _postings_frames(idx)
-    n = dl.count()
-    df = post.groupBy("term").agg(F.count("*").alias("df"))
-    return post.join(df, "term").select(
+    re-tokenize AND no per-serve corpus aggregate (v2): tf rides the
+    stored ``T#`` rows, df joins the maintained ``DF#`` stats rows
+    (no groupBy over the postings), N is one stored-row point lookup
+    (driver-side scalar, same contract as ``tfidf``'s
+    ``docs.count()``). Value-identical to the batch operator (same
+    formula, integer inputs)."""
+    post = _postings_frame(idx)
+    dfreq = _df_frame(idx)
+    n_rows = idx.stats.get(_SK_NDOCS)
+    n = int(n_rows[0]) if n_rows else 0
+    return post.join(dfreq, "term").select(
         "doc_id",
         "term",
         "tf",
@@ -647,19 +1112,21 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Serve :func:`bm25_topk` from a stored postings index. The
-    query's ``T#`` keys are a literal In over the range-partitioned
-    layout — the scan reads O(query-terms' postings), never the
-    corpus; dl/N/avgdl come from the narrow ``L#`` slice. Scoring is
-    the SHARED :func:`_bm25_score` tail, so batch and served results
-    are identical by construction."""
+    """Serve :func:`bm25_topk` from a stored postings index,
+    O(query-terms' postings) END TO END (v2): the query's ``T#`` and
+    ``DF#`` keys are literal Ins over the range-partitioned layouts
+    (pushed to the scans), per-doc dl rides each posting, and
+    N/avgdl are two stored stats rows — NO L#-slice scan, NO corpus
+    aggregate anywhere in the plan (plan-asserted,
+    tests/test_plans.py). Scoring is the SHARED :func:`_bm25_score`
+    tail, so batch and served results are identical by construction."""
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
         raise ValueError("bm25_topk_from_index: query has no tokens")
-    tf, dl = _postings_frames(idx, terms=q_terms)
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return _bm25_score(tf, dfreq, dl, stats, k, k1, b)
+    tfdl = _postings_frame(idx, terms=q_terms)
+    dfreq = _df_frame(idx, terms=q_terms)
+    stats = _stats_frame(idx)
+    return _bm25_score(tfdl, dfreq, stats, k, k1, b)
 
 
 def bm25_batch_from_index(
@@ -668,6 +1135,7 @@ def bm25_batch_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    terms_in_max: int = _POSTINGS_IN_MAX,
 ) -> DataFrame:
     """Batch BM25 over a stored postings index: top-``k`` documents
     for EVERY query in ``queries`` (``query_id``, ``text``) in one
@@ -677,18 +1145,21 @@ def bm25_batch_from_index(
 
     Per query the result is IDENTICAL to ``bm25_topk_from_index``
     (same idf/length normalization, 6dp rounding, doc_id tiebreak) —
-    differential-tested, with ties inside one query's term set
-    resolved identically because scoring never mixes queries: df is
-    computed per term over the UNION slice, which equals the per-term
-    df of any single query touching that term.
+    differential-tested; df comes from the SAME maintained ``DF#``
+    rows either way, and scoring never mixes queries.
 
-    Scale shape: the union of all queries' terms becomes ONE pushed
-    literal In over the T# keys (driver-side distinct of the query
-    texts — bounded by the probe set, the knn_join contract), the
-    postings slice is joined to the (query_id, term) pairs broadcast,
-    and the final top-k is a per-query window over the scored
-    candidates — rows ∝ Σ per-query candidate docs, never
-    queries × corpus.
+    Scale shape (v2): up to ``terms_in_max`` distinct probe terms,
+    the union of all queries' terms becomes ONE pushed literal In
+    over the T#/DF# keys (driver-side distinct of the probe texts —
+    bounded by the probe set). ABOVE the threshold the literal list
+    would bloat the plan and the driver (the r14 finding), so the
+    probe terms stay distributed: the T#/DF# slices are broadcast
+    semi-joined against the distinct probe terms — a full-slice
+    columnar scan, but no driver-side term list and no O(terms) plan
+    nodes; results are identical either side of the threshold. In
+    both regimes candidates ∝ Σ per-query docs, never
+    queries × corpus, per-doc dl rides the postings, and N/avgdl are
+    two stored stats rows.
 
     Returns ``(query_id, doc_id, score)``, top-k rows per query,
     (score DESC, doc_id) within each query.
@@ -703,22 +1174,31 @@ def bm25_batch_from_index(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # bounded collect: distinct terms across the PROBE query set
-    terms = sorted(
-        {r["term"] for r in q_terms.select("term").distinct().collect()}
+    terms_df = q_terms.select("term").distinct().localCheckpoint(
+        eager=True
     )
-    if not terms:
+    n_terms = terms_df.count()
+    if not n_terms:
         raise ValueError("bm25_batch_from_index: queries have no tokens")
-    post, dl = _postings_frames(idx, terms=terms)
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    if n_terms <= terms_in_max:
+        # bounded collect: distinct terms across the PROBE query set
+        terms = sorted(r["term"] for r in terms_df.collect())
+        post = _postings_frame(idx, terms=terms)
+        dfreq = _df_frame(idx, terms=terms)
+    else:
+        post = _postings_frame(idx).join(
+            F.broadcast(terms_df), "term", "left_semi"
+        )
+        dfreq = _df_frame(idx).join(
+            F.broadcast(terms_df), "term", "left_semi"
+        )
+    stats = _stats_frame(idx)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "doc_id"
     )
     return (
         post.join(F.broadcast(q_terms), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_idf",

@@ -741,3 +741,153 @@ def test_bm25_batch_from_index_matches_single_query(spark, store, sf_dir):
             for r in bm25_topk_from_index(idx, text, k=10).collect()
         ]
         assert got.get(qid, []) == want, qid
+
+
+def test_postings_stats_lifecycle(spark, store, sf_dir):
+    """Round-15 stats machinery end to end: (a) null-text docs build
+    (empty doc) instead of tripping the packing guard and serve ==
+    batch on the mixed corpus; (b) delete_range folds negative stats
+    deltas (N/df visibly shrink and serves stay exact); (c) a
+    postings/stats seq mismatch (crash window) is refused by the
+    loader and repaired by refresh_postings_stats."""
+    from level_mapreduce_spark.operators.text import (
+        _SK_NDOCS,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        load_postings_index,
+        refresh_postings_stats,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window spark"),
+            (1, None),  # null text: empty doc, not a build failure
+            (2, "merge window merge"),
+            (3, "spark only here"),
+            (4, "window pane"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_postings_index(spark, docs, store, name="post_stats")
+    q = "spark window"
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, q, k=5).collect()
+    ] == [tuple(r) for r in bm25_topk(docs, q, k=5).collect()]
+    n0 = int(idx.stats.get(_SK_NDOCS)[0])
+    assert n0 == 5  # the null-text doc counts as a live (empty) doc
+
+    # range delete: every doc containing "spark" dies WHOLE (per-doc
+    # tombstones); stats must follow — N and the dfs of the doomed
+    # docs' OTHER terms shrink too
+    n_gone = idx.delete_range(key="T#spark")
+    assert n_gone == 2
+    post = docs.where(~F.coalesce(F.col("text"), F.lit("")).contains("spark"))
+    assert int(idx.stats.get(_SK_NDOCS)[0]) == n0 - 2
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx, "window merge", k=5).collect()
+    ] == [tuple(r) for r in bm25_topk(post, "window merge", k=5).collect()]
+    assert sorted(
+        tuple(r) for r in tfidf_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in tfidf(post).collect())
+
+    # crash window: postings seq moves ahead of stats -> loader
+    # refuses, refresh realigns
+    idx._stamp(idx._read_seq() + 1)
+    with pytest.raises(ValueError, match="stats are stale"):
+        load_postings_index(spark, store, name="post_stats")
+    refresh_postings_stats(idx)
+    idx3 = load_postings_index(spark, store, name="post_stats")
+    assert [
+        tuple(r) for r in bm25_topk_from_index(idx3, "window merge", k=5).collect()
+    ] == [tuple(r) for r in bm25_topk(post, "window merge", k=5).collect()]
+
+
+def test_bm25_batch_semi_join_regime(spark, store, sf_dir):
+    """Above ``terms_in_max`` distinct probe terms the batch serve
+    must switch from the driver-collected literal In to a broadcast
+    semi-join (no O(terms) plan nodes, no driver term list) and
+    return IDENTICAL results (r14 finding #3)."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_batch_from_index,
+        build_postings_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_postings_index(spark, docs, store, name="post_semi")
+    queries = spark.createDataFrame(
+        [(0, "spark merge window"), (1, "merge window pane")],
+        "query_id long, text string",
+    )
+    small = bm25_batch_from_index(idx, queries, k=10)
+    wide = bm25_batch_from_index(idx, queries, k=10, terms_in_max=1)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "In(index_key, [T#" not in plan
+    assert "LeftSemi" in plan
+    assert sorted(tuple(r) for r in small.collect()) == sorted(
+        tuple(r) for r in wide.collect()
+    )
+
+
+def test_semdedup_update_reingestion_and_guards(spark, store):
+    """ADVICE r14: (a) re-ingesting a stored vec_id must not compare
+    it against its own stale row (the bug: keep=false with
+    leader_id == itself at sim 1.0) — the stale row is replaced and
+    the fresh decision is taken against the OTHER live members; (b) a
+    ``deleted`` column is refused (frozen decisions may cite deleted
+    leaders); (c) a batch over ``max_batch`` is refused (the unsalted
+    cluster-keyed pair join is incremental-sized by contract)."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        semdedup_from_index,
+        semdedup_update,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(12, 6))
+    X[10] = X[0]  # 10 duplicates 0
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(2, 6))]
+    idx = build_semdedup_index(
+        spark, df, store, name="sd_rein", centroids=cents, threshold=0.95
+    )
+    base = {
+        r["vec_id"]: r for r in semdedup_from_index(idx).collect()
+    }
+    # re-ingest vec 0 with its unchanged embedding: it must dedup
+    # against the OTHER stored copy (10), never against its own
+    # stale row
+    re0 = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    got = semdedup_update(idx, re0).collect()[0]
+    assert not got["keep"]
+    assert got["leader_id"] == 10  # the surviving identical member
+    assert got["leader_sim"] == 1.0
+    post = semdedup_from_index(idx).collect()
+    rows0 = [r for r in post if r["vec_id"] == 0]
+    assert len(rows0) == 1  # stale row replaced, not duplicated
+    assert not rows0[0]["keep"]
+    # every OTHER stored decision is untouched
+    for r in post:
+        if r["vec_id"] not in (0,):
+            assert tuple(r) == tuple(base[r["vec_id"]])
+
+    with pytest.raises(ValueError, match="does not support deletes"):
+        semdedup_update(
+            idx,
+            spark.createDataFrame(
+                [(5, [0.0] * 6, True)],
+                "vec_id long, embedding array<double>, deleted boolean",
+            ),
+        )
+    with pytest.raises(ValueError, match="max_batch"):
+        semdedup_update(idx, df, max_batch=3)

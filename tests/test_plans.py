@@ -4,6 +4,8 @@ intentionally-Python record-path operators; key predicates pushed to
 the Parquet scan; tombstone anti-join broadcasts).
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -97,14 +99,34 @@ def test_dim_join_broadcasts(spark):
 
 
 def test_bm25_served_pushes_query_term_keys(spark):
-    """The stored-postings BM25 serve must read O(query-terms'
-    postings): the literal In over the T# keys and the L# prefix both
-    reach the Parquet scan as pushed filters (min/max row-group
-    skipping over the range-partitioned index layout)."""
-    from level_mapreduce_spark.operators.text import bm25_topk_from_index
+    """The stored-postings BM25 serve must be O(query-terms'
+    postings) END TO END (v2): the literal Ins over the query's T#
+    keys, the DF# stats keys, and the two scalar stats keys all reach
+    the Parquet scans as pushed filters — and NOTHING in the plan
+    reads the corpus-sized L# slice or aggregates a full postings
+    slice (the r14 gap: every serve paid a full L# scan for
+    N/avgdl)."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk_from_index,
+        tfidf_from_index,
+    )
 
     idx = q._postings_index(spark, SF_DIR)
     plan = plan_of(bm25_topk_from_index(idx, q._BM25_QUERY, k=10))
     assert "In(index_key, [T#merge,T#spark,T#window])" in plan
-    assert "StringStartsWith(index_key,L#)" in plan
+    assert "In(index_key, [DF#merge,DF#spark,DF#window])" in plan
+    assert "In(index_key, [DL#,N#])" in plan
+    # no corpus-sized read anywhere in the serve plan: the L# slice
+    # is never touched (dl rides each posting, N/avgdl are stats
+    # rows). Boundary-aware: "DL#" (the stats key) contains "L#".
+    assert not re.search(r"[\[,(]L#", plan), "serve plan reads L# slice"
     assert "EvalPython" not in plan
+
+    # tfidf serve: the full T# read is the output itself, but df must
+    # come from the maintained DF# rows — no groupBy over the
+    # postings slice (the other r14 full-slice aggregate)
+    tplan = plan_of(tfidf_from_index(idx))
+    assert "StringStartsWith(index_key,T#)" in tplan
+    assert "StringStartsWith(index_key,DF#)" in tplan
+    assert not re.search(r"[\[,(]L#", tplan), "tfidf serve reads L# slice"
+    assert "partial_count" not in tplan
