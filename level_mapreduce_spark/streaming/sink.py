@@ -101,3 +101,45 @@ def stream_sketches_into(
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semdedup_into(
+    index: MapIndex,
+    embeddings: DataFrame,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_batch: int = 100_000,
+) -> StreamingQuery:
+    """Continuous-ingest semantic dedup over a stored semdedup index
+    (``operators.similarity.build_semdedup_index``): every micro-batch
+    of ``(vec_id, embedding)`` rows is assigned with the sidecar
+    codebook, ranked AFTER every stored member, deduped against the
+    stored members plus earlier rows of its own batch, and appended —
+    ``semdedup_update`` per batch.
+
+    The frozen-leaders contract IS first-arrival-wins streaming
+    semantics: stored decisions never flip, so a drained stream
+    converges to exactly the state of applying the same batches
+    through ``semdedup_update`` by hand (pinned by
+    tests/test_streaming.py). Replay caveat: a RETRIED micro-batch
+    re-ingests its vec_ids, which replaces their rows with re-ranked
+    decisions (documented overwrite semantics) — decisions stay
+    correct w.r.t. live members, but ranks are not bit-stable across
+    replays. ``max_batch`` passes through the incremental-batch guard.
+    """
+    from level_mapreduce_spark.operators.similarity import semdedup_update
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        semdedup_update(index, batch_df, max_batch=max_batch)
+
+    writer = embeddings.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -43,7 +43,40 @@ def load_bench(arg: str) -> dict:
     # driver artifacts wrap the parsed line under "parsed"
     if "parsed" in d:
         d = d["parsed"]
-    return d["queries"]
+    return d
+
+
+def wave_banner(bench: dict) -> str | None:
+    """Machine arbitration of a co-tenant interference wave from the
+    artifact's own evidence (VERDICT r14 #1): the single-thread CPU
+    probe slowing >1.4x across the run, or a pre-run 1-minute load
+    average over half the cores BEFORE this process generated any
+    load, both say the box — not the code — moved. Returns the
+    banner line, or None when the evidence is quiet."""
+    info = bench.get("interference")
+    if not info:
+        return None
+    b, a = info.get("before", {}), info.get("after", {})
+    ncpu = info.get("ncpu") or os.cpu_count() or 1
+    reasons = []
+    pb, pa = b.get("probe_ms"), a.get("probe_ms")
+    if pb and pa and pa / pb > 1.4:
+        reasons.append(
+            f"single-thread probe slowed {pa / pb:.2f}x across the run "
+            f"({pb:.0f} -> {pa:.0f} ms)"
+        )
+    load = b.get("loadavg_1m")
+    if load is not None and load == load and load > 0.5 * ncpu:
+        reasons.append(
+            f"pre-run loadavg_1m {load:.1f} on {ncpu} cores (box was "
+            "busy before this run started)"
+        )
+    if not reasons:
+        return None
+    return (
+        "WAVE SUSPECTED — discount OVER flags on this artifact: "
+        + "; ".join(reasons)
+    )
 
 
 def main() -> int:
@@ -69,7 +102,7 @@ def main() -> int:
         rnd = None
         if "--round" in args:
             rnd = int(args[args.index("--round") + 1])
-        queries = load_bench(src)
+        queries = load_bench(src)["queries"]
         refs = {
             "round": rnd,
             "unit": "sec",
@@ -86,7 +119,11 @@ def main() -> int:
     if not args:
         print(__doc__)
         return 2
-    queries = load_bench(args[0])
+    bench = load_bench(args[0])
+    queries = bench["queries"]
+    banner = wave_banner(bench)
+    if banner:
+        print(banner)
     refs = json.load(open(refs_path))
     keys = refs["keys"]
     over, missing = [], []

@@ -793,3 +793,153 @@ def test_stream_postings_ingest_ranked_retrieval_stays_fresh(
     assert [
         tuple(r) for r in bm25_topk_from_index(idx, q_text, k=5).collect()
     ] == [tuple(r) for r in bm25_topk(docs_now, q_text, k=5).collect()]
+
+
+def test_stream_span_index_ingest_stays_fresh(spark, store, tmp_path):
+    """Continuous-ingest exact-substring dedup: documents streamed
+    through stream_into -> the span MapIndex -> served repeated-spans
+    stats equal a batch recompute over exactly the drained corpus
+    after every micro-batch wave (the postings twin, r15)."""
+    from level_mapreduce_spark.operators.dedup import (
+        build_span_index,
+        repeated_spans,
+        repeated_spans_from_index,
+    )
+
+    src = str(tmp_path / "spansrc")
+    ckpt = str(tmp_path / "spanckpt")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    boiler = "one two three four five six seven eight nine ten"
+    seed = [
+        (0, f"intro {boiler} outro"),
+        (1, f"other {boiler} tail words here"),
+        (2, "no duplicated window in this document at all friends"),
+    ]
+    idx = build_span_index(
+        spark,
+        spark.createDataFrame(seed, doc_schema),
+        store,
+        name="span_stream",
+        ngram=10,
+    )
+
+    def drain_docs(rows):
+        with open(
+            os.path.join(src, f"b{len(os.listdir(src))}.json"), "w"
+        ) as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        stream = spark.readStream.schema(doc_schema).json(src)
+        q = stream_into(idx, stream, ckpt, assume_unique=True)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # wave 1: a third copy of the boilerplate + an overwrite that
+    # REMOVES doc 1's copy (its windows must stop colliding)
+    wave1 = [(3, f"yet another {boiler} instance"), (1, "doc one rewritten fully clean")]
+    corpus = {r[0]: r[1] for r in seed}
+    drain_docs(wave1)
+    corpus.update(dict(wave1))
+    docs_now = spark.createDataFrame(sorted(corpus.items()), doc_schema)
+    assert sorted(
+        tuple(r) for r in repeated_spans_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in repeated_spans(docs_now, ngram=10).collect())
+
+    # wave 2: another overwrite through the SAME checkpoint lineage
+    wave2 = [(2, f"late copy {boiler} again")]
+    drain_docs(wave2)
+    corpus.update(dict(wave2))
+    docs_now = spark.createDataFrame(sorted(corpus.items()), doc_schema)
+    assert sorted(
+        tuple(r) for r in repeated_spans_from_index(idx).collect()
+    ) == sorted(tuple(r) for r in repeated_spans(docs_now, ngram=10).collect())
+
+
+def test_stream_semdedup_ingest_matches_manual_updates(spark, store, tmp_path):
+    """Continuous-ingest semantic dedup: embedding waves streamed
+    through stream_semdedup_into equal applying the SAME batches via
+    semdedup_update on a twin index (frozen-leaders contract ==
+    first-arrival-wins streaming), and stored decisions never flip."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        semdedup_from_index,
+        semdedup_update,
+    )
+    from level_mapreduce_spark.streaming import stream_semdedup_into
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(20, 6))
+    X[15] = X[2]  # planted duplicate inside the seed corpus
+    seed_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(3, 6))]
+    cents = [[v / sum(x * x for x in c) ** 0.5 for v in c] for c in cents]
+    idx = build_semdedup_index(
+        spark, seed_df, store, name="sd_stream", centroids=cents,
+        threshold=0.95,
+    )
+    twin = build_semdedup_index(
+        spark, seed_df, store, name="sd_twin", centroids=cents,
+        threshold=0.95,
+    )
+    frozen = sorted(tuple(r) for r in semdedup_from_index(idx).collect())
+    assert frozen == sorted(
+        tuple(r) for r in semdedup_from_index(twin).collect()
+    )
+
+    src = str(tmp_path / "sdsrc")
+    ckpt = str(tmp_path / "sdckpt")
+    os.makedirs(src)
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def drain_vecs(rows):
+        with open(
+            os.path.join(src, f"b{len(os.listdir(src))}.json"), "w"
+        ) as f:
+            for vec_id, emb in rows:
+                f.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+        stream = spark.readStream.schema(emb_schema).json(src)
+        q = stream_semdedup_into(idx, stream, ckpt)
+        q.awaitTermination(120)
+        assert not q.isActive
+        twin_batch = spark.createDataFrame(rows, emb_schema)
+        semdedup_update(twin, twin_batch)
+
+    novel = (rng.normal(size=6) * 5).tolist()
+    wave1 = [
+        (100, [float(v) for v in X[2]]),  # copy of a stored keeper
+        (101, [float(v) for v in novel]),
+    ]
+    wave2 = [
+        (102, [float(v) for v in novel]),  # dup of wave-1's 101
+        (103, [0.0] * 6),  # zero norm: cluster -1, kept
+    ]
+    drain_vecs(wave1)
+    drain_vecs(wave2)
+
+    served = sorted(tuple(r) for r in semdedup_from_index(idx).collect())
+    manual = sorted(tuple(r) for r in semdedup_from_index(twin).collect())
+    assert served == manual
+    by_id = {r[0]: r for r in served}
+    assert len(by_id) == 24
+    assert not by_id[100][3]  # keep=False: dups a stored member
+    assert by_id[101][3]
+    assert not by_id[102][3] and by_id[102][4] == 101  # in-stream dup
+    assert by_id[103][3] and by_id[103][1] == -1
+    # frozen: the original 20 decisions unchanged
+    assert [t for t in served if t[0] < 100] == frozen
