@@ -827,6 +827,19 @@ def span_occurrence_mapper(ngram: int = 10):
     )
 
 
+def _span_family():
+    from level_mapreduce_spark.engine.family import StoredIndexFamily
+
+    return StoredIndexFamily(
+        kind="span",
+        sidecar="span.json",
+        doc_key="doc_id",
+        mapper_for=lambda meta: span_occurrence_mapper(meta["ngram"]),
+        builder_name="build_span_index",
+        attach=lambda idx, meta: setattr(idx, "span_ngram", meta["ngram"]),
+    )
+
+
 def build_span_index(
     spark,
     docs: DataFrame,
@@ -838,44 +851,14 @@ def build_span_index(
     Persists the window width in a sidecar — an ``update()`` in a
     fresh session must shingle with the SAME ngram or new windows
     silently never collide with stored ones."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    idx = MapIndex(
-        spark, name, span_occurrence_mapper(ngram), store, doc_key="doc_id"
-    )
-    idx.put_sidecar({"type": "span", "ngram": ngram}, name="span.json")
-    idx.span_ngram = ngram
-    # explicit partition count: the mapper is compute-bound on small
-    # bytes (the AQE small-byte coalescing trap)
-    n_part = spark.sparkContext.defaultParallelism
-    idx.build(docs.repartition(n_part, "doc_id"), assume_unique=True)
-    return idx
+    return _span_family().create(spark, docs, store, name, {"ngram": ngram})
 
 
 def load_span_index(spark, store: str, name: str = "span_index"):
     """Reopen a stored span index with the persisted window width;
     refuses handles without a span sidecar (an update with guessed
     geometry would silently split every duplicate window)."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    probe = MapIndex(
-        spark, name, span_occurrence_mapper(), store, doc_key="doc_id"
-    )
-    meta = probe.get_sidecar(name="span.json")
-    if meta is None or meta.get("type") != "span":
-        raise ValueError(
-            f"no span sidecar under {probe.root}; was this index built "
-            "by build_span_index?"
-        )
-    idx = MapIndex(
-        spark,
-        name,
-        span_occurrence_mapper(meta["ngram"]),
-        store,
-        doc_key="doc_id",
-    )
-    idx.span_ngram = meta["ngram"]
-    return idx
+    return _span_family().load(spark, store, name)
 
 
 def repeated_spans_from_index(idx) -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from level_mapreduce_spark.engine.family import StoredIndexFamily
 from level_mapreduce_spark.engine.index import MapIndex
 from level_mapreduce_spark.engine.mapper import ExprMapper, Mapper, pairs_type
 from level_mapreduce_spark.functions.litarr import (
@@ -90,6 +91,26 @@ def minhash_band_mapper(k: int = 5, rows_per_band: int = 2) -> ExprMapper:
     )
 
 
+def _band_attach(idx, meta) -> None:
+    idx.band_k, idx.band_rows_per_band = meta["k"], meta["rows_per_band"]
+
+
+#: the signature params persist beside the segments: an update() in a
+#: fresh session must band with the SAME shingle width and band
+#: geometry, or new docs' buckets silently never collide with stored
+#: ones
+_BAND_FAMILY = StoredIndexFamily(
+    kind="band",
+    sidecar="band.json",
+    doc_key="doc_id",
+    mapper_for=lambda meta: minhash_band_mapper(
+        meta["k"], meta["rows_per_band"]
+    ),
+    builder_name="build_band_index",
+    attach=_band_attach,
+)
+
+
 def build_band_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -98,22 +119,9 @@ def build_band_index(
     k: int = 5,
     rows_per_band: int = 2,
 ) -> MapIndex:
-    idx = MapIndex(
-        spark, name, minhash_band_mapper(k, rows_per_band), store, doc_key="doc_id"
+    return _BAND_FAMILY.create(
+        spark, docs, store, name, {"k": k, "rows_per_band": rows_per_band}
     )
-    # persist the signature params: an update() in a fresh session must
-    # band with the SAME shingle width and band geometry, or new docs'
-    # buckets silently never collide with stored ones
-    idx.put_sidecar(
-        {"type": "band", "k": k, "rows_per_band": rows_per_band},
-        name="band.json",
-    )
-    idx.band_k, idx.band_rows_per_band = k, rows_per_band
-    # explicit partition count: the mapper is compute-bound on small
-    # bytes, so an AQE-coalescible repartition(col) could serialize it
-    n_part = spark.sparkContext.defaultParallelism
-    idx.build(docs.repartition(n_part, "doc_id"), assume_unique=True)
-    return idx
 
 
 def load_band_index(
@@ -123,24 +131,7 @@ def load_band_index(
     (shingle k, rows per band) — incremental update() and
     lsh_pairs_from_index in a fresh session then use geometry that
     matches the stored buckets."""
-    probe = MapIndex(
-        spark, name, minhash_band_mapper(), store, doc_key="doc_id"
-    )
-    meta = probe.get_sidecar(name="band.json")
-    if meta is None or meta.get("type") != "band":
-        raise ValueError(
-            f"no band sidecar under {probe.root}; was this index built "
-            "by build_band_index?"
-        )
-    idx = MapIndex(
-        spark,
-        name,
-        minhash_band_mapper(meta["k"], meta["rows_per_band"]),
-        store,
-        doc_key="doc_id",
-    )
-    idx.band_k, idx.band_rows_per_band = meta["k"], meta["rows_per_band"]
-    return idx
+    return _BAND_FAMILY.load(spark, store, name)
 
 
 def lsh_pairs_from_index(
@@ -275,15 +266,23 @@ def build_ivf_index(
     centroids = train_centroids(
         embeddings, n_centroids=n_centroids, seed=seed
     )
-    idx = MapIndex(
-        spark, name, ivf_mapper(centroids), store, doc_key="vec_id"
+    idx = _IVF_FAMILY.create(
+        spark, embeddings, store, name, {"centroids": centroids}
     )
-    idx.put_sidecar(
-        {"type": "ivf", "centroids": centroids}, name="ivf.json"
-    )
-    n_part = spark.sparkContext.defaultParallelism
-    idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
     return idx, centroids
+
+
+_IVF_FAMILY = StoredIndexFamily(
+    kind="ivf",
+    sidecar="ivf.json",
+    doc_key="vec_id",
+    mapper_for=lambda meta: ivf_mapper(meta["centroids"]),
+    builder_name="build_ivf_index",
+    label="IVF",
+    attach=lambda idx, meta: setattr(
+        idx, "ivf_centroids", meta["centroids"]
+    ),
+)
 
 
 def load_ivf_index(
@@ -292,20 +291,8 @@ def load_ivf_index(
     """Reopen a stored IVF index with the persisted codebook: probes
     and incremental assignment in a fresh session use the SAME frozen
     centroids the stored lists were routed by."""
-    probe = MapIndex(
-        spark, name, ivf_mapper([[0.0]]), store, doc_key="vec_id"
-    )
-    meta = probe.get_sidecar(name="ivf.json")
-    if meta is None or meta.get("type") != "ivf":
-        raise ValueError(
-            f"no IVF sidecar under {probe.root}; was this index built "
-            "by build_ivf_index?"
-        )
-    centroids = meta["centroids"]
-    idx = MapIndex(
-        spark, name, ivf_mapper(centroids), store, doc_key="vec_id"
-    )
-    return idx, centroids
+    idx = _IVF_FAMILY.load(spark, store, name)
+    return idx, idx.ivf_centroids
 
 
 def ivf_topk_from_index(
@@ -376,30 +363,33 @@ def build_ann_index(
     seed: int = 42,
 ) -> MapIndex:
     dim = len(embeddings.select("embedding").head()[0])
-    idx = MapIndex(
+    # the hash geometry persists beside the segments: hyperplanes are
+    # seed-deterministic, so (dim, n_bits, n_tables, seed) fully
+    # reconstructs the tables — a probe or update with different
+    # params addresses buckets the stored index never wrote
+    return _ANN_FAMILY.create(
         spark,
-        name,
-        ann_bucket_mapper(dim, n_bits, n_tables, seed),
+        embeddings,
         store,
-        doc_key="vec_id",
+        name,
+        {"dim": dim, "n_bits": n_bits, "n_tables": n_tables, "seed": seed},
+        repartition_key=None,
     )
-    # persist the hash geometry: hyperplanes are seed-deterministic,
-    # so (dim, n_bits, n_tables, seed) fully reconstructs the tables —
-    # a probe or update with different params addresses buckets the
-    # stored index never wrote
-    idx.put_sidecar(
-        {
-            "type": "ann_lsh",
-            "dim": dim,
-            "n_bits": n_bits,
-            "n_tables": n_tables,
-            "seed": seed,
-        },
-        name="ann.json",
-    )
-    idx.ann_params = (n_bits, n_tables, seed)
-    idx.build(embeddings, assume_unique=True)
-    return idx
+
+
+_ANN_FAMILY = StoredIndexFamily(
+    kind="ann_lsh",
+    sidecar="ann.json",
+    doc_key="vec_id",
+    mapper_for=lambda meta: ann_bucket_mapper(
+        meta["dim"], meta["n_bits"], meta["n_tables"], meta["seed"]
+    ),
+    builder_name="build_ann_index",
+    label="ANN",
+    attach=lambda idx, meta: setattr(
+        idx, "ann_params", (meta["n_bits"], meta["n_tables"], meta["seed"])
+    ),
+)
 
 
 def load_ann_index(
@@ -408,26 +398,7 @@ def load_ann_index(
     """Reopen a stored sign-LSH bucket index with the persisted hash
     geometry, so probes and incremental update() in a fresh session
     address the same buckets."""
-    probe = MapIndex(
-        spark, name, ann_bucket_mapper(1), store, doc_key="vec_id"
-    )
-    meta = probe.get_sidecar(name="ann.json")
-    if meta is None or meta.get("type") != "ann_lsh":
-        raise ValueError(
-            f"no ANN sidecar under {probe.root}; was this index built "
-            "by build_ann_index?"
-        )
-    idx = MapIndex(
-        spark,
-        name,
-        ann_bucket_mapper(
-            meta["dim"], meta["n_bits"], meta["n_tables"], meta["seed"]
-        ),
-        store,
-        doc_key="vec_id",
-    )
-    idx.ann_params = (meta["n_bits"], meta["n_tables"], meta["seed"])
-    return idx
+    return _ANN_FAMILY.load(spark, store, name)
 
 
 def ann_topk_from_index(
@@ -671,12 +642,15 @@ def build_ivfpq_index(
         )
     else:
         books = train_pq(embeddings, m=m, k=k, seed=seed)
-    mapper, enc = _ivfpq_make_mapper(centroids, books, residual, encoder)
-    idx = MapIndex(spark, name, mapper, store, doc_key="vec_id")
-    idx.ivfpq_residual = residual
-    idx.put_sidecar(
+    # resolve encoder="auto" BEFORE the sidecar write so load rebuilds
+    # the exact same mapper from the persisted choice
+    _, enc = _ivfpq_make_mapper(centroids, books, residual, encoder)
+    idx = _IVFPQ_FAMILY.create(
+        spark,
+        embeddings,
+        store,
+        name,
         {
-            "type": "ivfpq",
             "residual": residual,
             "encoder": enc,
             "centroids": centroids,
@@ -684,14 +658,34 @@ def build_ivfpq_index(
                 [list(map(float, row)) for row in b] for b in books
             ],
         },
-        name=_IVFPQ_SIDECAR,
     )
-    n_part = spark.sparkContext.defaultParallelism
-    idx.build(embeddings.repartition(n_part, "vec_id"), assume_unique=True)
     return idx, centroids, books
 
 
 _IVFPQ_SIDECAR = "ivfpq.json"
+
+def _ivfpq_attach(idx, meta) -> None:
+    idx.ivfpq_residual = bool(meta["residual"])
+    idx.ivfpq_centroids = meta["centroids"]
+    idx.ivfpq_codebooks = meta["codebooks"]
+
+
+# the encoder default "column" covers sidecars that predate the knob
+# (they were column-encoded)
+_IVFPQ_FAMILY = StoredIndexFamily(
+    kind="ivfpq",
+    sidecar=_IVFPQ_SIDECAR,
+    doc_key="vec_id",
+    mapper_for=lambda meta: _ivfpq_make_mapper(
+        meta["centroids"],
+        meta["codebooks"],
+        bool(meta["residual"]),
+        meta.get("encoder", "column"),
+    )[0],
+    builder_name="build_ivfpq_index",
+    label="IVFPQ",
+    attach=_ivfpq_attach,
+)
 
 
 def load_ivfpq_index(spark: SparkSession, store: str, name: str = "ivfpq_cells"):
@@ -700,33 +694,8 @@ def load_ivfpq_index(spark: SparkSession, store: str, name: str = "ivfpq_cells")
     codebooks) and the probe metadata from the sidecar written by
     :func:`build_ivfpq_index` — no retraining, no data scan. Returns
     (index, centroids, codebooks), the same triple build returns."""
-    probe_idx = MapIndex(
-        spark,
-        name,
-        ExprMapper(
-            F.array().cast(pairs_type(T.ArrayType(T.IntegerType()))),
-            value_type=T.ArrayType(T.IntegerType()),
-        ),
-        store,
-        doc_key="vec_id",
-    )
-    meta = probe_idx.get_sidecar(name=_IVFPQ_SIDECAR)
-    if meta is None or meta.get("type") != "ivfpq":
-        raise ValueError(
-            f"no IVFPQ sidecar at {probe_idx.root}/{_IVFPQ_SIDECAR}; "
-            "was this index built by build_ivfpq_index?"
-        )
-    centroids = meta["centroids"]
-    books = meta["codebooks"]
-    residual = bool(meta["residual"])
-    # reopen with the encoder the index was built with (older sidecars
-    # predate the knob: they were column-encoded)
-    mapper, _ = _ivfpq_make_mapper(
-        centroids, books, residual, meta.get("encoder", "column")
-    )
-    idx = MapIndex(spark, name, mapper, store, doc_key="vec_id")
-    idx.ivfpq_residual = residual
-    return idx, centroids, books
+    idx = _IVFPQ_FAMILY.load(spark, store, name)
+    return idx, idx.ivfpq_centroids, idx.ivfpq_codebooks
 
 
 def _resolve_ivfpq_residual(idx: MapIndex) -> bool:

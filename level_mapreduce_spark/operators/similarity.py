@@ -1038,7 +1038,6 @@ def build_semdedup_index(
         centroids = train_centroids(
             embeddings, n_centroids=n_clusters, seed=seed
         )
-    from level_mapreduce_spark.engine.index import MapIndex
     from pyspark.sql.window import Window
 
     decisions = semantic_dedup(
@@ -1060,20 +1059,29 @@ def build_semdedup_index(
         _as_double_array(F.col("embedding")).alias("_e"),
     )
     rows = ranked.join(vecs, "vec_id")
-    idx = MapIndex(
-        spark, name, _semdedup_member_mapper(), store, doc_key="vec_id"
-    )
-    idx.put_sidecar(
+    return _semdedup_family().create(
+        spark,
+        rows,
+        store,
+        name,
         {
-            "type": "semdedup",
             "threshold": threshold,
             "max_cluster": max_cluster,
             "centroids": [[float(v) for v in c] for c in centroids],
         },
-        name="semdedup.json",
     )
-    idx.build(rows.repartition(n_part, "vec_id"), assume_unique=True)
-    return idx
+
+
+def _semdedup_family():
+    from level_mapreduce_spark.engine.family import StoredIndexFamily
+
+    return StoredIndexFamily(
+        kind="semdedup",
+        sidecar="semdedup.json",
+        doc_key="vec_id",
+        mapper_for=lambda meta: _semdedup_member_mapper(),
+        builder_name="build_semdedup_index",
+    )
 
 
 def load_semdedup_index(spark, store: str, name: str = "semdedup_index"):
@@ -1081,18 +1089,7 @@ def load_semdedup_index(spark, store: str, name: str = "semdedup_index"):
     threshold; refuses handles without a semdedup sidecar (an update
     against a guessed codebook would silently mis-assign every new
     vector)."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    idx = MapIndex(
-        spark, name, _semdedup_member_mapper(), store, doc_key="vec_id"
-    )
-    meta = idx.get_sidecar(name="semdedup.json")
-    if meta is None or meta.get("type") != "semdedup":
-        raise ValueError(
-            f"no semdedup sidecar under {idx.root}; was this index "
-            "built by build_semdedup_index?"
-        )
-    return idx
+    return _semdedup_family().load(spark, store, name)
 
 
 def semdedup_from_index(idx) -> DataFrame:

@@ -152,34 +152,46 @@ def build_sketch_index(
     value = sketch binary. ``kind`` picks the sketch family: ``hll``
     (distinct users), ``theta`` (distinct users + set algebra),
     ``kll`` (value quantiles)."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
     base, _ = _SKETCH_KINDS[kind]
-    idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
-    # persist the kind beside the segments: sketches of different
+    # the kind persists beside the segments: sketches of different
     # families are mutually un-mergeable binaries, and a fresh session
     # reopening the store must fold batches with the SAME merge fn
-    idx.put_sidecar({"type": "sketch", "kind": kind}, name="sketch.json")
-    idx.build(_bucket_docs(base(events, bucket)), assume_unique=True)
-    idx.sketch_kind = kind
-    return idx
+    return _sketch_family().create(
+        spark,
+        _bucket_docs(base(events, bucket)),
+        store,
+        name,
+        {"kind": kind},
+        repartition_key=None,
+    )
+
+
+def _sketch_family():
+    from level_mapreduce_spark.engine.family import StoredIndexFamily
+
+    def check_kind(idx, meta):
+        if meta.get("kind") not in _SKETCH_KINDS:
+            raise ValueError(
+                f"no sketch sidecar under {idx.root}; was this index "
+                "built by build_sketch_index?"
+            )
+
+    return StoredIndexFamily(
+        kind="sketch",
+        sidecar="sketch.json",
+        doc_key="bucket_key",
+        mapper_for=lambda meta: _sketch_mapper(),
+        builder_name="build_sketch_index",
+        attach=lambda idx, meta: setattr(idx, "sketch_kind", meta["kind"]),
+        validate=check_kind,
+    )
 
 
 def load_sketch_index(spark, store: str, name: str = "user_sketches"):
     """Reopen a stored sketch aggregate in a fresh session, recovering
     the sketch family from the sidecar so later
     :func:`update_sketch_index` folds use the right merge fn."""
-    from level_mapreduce_spark.engine.index import MapIndex
-
-    idx = MapIndex(spark, name, _sketch_mapper(), store, doc_key="bucket_key")
-    meta = idx.get_sidecar(name="sketch.json")
-    if meta is None or meta.get("kind") not in _SKETCH_KINDS:
-        raise ValueError(
-            f"no sketch sidecar under {idx.root}; was this index built "
-            "by build_sketch_index?"
-        )
-    idx.sketch_kind = meta["kind"]
-    return idx
+    return _sketch_family().load(spark, store, name)
 
 
 def update_sketch_index(

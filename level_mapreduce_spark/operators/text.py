@@ -979,6 +979,37 @@ def build_postings_index(
     return idx
 
 
+def _postings_family():
+    from level_mapreduce_spark.engine.family import StoredIndexFamily
+
+    def check(idx, meta):
+        if int(meta.get("version", 1)) < 2:
+            raise ValueError(
+                f"postings index {idx.name} predates the v2 stats "
+                "layout — rebuild with build_postings_index"
+            )
+        smeta = idx.stats.get_sidecar(name="stats.json") or {}
+        if smeta.get("seq") != meta.get("seq"):
+            raise ValueError(
+                "postings stats are stale (postings seq "
+                f"{meta.get('seq')} != stats seq {smeta.get('seq')}) — "
+                "a writer crashed between the postings and stats "
+                "writes; run refresh_postings_stats()"
+            )
+
+    return StoredIndexFamily(
+        kind="postings",
+        sidecar="postings.json",
+        doc_key="doc_id",
+        mapper_for=lambda meta: postings_mapper(),
+        builder_name="build_postings_index",
+        handle_factory=lambda spark, name, store, meta: PostingsIndex(
+            spark, name, store
+        ),
+        validate=check,
+    )
+
+
 def load_postings_index(
     spark, store: str, name: str = "postings_index"
 ) -> PostingsIndex:
@@ -989,27 +1020,7 @@ def load_postings_index(
     postings/stats seq mismatches (a writer crashed between the
     postings write and the stats fold — run
     :func:`refresh_postings_stats`)."""
-    idx = PostingsIndex(spark, name, store)
-    meta = idx.get_sidecar(name="postings.json")
-    if meta is None or meta.get("type") != "postings":
-        raise ValueError(
-            f"no postings sidecar under {idx.root}; was this index "
-            "built by build_postings_index?"
-        )
-    if int(meta.get("version", 1)) < 2:
-        raise ValueError(
-            f"postings index {name} predates the v2 stats layout — "
-            "rebuild with build_postings_index"
-        )
-    smeta = idx.stats.get_sidecar(name="stats.json") or {}
-    if smeta.get("seq") != meta.get("seq"):
-        raise ValueError(
-            f"postings stats are stale (postings seq {meta.get('seq')}"
-            f" != stats seq {smeta.get('seq')}) — a writer crashed "
-            "between the postings and stats writes; run "
-            "refresh_postings_stats()"
-        )
-    return idx
+    return _postings_family().load(spark, store, name)
 
 
 def _postings_frame(
