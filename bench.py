@@ -56,7 +56,33 @@ def _cpu_probe_ms() -> float:
     return round(best * 1000.0, 1)
 
 
-def _interference_snapshot() -> dict:
+def _spark_probe_ms(spark) -> float:
+    """Fixed ALL-CORES Spark kernel (range-sum over one task per
+    core), min-of-2. The single-thread probe misses the r15 failure
+    mode — a co-tenant stealing PARALLEL throughput while any one
+    core stays fast (probe flat, loadavg low, every multi-core bench
+    key 1.5-4x over its quiet ref). This kernel IS a multi-core bench
+    key, minus the code under test, so its before/after ratio and its
+    level vs the quiet window arbitrate that mode from the artifact
+    alone."""
+    n_part = spark.sparkContext.defaultParallelism
+    best = None
+    # 3 runs, FIRST discarded: at session start the first collect
+    # pays codegen + executor spin-up (~1.3 s vs the 0.14 s steady
+    # state measured r15) and would read as a phantom wave
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000 * n_part, 1, n_part).selectExpr(
+            "sum(id * 3 % 7)"
+        ).collect()
+        dt = time.perf_counter() - t0
+        if i == 0:
+            continue
+        best = dt if best is None else min(best, dt)
+    return round(best * 1000.0, 1)
+
+
+def _interference_snapshot(spark=None) -> dict:
     """One (probe, loadavg) reading. ``loadavg_1m`` taken BEFORE the
     run is the clean co-tenant signal (we have generated no load
     yet); taken after, it includes our own executors — recorded
@@ -65,11 +91,14 @@ def _interference_snapshot() -> dict:
         load = os.getloadavg()
     except OSError:  # platforms without getloadavg
         load = (float("nan"),) * 3
-    return {
+    out = {
         "probe_ms": _cpu_probe_ms(),
         "loadavg_1m": round(load[0], 2),
         "loadavg_5m": round(load[1], 2),
     }
+    if spark is not None:
+        out["spark_probe_ms"] = _spark_probe_ms(spark)
+    return out
 
 
 def main() -> None:
@@ -84,7 +113,7 @@ def main() -> None:
         extra_conf={"spark.ui.retainedStages": "100000"} if ui else None,
     )
     store = tempfile.mkdtemp(prefix="lmr_bench_")
-    before = _interference_snapshot()
+    before = _interference_snapshot(spark)
     times: dict[str, float] = {}
 
     errors: dict[str, str] = {}
@@ -129,7 +158,7 @@ def main() -> None:
         errors["__setup__"] = f"{type(e).__name__}: {e}"[:300]
 
     shutil.rmtree(store, ignore_errors=True)
-    after = _interference_snapshot()
+    after = _interference_snapshot(spark)
     total = round(sum(times.values()), 3)
     summary = {
         "metric": "headline_queries_total",

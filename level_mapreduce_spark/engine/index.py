@@ -1059,6 +1059,15 @@ class MapIndex:
             ]
         )
 
+    @property
+    def _tombstone_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(DOC_KEY, T.StringType(), False),
+                T.StructField("epoch", T.IntegerType(), False),
+            ]
+        )
+
     # ------------------------------------------------------ change handling
 
     def _normalize_changes(
@@ -1598,7 +1607,15 @@ class MapIndex:
             return self.spark.createDataFrame([], self._storage_schema).drop(
                 "epoch"
             )
-        segs = self.spark.read.parquet(self.segments_path)
+        # explicit schemas: the storage layout is engine-owned, so
+        # schema inference (a driver-side footer read per
+        # construction, ~100 ms locally, a remote GET on object
+        # stores) buys nothing — serve paths construct several reads
+        # per query and the tax was the dominant serve cost in the
+        # r15 profile
+        segs = self.spark.read.schema(self._storage_schema).parquet(
+            self.segments_path
+        )
         if as_of_epoch is not None:
             segs = segs.where(F.col("epoch") <= as_of_epoch)
         tomb_epochs = _list_epochs(self.spark, self.tombstones_path)
@@ -1607,7 +1624,9 @@ class MapIndex:
         if not tomb_epochs:
             return segs.drop("epoch")
         tombs = (
-            self.spark.read.parquet(self.tombstones_path)
+            self.spark.read.schema(self._tombstone_schema).parquet(
+                self.tombstones_path
+            )
             .where(
                 F.col("epoch") <= as_of_epoch
                 if as_of_epoch is not None

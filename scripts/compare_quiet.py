@@ -46,13 +46,16 @@ def load_bench(arg: str) -> dict:
     return d
 
 
-def wave_banner(bench: dict) -> str | None:
+def wave_banner(bench: dict, refs: dict | None = None) -> str | None:
     """Machine arbitration of a co-tenant interference wave from the
     artifact's own evidence (VERDICT r14 #1): the single-thread CPU
-    probe slowing >1.4x across the run, or a pre-run 1-minute load
-    average over half the cores BEFORE this process generated any
-    load, both say the box — not the code — moved. Returns the
-    banner line, or None when the evidence is quiet."""
+    probe slowing >1.4x across the run, the ALL-CORES Spark probe
+    slowing >1.4x across the run or vs the quiet-window level stored
+    in the refs (the r15 mode: parallel throughput stolen while any
+    one core stays fast), or a pre-run 1-minute load average over
+    half the cores BEFORE this process generated any load — all say
+    the box, not the code, moved. Returns the banner line, or None
+    when the evidence is quiet."""
     info = bench.get("interference")
     if not info:
         return None
@@ -64,6 +67,20 @@ def wave_banner(bench: dict) -> str | None:
         reasons.append(
             f"single-thread probe slowed {pa / pb:.2f}x across the run "
             f"({pb:.0f} -> {pa:.0f} ms)"
+        )
+    sb, sa = b.get("spark_probe_ms"), a.get("spark_probe_ms")
+    if sb and sa and sa / sb > 1.4:
+        reasons.append(
+            f"all-cores Spark probe slowed {sa / sb:.2f}x across the "
+            f"run ({sb:.0f} -> {sa:.0f} ms)"
+        )
+    ref_probe = (refs or {}).get("spark_probe_ms")
+    run_probe = min(x for x in (sb, sa) if x) if (sb or sa) else None
+    if ref_probe and run_probe and run_probe / ref_probe > 1.4:
+        reasons.append(
+            f"all-cores Spark probe {run_probe:.0f} ms vs quiet-window "
+            f"{ref_probe:.0f} ms = {run_probe / ref_probe:.2f}x (box "
+            "slower than when the refs were taken)"
         )
     load = b.get("loadavg_1m")
     if load is not None and load == load and load > 0.5 * ncpu:
@@ -102,7 +119,8 @@ def main() -> int:
         rnd = None
         if "--round" in args:
             rnd = int(args[args.index("--round") + 1])
-        queries = load_bench(src)["queries"]
+        bench = load_bench(src)
+        queries = bench["queries"]
         refs = {
             "round": rnd,
             "unit": "sec",
@@ -110,6 +128,15 @@ def main() -> int:
             "method": "bench.py min-of-N per key on an idle box",
             "keys": {k: v for k, v in sorted(queries.items())},
         }
+        # pin the quiet window's all-cores throughput level so later
+        # artifacts can self-arbitrate "box slower than the refs"
+        probes = [
+            s.get("spark_probe_ms")
+            for s in bench.get("interference", {}).values()
+            if isinstance(s, dict) and s.get("spark_probe_ms")
+        ]
+        if probes:
+            refs["spark_probe_ms"] = min(probes)
         with open(refs_path, "w") as f:
             json.dump(refs, f, indent=1, sort_keys=True)
             f.write("\n")
@@ -121,10 +148,10 @@ def main() -> int:
         return 2
     bench = load_bench(args[0])
     queries = bench["queries"]
-    banner = wave_banner(bench)
+    refs = json.load(open(refs_path))
+    banner = wave_banner(bench, refs)
     if banner:
         print(banner)
-    refs = json.load(open(refs_path))
     keys = refs["keys"]
     over, missing = [], []
     for k, v in sorted(queries.items()):

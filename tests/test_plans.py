@@ -111,16 +111,30 @@ def test_bm25_served_pushes_query_term_keys(spark):
         tfidf_from_index,
     )
 
+    from level_mapreduce_spark.operators.text import bm25_batch_from_index
+
     idx = q._postings_index(spark, SF_DIR)
     plan = plan_of(bm25_topk_from_index(idx, q._BM25_QUERY, k=10))
     assert "In(index_key, [T#merge,T#spark,T#window])" in plan
     assert "In(index_key, [DF#merge,DF#spark,DF#window])" in plan
     assert "In(index_key, [DL#,N#])" in plan
     # no corpus-sized read anywhere in the serve plan: the L# slice
-    # is never touched (dl rides each posting, N/avgdl are stats
-    # rows). Boundary-aware: "DL#" (the stats key) contains "L#".
+    # is never touched (dl rides each posting; df/N/avgdl are stats
+    # point-lookups). Boundary-aware: "DL#" contains "L#".
     assert not re.search(r"[\[,(]L#", plan), "serve plan reads L# slice"
     assert "EvalPython" not in plan
+
+    # batch serve (small regime) keeps the stats reads IN the plan —
+    # both the DF# keys and the two scalar stats rows arrive as
+    # pushed literal Ins over the stats index, never as aggregates
+    queries = idx.spark.createDataFrame(
+        [(0, q._BM25_QUERY)], "query_id long, text string"
+    )
+    bplan = plan_of(bm25_batch_from_index(idx, queries, k=10))
+    assert "In(index_key, [T#merge,T#spark,T#window])" in bplan
+    assert "In(index_key, [DF#merge,DF#spark,DF#window])" in bplan
+    assert "In(index_key, [DL#,N#])" in bplan
+    assert not re.search(r"[\[,(]L#", bplan), "batch serve reads L# slice"
 
     # tfidf serve: the full T# read is the output itself, but df must
     # come from the maintained DF# rows — no groupBy over the
