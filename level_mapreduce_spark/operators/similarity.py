@@ -956,6 +956,7 @@ _SEMDEDUP_VALUE_T = T.StructType(
         T.StructField("leader_id", T.LongType()),
         T.StructField("leader_sim", T.DoubleType()),
         T.StructField("emb", T.ArrayType(T.DoubleType())),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
     ]
 )
 
@@ -963,10 +964,13 @@ _SEMDEDUP_VALUE_T = T.StructType(
 def _semdedup_member_mapper():
     """Map fn for the stored semdedup index: one row per vector under
     its cluster key ``C#<cluster>``, carrying the FROZEN decision
-    (rank, keep, leader) plus the embedding — the piece
-    :func:`semdedup_update` compares new vectors against. Cluster
-    keys make the update's read a literal In over the affected
-    clusters only (key-pruned, like the IVF lists)."""
+    (rank, keep, leader) plus the vector payload — the piece
+    :func:`semdedup_update` compares new vectors against: the full
+    embedding (``vector_storage="full"``) OR its PQ codes
+    (``vector_storage="pq"``, m ints instead of dim doubles — the
+    storage shrink). Cluster keys make the update's read a literal In
+    over the affected clusters only (key-pruned, like the IVF
+    lists)."""
     from level_mapreduce_spark.engine.mapper import ExprMapper
 
     return ExprMapper(
@@ -987,10 +991,28 @@ def _semdedup_member_mapper():
                     .cast("double")
                     .alias("leader_sim"),
                     F.col("_e").alias("emb"),
+                    F.col("_codes").alias("codes"),
                 ).alias("value"),
             )
         ),
         value_type=_SEMDEDUP_VALUE_T,
+    )
+
+
+def _pq_decode_expr(codes: Column, books_col: Column, m: int) -> Column:
+    """Reconstruct the approximate embedding from PQ codes: per
+    subspace j, the code's centroid row from the (staged — HOF
+    lambdas re-evaluate free literals per invocation) codebook
+    column, flattened back to dim doubles. Codes are 0-based,
+    element_at 1-based."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda j: F.element_at(
+                F.element_at(books_col, j.cast("int")),
+                (F.element_at(codes, j.cast("int")) + 1).cast("int"),
+            ),
+        )
     )
 
 
@@ -1004,6 +1026,10 @@ def build_semdedup_index(
     threshold: float = 0.95,
     max_cluster: int = 100_000,
     seed: int = 42,
+    vector_storage: str = "full",
+    pq_m: int = 8,
+    pq_k: int = 64,
+    pq_margin: float = 0.3,
 ):
     """SemDeDup on the engine's incremental spine: run the batch
     :func:`semantic_dedup` once, then persist every vector's FROZEN
@@ -1024,14 +1050,23 @@ def build_semdedup_index(
     applied to a corpus-global operator by pinning the global state
     (rank order) at build time.
 
-    **Storage cost — stored embeddings.** Every member row carries
-    its full embedding (``value.emb``): the frozen-leader update must
-    compare new vectors against stored members without re-reading the
-    source table, so the index is a second full copy of the vector
-    column (~2x vector bytes corpus-wide at 100 TB). Accepted for
-    exactness; the planned shrink is PQ codes (operators/pq.py) as a
-    candidate filter with re-verification against the source table,
-    the ``ivfpq_knn_join`` pattern."""
+    **Storage cost — stored embeddings, and the PQ shrink.** With the
+    default ``vector_storage="full"`` every member row carries its
+    full embedding (``value.emb``): the frozen-leader update compares
+    new vectors against stored members without re-reading the source
+    table, at the price of a second full copy of the vector column
+    (~2x vector bytes corpus-wide at 100 TB). ``vector_storage="pq"``
+    stores ``pq_m`` int codes instead (codebooks trained here, frozen
+    in the sidecar — dim doubles -> m ints per member): updates then
+    DECODE the codes into approximate embeddings as a CANDIDATE
+    FILTER at ``threshold - pq_margin`` and re-verify every candidate
+    EXACTLY against ``source_embeddings`` (which the caller must pass
+    to :func:`semdedup_update`) — the ``ivfpq_knn_join`` pattern:
+    codes filter, the source scores. Scores and decisions are exact;
+    recall of the candidate step is probabilistic (a true near-dup
+    whose reconstruction error exceeds ``pq_margin`` can be missed —
+    raise the margin to trade update cost for recall). The gate keeps
+    "full"; pq equivalence is differential-tested."""
     if centroids is None:
         from level_mapreduce_spark.operators.ivf import train_centroids
 
@@ -1053,23 +1088,46 @@ def build_semdedup_index(
             F.col("cluster") >= 0, F.row_number().over(w).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
+    if vector_storage not in ("full", "pq"):
+        raise ValueError(
+            f"vector_storage={vector_storage!r}: expected 'full' or 'pq'"
+        )
     n_part = spark.sparkContext.defaultParallelism
     vecs = embeddings.repartition(n_part, "vec_id").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double_array(F.col("embedding")).alias("_e"),
     )
+    meta = {
+        "threshold": threshold,
+        "max_cluster": max_cluster,
+        "centroids": [[float(v) for v in c] for c in centroids],
+        "vector_storage": vector_storage,
+    }
+    if vector_storage == "pq":
+        from level_mapreduce_spark.operators.pq import pq_encode, train_pq
+
+        books = train_pq(embeddings, m=pq_m, k=pq_k, seed=seed)
+        meta["pq_codebooks"] = [
+            [[float(v) for v in row] for row in b] for b in books
+        ]
+        meta["pq_margin"] = float(pq_margin)
+        codes = pq_encode(
+            embeddings.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                _as_double_array(F.col("embedding")).alias("embedding"),
+            ),
+            books,
+        ).withColumnRenamed("codes", "_codes")
+        # the shrink: codes replace the embedding in storage
+        vecs = vecs.join(codes, "vec_id").withColumn(
+            "_e", F.lit(None).cast("array<double>")
+        )
+    else:
+        vecs = vecs.withColumn(
+            "_codes", F.lit(None).cast("array<int>")
+        )
     rows = ranked.join(vecs, "vec_id")
-    return _semdedup_family().create(
-        spark,
-        rows,
-        store,
-        name,
-        {
-            "threshold": threshold,
-            "max_cluster": max_cluster,
-            "centroids": [[float(v) for v in c] for c in centroids],
-        },
-    )
+    return _semdedup_family().create(spark, rows, store, name, meta)
 
 
 def _semdedup_family():
@@ -1110,7 +1168,10 @@ def semdedup_from_index(idx) -> DataFrame:
 
 
 def semdedup_update(
-    idx, new_embeddings: DataFrame, max_batch: int = 100_000
+    idx,
+    new_embeddings: DataFrame,
+    max_batch: int = 100_000,
+    source_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally dedup ``new_embeddings`` against a stored
     semdedup index under the FROZEN-LEADERS contract (see
@@ -1147,7 +1208,19 @@ def semdedup_update(
     reproduce the single-task skew collapse that the batch
     :func:`semantic_dedup` salts against, so batches larger than
     ``max_batch`` rows are refused: rebuild instead (or raise the
-    knob deliberately after reading this paragraph)."""
+    knob deliberately after reading this paragraph).
+
+    **PQ-stored indexes** (``vector_storage="pq"`` at build): stored
+    members carry PQ codes, not embeddings, so the pairing first
+    DECODES codes into approximate embeddings (a candidate filter at
+    ``threshold - pq_margin``) and then re-verifies every surviving
+    candidate EXACTLY against ``source_embeddings`` — REQUIRED here,
+    and it must contain every vector ever ingested (build corpus +
+    all prior update batches; this batch's vectors are supplied
+    internally). A candidate whose exact embedding is missing from
+    the source raises rather than silently dropping a duplicate.
+    Scores/decisions stay exact; candidate recall is probabilistic
+    (see :func:`build_semdedup_index`)."""
     meta = idx.get_sidecar(name="semdedup.json")
     if meta is None or meta.get("type") != "semdedup":
         raise ValueError(
@@ -1163,6 +1236,13 @@ def semdedup_update(
     centroids = meta["centroids"]
     threshold = float(meta["threshold"])
     max_cluster = int(meta.get("max_cluster", 100_000))
+    storage = meta.get("vector_storage", "full")
+    if storage == "pq" and source_embeddings is None:
+        raise ValueError(
+            "semdedup_update on a PQ-stored index needs "
+            "source_embeddings= (exact re-verification source; see "
+            "build_semdedup_index's storage-cost note)"
+        )
     spark = idx.spark
     n_part = spark.sparkContext.defaultParallelism
     from pyspark.sql.window import Window
@@ -1203,11 +1283,30 @@ def semdedup_update(
             F.col("value.rank").alias("rank"),
             F.col("value.vec_id").alias("vec_id"),
             F.col("value.emb").alias("_e"),
+            F.col("value.codes").alias("_codes"),
         )
         .join(
             F.broadcast(newa.select("vec_id")), "vec_id", "left_anti"
         )
     )
+    if storage == "pq":
+        from level_mapreduce_spark.functions.litarr import lit_doubles_3d
+
+        books = meta["pq_codebooks"]
+        margin = float(meta.get("pq_margin", 0.3))
+        # stage the codebook literal: HOF lambdas re-evaluate free
+        # literals per invocation (staging lesson)
+        stored = (
+            stored.withColumn("_books", lit_doubles_3d(books))
+            .withColumn(
+                "_e",
+                _pq_decode_expr(
+                    F.col("_codes"), F.col("_books"), len(books)
+                ),
+            )
+            .drop("_books")
+        )
+    stored = stored.drop("_codes")
     base = stored.groupBy("cluster").agg(
         F.max("rank").alias("_base"), F.count("*").alias("_nstored")
     )
@@ -1258,14 +1357,61 @@ def semdedup_update(
             6,
         ),
     )
+    pair_threshold = (
+        threshold - margin if storage == "pq" else threshold
+    )
     cands = (
         x_side.join(preds, "cluster")
         .where(F.col("_r") < F.col("_xrk"))
         .withColumn("_na", norm(F.col("_ea")))
         .withColumn("_nb", norm(F.col("_eb")))
         .withColumn("_ls", sim)
-        .where(unpushable(F.col("_ls") >= threshold))
+        .where(unpushable(F.col("_ls") >= pair_threshold))
     )
+    if storage == "pq":
+        # exact re-verification (the ivfpq_knn_join pattern): fetch
+        # the candidates' true embeddings — this batch's from the
+        # assignment frame, everything older from the caller's
+        # source table — and re-score; a candidate missing from the
+        # source RAISES (silently dropping it would hide a dup)
+        exact_src = source_embeddings.select(
+            F.col("vec_id").cast("long").alias("_lid"),
+            _as_double_array(F.col("embedding")).alias("_ebx"),
+        ).join(
+            F.broadcast(newa.select(F.col("vec_id").alias("_lid"))),
+            "_lid",
+            "left_anti",
+        ).unionByName(
+            newa.select(
+                F.col("vec_id").alias("_lid"), F.col("_e").alias("_ebx")
+            )
+        )
+        cands = (
+            cands.drop("_eb", "_nb", "_ls")
+            .join(exact_src, "_lid", "left")
+            .withColumn(
+                "_eb",
+                F.when(F.col("_ebx").isNotNull(), F.col("_ebx")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "semdedup_update: candidate vec_id "
+                            ),
+                            F.col("_lid").cast("string"),
+                            F.lit(
+                                " missing from source_embeddings — "
+                                "the source must contain every "
+                                "ingested vector"
+                            ),
+                        )
+                    )
+                ),
+            )
+            .drop("_ebx")
+            .withColumn("_nb", norm(F.col("_eb")))
+            .withColumn("_ls", sim)
+            .where(unpushable(F.col("_ls") >= threshold))
+        )
     leaders = (
         cands.groupBy("vec_id")
         .agg(
@@ -1290,6 +1436,23 @@ def semdedup_update(
             "_e",
         )
     )
+    if storage == "pq":
+        # append new members as codes too (frozen codebooks), and
+        # drop their embeddings from storage — the shrink holds
+        # under churn, not just at build
+        from level_mapreduce_spark.operators.pq import pq_encode
+
+        new_codes = pq_encode(
+            all_new.select("vec_id", F.col("_e").alias("embedding")),
+            books,
+        ).withColumnRenamed("codes", "_codes")
+        all_new = all_new.join(new_codes, "vec_id").withColumn(
+            "_e", F.lit(None).cast("array<double>")
+        )
+    else:
+        all_new = all_new.withColumn(
+            "_codes", F.lit(None).cast("array<int>")
+        )
     # pinned BEFORE the update: the plan reads the index's current
     # epochs, and update() may auto-compact (rewrite/remove those
     # files); eager localCheckpoint materializes the decisions first
@@ -1305,6 +1468,7 @@ def semdedup_update(
             "leader_sim",
             "rank",
             "_e",
+            "_codes",
         )
         .localCheckpoint(eager=True)
     )

@@ -110,6 +110,7 @@ def stream_semdedup_into(
     available_now: bool = True,
     processing_time: str | None = None,
     max_batch: int = 100_000,
+    source_embeddings: DataFrame | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest semantic dedup over a stored semdedup index
     (``operators.similarity.build_semdedup_index``): every micro-batch
@@ -126,14 +127,23 @@ def stream_semdedup_into(
     re-ingests its vec_ids, which replaces their rows with re-ranked
     decisions (documented overwrite semantics) — decisions stay
     correct w.r.t. live members, but ranks are not bit-stable across
-    replays. ``max_batch`` passes through the incremental-batch guard.
+    replays. ``max_batch`` passes through the incremental-batch guard;
+    ``source_embeddings`` is the (static) exact-re-verification source
+    a PQ-stored index requires — for a stream it must cover the build
+    corpus plus every batch already drained (e.g. the table the
+    stream also appends to).
     """
     from level_mapreduce_spark.operators.similarity import semdedup_update
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        semdedup_update(index, batch_df, max_batch=max_batch)
+        semdedup_update(
+            index,
+            batch_df,
+            max_batch=max_batch,
+            source_embeddings=source_embeddings,
+        )
 
     writer = embeddings.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

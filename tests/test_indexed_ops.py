@@ -891,3 +891,91 @@ def test_semdedup_update_reingestion_and_guards(spark, store):
         )
     with pytest.raises(ValueError, match="max_batch"):
         semdedup_update(idx, df, max_batch=3)
+
+
+def test_semdedup_pq_storage_mode(spark, store):
+    """vector_storage="pq": stored members carry m int codes instead
+    of dim doubles; updates decode codes as a candidate filter and
+    re-verify exactly against source_embeddings — decisions must
+    equal the full-storage twin on the same batches (scores exact,
+    the planted-dup recall trivially inside the margin); update
+    without a source raises; a candidate missing from the source
+    raises instead of silently dropping a duplicate."""
+    import numpy as np
+
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        load_semdedup_index,
+        semdedup_from_index,
+        semdedup_update,
+    )
+
+    rng = np.random.default_rng(19)
+    X = rng.normal(size=(40, 16))
+    X[30] = X[1]  # planted duplicate in the build corpus
+    src = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(3, 16))]
+    cents = [[v / sum(x * x for x in c) ** 0.5 for v in c] for c in cents]
+    full = build_semdedup_index(
+        spark, src, store, name="sd_full", centroids=cents, threshold=0.95
+    )
+    pq = build_semdedup_index(
+        spark, src, store, name="sd_pq", centroids=cents, threshold=0.95,
+        vector_storage="pq", pq_m=4, pq_k=16, pq_margin=0.6,
+    )
+    # build-time decisions are the batch operator's either way
+    assert sorted(tuple(r) for r in semdedup_from_index(pq).collect()) == (
+        sorted(tuple(r) for r in semdedup_from_index(full).collect())
+    )
+    # the shrink is real: no stored embeddings, codes present
+    rows = pq.read().select("value.emb", "value.codes").collect()
+    assert all(r["emb"] is None for r in rows)
+    assert all(r["codes"] is not None and len(r["codes"]) == 4 for r in rows)
+
+    novel = (rng.normal(size=16) * 4).tolist()
+    batch = spark.createDataFrame(
+        [
+            (100, [float(v) for v in X[1]]),  # dup of stored keeper
+            (101, [float(v) for v in novel]),
+            (102, [float(v) for v in novel]),  # in-batch dup of 101
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="source_embeddings"):
+        semdedup_update(pq, batch)
+    got_full = sorted(
+        tuple(r) for r in semdedup_update(full, batch).collect()
+    )
+    got_pq = sorted(
+        tuple(r)
+        for r in semdedup_update(pq, batch, source_embeddings=src).collect()
+    )
+    assert got_pq == got_full
+    by_id = {t[0]: t for t in got_pq}
+    assert not by_id[100][3] and by_id[100][5] == 1.0  # exact score
+    assert by_id[101][3]
+    assert not by_id[102][3] and by_id[102][4] == 101
+
+    # second wave: its candidates may cite wave-1 vectors, which live
+    # in neither the build corpus nor this batch -> incomplete source
+    # must raise; the full union must agree with the full-mode twin
+    wave2 = spark.createDataFrame(
+        [(200, [float(v) for v in novel])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="missing from source_embeddings"):
+        semdedup_update(pq, wave2, source_embeddings=src).collect()
+    pq2 = load_semdedup_index(spark, store, name="sd_pq")
+    got2_full = sorted(
+        tuple(r) for r in semdedup_update(full, wave2).collect()
+    )
+    got2_pq = sorted(
+        tuple(r)
+        for r in semdedup_update(
+            pq2, wave2, source_embeddings=src.unionByName(batch)
+        ).collect()
+    )
+    assert got2_pq == got2_full
