@@ -979,3 +979,94 @@ def test_semdedup_pq_storage_mode(spark, store):
         ).collect()
     )
     assert got2_pq == got2_full
+
+
+def test_postings_stats_model_interleavings(spark, store):
+    """Seeded randomized differential for the v2 stats machinery: a
+    random interleaving of overwrite batches, delete batches,
+    delete_range, compact (full + bounded), and fresh-handle reloads
+    against a dict model — after EVERY op the served BM25 and TF-IDF
+    must equal the batch rescan of the model corpus (stats exactness
+    under arbitrary churn is the whole v2 claim)."""
+    import random
+
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        load_postings_index,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    rng = random.Random(150)
+    vocab = ["spark", "merge", "window", "pane", "sql", "join",
+             "agg", "scan", "sort", "hash"]
+
+    def text():
+        return " ".join(rng.choices(vocab, k=rng.randint(0, 12))) or None
+
+    model = {i: text() for i in range(60)}
+    schema = "doc_id long, text string"
+
+    def docs_df(d):
+        return spark.createDataFrame(sorted(d.items()), schema)
+
+    idx = build_postings_index(spark, docs_df(model), store, name="pmod")
+    q = "spark merge window"
+
+    def check(tag):
+        corpus = docs_df(model)
+        assert [
+            tuple(r) for r in bm25_topk_from_index(idx, q, k=8).collect()
+        ] == [tuple(r) for r in bm25_topk(corpus, q, k=8).collect()], tag
+        assert sorted(
+            tuple(r) for r in tfidf_from_index(idx).collect()
+        ) == sorted(tuple(r) for r in tfidf(corpus).collect()), tag
+
+    check("build")
+    next_id = 60
+    for step in range(12):
+        op = rng.choice(
+            ["overwrite", "insert", "delete", "delete_range",
+             "compact", "reload"]
+        )
+        if op == "overwrite" and model:
+            ids = rng.sample(sorted(model), k=min(len(model), 5))
+            rows = [(i, text()) for i in ids]
+            for i, t in rows:
+                model[i] = t
+            idx.update(spark.createDataFrame(rows, schema),
+                       assume_unique=True)
+        elif op == "insert":
+            rows = [(next_id + j, text()) for j in range(4)]
+            next_id += 4
+            for i, t in rows:
+                model[i] = t
+            idx.update(spark.createDataFrame(rows, schema),
+                       assume_unique=True)
+        elif op == "delete" and model:
+            ids = rng.sample(sorted(model), k=min(len(model), 3))
+            for i in ids:
+                del model[i]
+            idx.update(
+                spark.createDataFrame(
+                    [(i, None, True) for i in ids],
+                    "doc_id long, text string, deleted boolean",
+                ),
+                assume_unique=True,
+            )
+        elif op == "delete_range":
+            term = rng.choice(vocab)
+            for i in [k for k, v in model.items()
+                      if v and term in v.split()]:
+                del model[i]
+            idx.delete_range(key=f"T#{term}")
+        elif op == "compact":
+            if rng.random() < 0.5:
+                idx.compact()
+            else:
+                idx.compact(max_epochs=2, tier="newest")
+        else:
+            idx = load_postings_index(spark, store, name="pmod")
+        check(f"step{step}:{op}")
