@@ -82,6 +82,27 @@ def _spark_probe_ms(spark) -> float:
     return round(best * 1000.0, 1)
 
 
+def _blas_probe_ms() -> float:
+    """Fixed memory-bandwidth-bound BLAS kernel (4000x64 gram matrix
+    -> 128 MB output), min-of-2. Third interference mode, found r15:
+    co-tenant MEMORY-BANDWIDTH steal collapses dense-kernel keys
+    (neardup_blocked ran 25x over its ref while loadavg, the
+    single-thread integer probe — which lives in L1 — and the Spark
+    range-sum probe all read healthy; raw single-process numpy on the
+    same box spread 10.7-40.9 s on an identical matmul). This probe
+    IS that substrate, minus Spark."""
+    import numpy as np
+
+    x = np.random.default_rng(7).normal(size=(4000, 64))
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (x @ x.T).sum()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best * 1000.0, 1)
+
+
 def _interference_snapshot(spark=None) -> dict:
     """One (probe, loadavg) reading. ``loadavg_1m`` taken BEFORE the
     run is the clean co-tenant signal (we have generated no load
@@ -93,6 +114,7 @@ def _interference_snapshot(spark=None) -> dict:
         load = (float("nan"),) * 3
     out = {
         "probe_ms": _cpu_probe_ms(),
+        "blas_probe_ms": _blas_probe_ms(),
         "loadavg_1m": round(load[0], 2),
         "loadavg_5m": round(load[1], 2),
     }

@@ -74,6 +74,21 @@ def wave_banner(bench: dict, refs: dict | None = None) -> str | None:
             f"all-cores Spark probe slowed {sa / sb:.2f}x across the "
             f"run ({sb:.0f} -> {sa:.0f} ms)"
         )
+    bb, ba = b.get("blas_probe_ms"), a.get("blas_probe_ms")
+    if bb and ba and max(ba, bb) / min(ba, bb) > 2.0:
+        reasons.append(
+            "memory-bandwidth (BLAS) probe unstable across the run "
+            f"({bb:.0f} / {ba:.0f} ms) — dense-kernel keys "
+            "(neardup_blocked, pq_*) unreliable this window"
+        )
+    ref_blas = (refs or {}).get("blas_probe_ms")
+    run_blas = min(x for x in (bb, ba) if x) if (bb or ba) else None
+    if ref_blas and run_blas and run_blas / ref_blas > 2.0:
+        reasons.append(
+            f"BLAS probe {run_blas:.0f} ms vs quiet-window "
+            f"{ref_blas:.0f} ms = {run_blas / ref_blas:.2f}x (memory "
+            "bandwidth stolen — dense-kernel keys unreliable)"
+        )
     ref_probe = (refs or {}).get("spark_probe_ms")
     run_probe = min(x for x in (sb, sa) if x) if (sb or sa) else None
     if ref_probe and run_probe and run_probe / ref_probe > 1.4:
@@ -130,13 +145,14 @@ def main() -> int:
         }
         # pin the quiet window's all-cores throughput level so later
         # artifacts can self-arbitrate "box slower than the refs"
-        probes = [
-            s.get("spark_probe_ms")
-            for s in bench.get("interference", {}).values()
-            if isinstance(s, dict) and s.get("spark_probe_ms")
-        ]
-        if probes:
-            refs["spark_probe_ms"] = min(probes)
+        for field in ("spark_probe_ms", "blas_probe_ms"):
+            probes = [
+                s.get(field)
+                for s in bench.get("interference", {}).values()
+                if isinstance(s, dict) and s.get(field)
+            ]
+            if probes:
+                refs[field] = min(probes)
         with open(refs_path, "w") as f:
             json.dump(refs, f, indent=1, sort_keys=True)
             f.write("\n")
