@@ -677,6 +677,12 @@ class PostingsIndex(MapIndex):
     materialize-once promise (index.js:173-249 vs :124-172) applied
     to the corpus statistics themselves; the M# rows are its per-doc
     meta reverse index (index.js:182-205).
+
+    **Time travel caveat:** ``read(as_of_epoch=...)`` works on the
+    postings rows (engine feature), but the serve functions and the
+    stats index answer for the LATEST state only — the two indexes'
+    epoch counters are independent, so there is no meaningful joint
+    snapshot to serve historical BM25 from.
     """
 
     def __init__(self, spark, name: str, store_path: str):
@@ -818,7 +824,10 @@ class PostingsIndex(MapIndex):
                 )
             )
         else:
-            base = base.join(F.broadcast(keys), DOC_KEY, "left_semi")
+            # no broadcast hint: above the literal threshold the key
+            # set is unbounded (a full-corpus re-ingest is legal), so
+            # AQE picks broadcast vs shuffle from the RUNTIME size
+            base = base.join(keys, DOC_KEY, "left_semi")
         return base.select(
             DOC_KEY,
             "index_key",
