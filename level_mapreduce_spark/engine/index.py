@@ -1049,6 +1049,13 @@ class MapIndex:
 
     @property
     def _storage_schema(self) -> T.StructType:
+        if self.mapper is None:
+            raise ValueError(
+                f"MapIndex {self.name!r} is a sidecar-only probe "
+                "(mapper=None): it can read sidecars but cannot "
+                "build/update/read data — reopen it through the "
+                "family loader to get a working handle"
+            )
         return T.StructType(
             [
                 T.StructField("index_key", T.StringType(), False),
@@ -1129,6 +1136,7 @@ class MapIndex:
         explode, so the mapper expression stays exactly where the
         staged plan put it.
         """
+        self._storage_schema  # typed refusal for sidecar-only probes
         pairs = self.mapper.pairs(live_docs, doc_key=DOC_KEY)
         return (
             pairs.select(

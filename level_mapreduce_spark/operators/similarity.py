@@ -1369,26 +1369,71 @@ def semdedup_update(
         .where(unpushable(F.col("_ls") >= pair_threshold))
     )
     if storage == "pq":
-        # exact re-verification (the ivfpq_knn_join pattern): fetch
-        # the candidates' true embeddings — this batch's from the
-        # assignment frame, everything older from the caller's
-        # source table — and re-score; a candidate missing from the
-        # source RAISES (silently dropping it would hide a dup)
-        exact_src = source_embeddings.select(
-            F.col("vec_id").cast("long").alias("_lid"),
-            _as_double_array(F.col("embedding")).alias("_ebx"),
-        ).join(
-            F.broadcast(newa.select(F.col("vec_id").alias("_lid"))),
-            "_lid",
-            "left_anti",
-        ).unionByName(
-            newa.select(
-                F.col("vec_id").alias("_lid"), F.col("_e").alias("_ebx")
+        # exact re-verification (the ivfpq_knn_join pattern): pin the
+        # bounded candidate set (<= batch x cluster rows, eager
+        # localCheckpoint), then fetch ONLY those candidates' true
+        # embeddings — this batch's from the assignment frame,
+        # everything older from the caller's source table. Pruning the
+        # corpus-sized source with a broadcast LEFT-SEMI on the
+        # distinct candidate ids BEFORE the left-outer join keeps the
+        # update O(changed docs): a left-outer join cannot broadcast
+        # its small LEFT side, so joining the raw source would shuffle
+        # the whole table by _lid. A candidate missing from the source
+        # still RAISES (silently dropping it would hide a dup).
+        cands = cands.drop("_eb", "_nb", "_ls").localCheckpoint(
+            eager=True
+        )
+        cand_ids = cands.select("_lid").distinct()
+        exact_src = (
+            source_embeddings.select(
+                F.col("vec_id").cast("long").alias("_lid"),
+                _as_double_array(F.col("embedding")).alias("_ebx"),
+            )
+            .join(F.broadcast(cand_ids), "_lid", "left_semi")
+            .join(
+                F.broadcast(newa.select(F.col("vec_id").alias("_lid"))),
+                "_lid",
+                "left_anti",
+            )
+            .unionByName(
+                newa.select(
+                    F.col("vec_id").alias("_lid"),
+                    F.col("_e").alias("_ebx"),
+                ).join(F.broadcast(cand_ids), "_lid", "left_semi")
             )
         )
+        # the pruned frame is candidate-sized, so asserting vec_id
+        # uniqueness is cheap: a duplicated source row would multiply
+        # candidate rows, and divergent embeddings under one vec_id
+        # would make the min-struct leader pick nondeterministic —
+        # fail loudly instead
+        exact_src = (
+            exact_src.groupBy("_lid")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.first("_ebx").alias("_ebx"),
+            )
+            .withColumn(
+                "_ebx",
+                F.when(F.col("_c") == 1, F.col("_ebx")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("semdedup_update: vec_id "),
+                            F.col("_lid").cast("string"),
+                            F.lit(
+                                " appears more than once in "
+                                "source_embeddings — the source must "
+                                "be vec_id-unique (like the build "
+                                "corpus)"
+                            ),
+                        )
+                    )
+                ),
+            )
+            .drop("_c")
+        )
         cands = (
-            cands.drop("_eb", "_nb", "_ls")
-            .join(exact_src, "_lid", "left")
+            cands.join(exact_src, "_lid", "left")
             .withColumn(
                 "_eb",
                 F.when(F.col("_ebx").isNotNull(), F.col("_ebx")).otherwise(

@@ -877,7 +877,7 @@ class PostingsIndex(MapIndex):
                     ),
                 )
             ).alias("_r")
-        ).select("_r.skey", "_r.delta")
+        ).select("_r.skey", "_r.delta").where(F.col("delta") != 0)
         term_rows = (
             new_terms.select("term", F.lit(1).alias("_d"))
             .unionByName(old_terms.select("term", F.lit(-1).alias("_d")))
@@ -901,6 +901,12 @@ class PostingsIndex(MapIndex):
         update_sketch_index."""
         # one limited collect decides the regime AND supplies the keys
         head = deltas.select("skey").limit(_POSTINGS_IN_MAX + 1).collect()
+        if not head:
+            # a batch that changes neither doc count, total length,
+            # nor any term's presence (e.g. pure overwrites with
+            # identical token sets) folds nothing — skip the stats
+            # epoch entirely instead of rewriting the scalar rows
+            return
         stored = self.stats.read().select(
             F.col("index_key").alias("skey"),
             F.col("value").cast("long").alias("_old"),

@@ -1070,3 +1070,91 @@ def test_postings_stats_model_interleavings(spark, store):
         else:
             idx = load_postings_index(spark, store, name="pmod")
         check(f"step{step}:{op}")
+
+
+def test_r16_advice_guards(spark, store):
+    """Round-16 ADVICE regressions in one drive: (a) a PQ-stored
+    semdedup update whose source_embeddings duplicates a candidate
+    vec_id fails loudly instead of picking a nondeterministic
+    leader; (b) a sidecar-only family probe (mapper=None) refuses
+    build/read with a typed message, not AttributeError; (c) a
+    postings update whose stat deltas are all zero (overwrite with
+    identical token sets) writes NO stats epoch."""
+    import numpy as np
+
+    from level_mapreduce_spark.engine.index import MapIndex
+    from level_mapreduce_spark.operators.similarity import (
+        build_semdedup_index,
+        semdedup_update,
+    )
+    from level_mapreduce_spark.operators.text import build_postings_index
+
+    # (a) duplicate source vec_id under a PQ candidate -> loud raise
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(20, 16))
+    src = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(2, 16))]
+    cents = [[v / sum(x * x for x in c) ** 0.5 for v in c] for c in cents]
+    pq = build_semdedup_index(
+        spark, src, store, name="sd_dup", centroids=cents, threshold=0.95,
+        vector_storage="pq", pq_m=4, pq_k=16, pq_margin=0.6,
+    )
+    batch = spark.createDataFrame(
+        [(100, [float(v) for v in X[3]])],  # exact dup of stored 3
+        "vec_id long, embedding array<double>",
+    )
+    dup_src = src.unionByName(
+        spark.createDataFrame(
+            [(3, [float(v) for v in X[4]])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    with pytest.raises(Exception, match="more than once"):
+        semdedup_update(pq, batch, source_embeddings=dup_src).collect()
+    # unique source: the same batch resolves the dup exactly
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_update(
+            pq, batch, source_embeddings=src
+        ).collect()
+    }
+    assert not out[100]["keep"] and out[100]["leader_sim"] == 1.0
+
+    # (b) sidecar-only probe refuses data paths with a typed message
+    probe = MapIndex(spark, "sd_dup", None, store, doc_key="vec_id")
+    assert probe.get_sidecar(name="semdedup.json") is not None
+    with pytest.raises(ValueError, match="sidecar-only probe"):
+        probe.read()
+    with pytest.raises(ValueError, match="sidecar-only probe"):
+        probe.build(src)
+
+    # (c) all-zero stat deltas -> no stats epoch written
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta gamma")],
+        "doc_id long, text string",
+    )
+    idx = build_postings_index(spark, docs, store, name="post_zero")
+    before = idx.stats.stats()["epochs"]
+    idx.update(
+        spark.createDataFrame(
+            [(0, "beta alpha alpha")],  # same tokens, same dl
+            "doc_id long, text string",
+        )
+    )
+    assert idx.stats.stats()["epochs"] == before
+    # and the index still serves exactly: df/N/Sigma-dl unchanged
+    from level_mapreduce_spark.operators.text import (
+        tfidf,
+        tfidf_from_index,
+    )
+
+    served = sorted(tuple(r) for r in tfidf_from_index(idx).collect())
+    docs2 = spark.createDataFrame(
+        [(0, "beta alpha alpha"), (1, "beta gamma")],
+        "doc_id long, text string",
+    )
+    batch_rows = sorted(tuple(r) for r in tfidf(docs2).collect())
+    assert served == batch_rows
