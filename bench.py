@@ -35,17 +35,19 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _cpu_probe_ms() -> float:
+def _cpu_probe_ms(light: bool = False) -> float:
     """Fixed single-thread Python kernel (~0.2 s on an idle core),
     min-of-2 to damp interpreter/GC hiccups. Timed before AND after
     the run so a wave-inflated artifact carries its own interference
     evidence (VERDICT r14 #1: three same-code sf1.0 shots spread
     179-279 s under a co-tenant load wave, and only hand-run probes
     could arbitrate): under CPU contention the probe min rises while
-    the code is unchanged; on a quiet box it is flat run-to-run."""
+    the code is unchanged; on a quiet box it is flat run-to-run.
+    ``light``: one iteration (mid-run window brackets trade a little
+    jitter for ~4x less overhead per snapshot)."""
     best = None
     x = 0
-    for _ in range(2):
+    for _ in range(1 if light else 2):
         t0 = time.perf_counter()
         x = 0
         for i in range(2_000_000):
@@ -56,7 +58,7 @@ def _cpu_probe_ms() -> float:
     return round(best * 1000.0, 1)
 
 
-def _spark_probe_ms(spark) -> float:
+def _spark_probe_ms(spark, light: bool = False) -> float:
     """Fixed ALL-CORES Spark kernel (range-sum over one task per
     core), min-of-2. The single-thread probe misses the r15 failure
     mode — a co-tenant stealing PARALLEL throughput while any one
@@ -69,20 +71,22 @@ def _spark_probe_ms(spark) -> float:
     best = None
     # 3 runs, FIRST discarded: at session start the first collect
     # pays codegen + executor spin-up (~1.3 s vs the 0.14 s steady
-    # state measured r15) and would read as a phantom wave
-    for i in range(3):
+    # state measured r15) and would read as a phantom wave. Mid-run
+    # (``light``) the session is warm, so min-of-2 with no discard.
+    runs = (0, 1) if light else (-1, 0, 1)
+    for i in runs:
         t0 = time.perf_counter()
         spark.range(0, 2_000_000 * n_part, 1, n_part).selectExpr(
             "sum(id * 3 % 7)"
         ).collect()
         dt = time.perf_counter() - t0
-        if i == 0:
+        if i < 0:
             continue
         best = dt if best is None else min(best, dt)
     return round(best * 1000.0, 1)
 
 
-def _blas_probe_ms() -> float:
+def _blas_probe_ms(light: bool = False) -> float:
     """Fixed memory-bandwidth-bound BLAS kernel (4000x64 gram matrix
     -> 128 MB output), min-of-2. Third interference mode, found r15:
     co-tenant MEMORY-BANDWIDTH steal collapses dense-kernel keys
@@ -95,7 +99,7 @@ def _blas_probe_ms() -> float:
 
     x = np.random.default_rng(7).normal(size=(4000, 64))
     best = None
-    for _ in range(2):
+    for _ in range(1 if light else 2):
         t0 = time.perf_counter()
         (x @ x.T).sum()
         dt = time.perf_counter() - t0
@@ -103,24 +107,65 @@ def _blas_probe_ms() -> float:
     return round(best * 1000.0, 1)
 
 
-def _interference_snapshot(spark=None) -> dict:
+def _interference_snapshot(spark=None, light: bool = False) -> dict:
     """One (probe, loadavg) reading. ``loadavg_1m`` taken BEFORE the
     run is the clean co-tenant signal (we have generated no load
     yet); taken after, it includes our own executors — recorded
-    anyway for completeness."""
+    anyway for completeness. ``light`` snapshots (~0.6 s) bracket
+    mid-run wave windows every ~10 keys."""
     try:
         load = os.getloadavg()
     except OSError:  # platforms without getloadavg
         load = (float("nan"),) * 3
     out = {
-        "probe_ms": _cpu_probe_ms(),
-        "blas_probe_ms": _blas_probe_ms(),
+        "probe_ms": _cpu_probe_ms(light=light),
+        "blas_probe_ms": _blas_probe_ms(light=light),
         "loadavg_1m": round(load[0], 2),
         "loadavg_5m": round(load[1], 2),
     }
     if spark is not None:
-        out["spark_probe_ms"] = _spark_probe_ms(spark)
+        out["spark_probe_ms"] = _spark_probe_ms(spark, light=light)
     return out
+
+
+# healthy probe levels for wave detection: the quiet refs pin the
+# levels measured in a quiet window; until a field is pinned there,
+# these measured fallbacks apply (cpu probe ~225 ms is flat even
+# DURING waves — it lives in L1; spark ~105 ms, blas ~100-150 ms on
+# the quiet box, r15 lab notes)
+_HEALTHY_FALLBACK = {"probe_ms": 230.0, "spark_probe_ms": 110.0,
+                     "blas_probe_ms": 150.0}
+_WAVE_RATIO = 1.5
+
+
+def _healthy_levels() -> dict:
+    """Per-probe healthy levels: quiet-ref pinned where available,
+    fallback estimates otherwise. The blas ref is a documented wave-
+    era UPPER BOUND (QUIET_REFS notes) — take min(ref, fallback) so
+    an inflated ref cannot mask a wave."""
+    try:
+        refs = json.load(
+            open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "QUIET_REFS.json"))
+        )
+    except Exception:  # noqa: BLE001 — refs are optional
+        refs = {}
+    out = {}
+    for field, fb in _HEALTHY_FALLBACK.items():
+        ref = refs.get(field)
+        out[field] = min(ref, fb) if ref else fb
+    return out
+
+
+def _snap_wavy(snap: dict, healthy: dict) -> list[str]:
+    """Which probes in this snapshot exceed their healthy level by
+    >_WAVE_RATIO — empty list = quiet reading."""
+    hits = []
+    for field, lvl in healthy.items():
+        v = snap.get(field)
+        if v and lvl and v / lvl > _WAVE_RATIO:
+            hits.append(f"{field} {v:.0f}ms={v / lvl:.1f}x")
+    return hits
 
 
 def main() -> None:
@@ -139,6 +184,14 @@ def main() -> None:
     times: dict[str, float] = {}
 
     errors: dict[str, str] = {}
+    # wave-resilience bookkeeping (VERDICT r15 #1): the key order, each
+    # key's callable (for the post-run re-time pass), and light probe
+    # snapshots every ~10 keys so the JSON can bracket WHICH keys
+    # overlapped a co-tenant wave instead of one before/after banner
+    key_log: list[str] = []
+    fns: dict[str, tuple] = {}
+    mid_snaps: list[dict] = []
+    in_retime = [False]
 
     def timed(name: str, fn, repeat: int = 2) -> None:
         # min-of-N: drops first-run codegen/JIT-compile noise so
@@ -157,6 +210,9 @@ def main() -> None:
         # lets any stderr capture be correlated to the key that was
         # running (r12 shipped an unattributable 1 MB-task-binary WARN)
         print(f"[bench-key] {name}", file=sys.stderr, flush=True)
+        if not in_retime[0]:
+            key_log.append(name)
+            fns[name] = (fn, repeat)
         best = None
         try:
             for _ in range(repeat):
@@ -172,15 +228,94 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             if best is None:
                 return
-        times[name] = round(best, 3)
+        # min-merge so a re-time pass can only improve a key
+        best = round(best, 3)
+        times[name] = min(times.get(name, best), best)
+        if not in_retime[0] and len(key_log) % 10 == 0:
+            snap = _interference_snapshot(spark, light=True)
+            snap["after_n_keys"] = len(key_log)
+            mid_snaps.append(snap)
 
     try:
         _run(spark, sf_dir, store, timed)
     except Exception as e:  # noqa: BLE001 — setup outside timed()
         errors["__setup__"] = f"{type(e).__name__}: {e}"[:300]
 
-    shutil.rmtree(store, ignore_errors=True)
     after = _interference_snapshot(spark)
+
+    # ---- per-key wave windows + re-time pass (VERDICT r15 #1) ----
+    # Bracket the run into windows bounded by consecutive probe
+    # snapshots; a window is wavy when either bound shows a probe
+    # >1.5x its healthy level. Keys inside wavy windows were measured
+    # against a co-tenant and get ONE re-time pass at run end (min-
+    # merged), but only if the run-end probes read quiet — re-timing
+    # into the same wave would just burn wall-clock.
+    healthy = _healthy_levels()
+    bounds = (
+        [dict(before, after_n_keys=0)]
+        + mid_snaps
+        + [dict(after, after_n_keys=len(key_log))]
+    )
+    windows: list[dict] = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i]["after_n_keys"], bounds[i + 1]["after_n_keys"]
+        w_hits = _snap_wavy(bounds[i], healthy) + _snap_wavy(
+            bounds[i + 1], healthy
+        )
+        windows.append(
+            {
+                "keys": key_log[lo:hi],
+                "wavy": bool(w_hits),
+                "evidence": sorted(set(w_hits)),
+            }
+        )
+    burned = [k for w in windows if w["wavy"] for k in w["keys"]]
+    retimed: list[str] = []
+    retime_note = None
+    if burned and not _snap_wavy(after, healthy):
+        targets, mode = burned, "all wave-window keys"
+    elif burned:
+        # wave still raging: a full re-pass would re-measure the wave,
+        # but the probes oscillate trough-to-crest within a run, so
+        # give the keys that actually LOOK damaged (over their quiet
+        # ref x1.5) one more min-merge shot — bounded extra wall-clock,
+        # can only improve
+        try:
+            ref_keys = json.load(
+                open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "QUIET_REFS.json"))
+            ).get("keys", {})
+        except Exception:  # noqa: BLE001
+            ref_keys = {}
+        targets = [
+            k
+            for k in burned
+            if k in ref_keys and times.get(k, 0) > ref_keys[k] * 1.5
+        ]
+        mode = "wave ongoing at run end; damaged-looking keys only"
+    else:
+        targets, mode = [], ""
+    if targets:
+        in_retime[0] = True
+        for name in targets:
+            if name in errors or name not in fns:
+                continue
+            fn, repeat = fns[name]
+            pre = times.get(name)
+            timed(name, fn, repeat=repeat)
+            if pre is not None and times.get(name, pre) < pre:
+                retimed.append(name)
+        retime_note = (
+            f"re-timed {len(targets)} keys ({mode}); "
+            f"{len(retimed)} improved"
+        )
+    elif burned:
+        retime_note = (
+            f"{len(burned)} keys measured inside wavy windows; none "
+            "exceeded quiet ref x1.5, no re-time needed"
+        )
+
+    shutil.rmtree(store, ignore_errors=True)
     total = round(sum(times.values()), 3)
     summary = {
         "metric": "headline_queries_total",
@@ -198,6 +333,11 @@ def main() -> None:
         "interference": {
             "before": before,
             "after": after,
+            "mid": mid_snaps,
+            "windows": windows,
+            "healthy": healthy,
+            "retimed": retimed,
+            **({"retime_note": retime_note} if retime_note else {}),
             "ncpu": os.cpu_count(),
         },
     }

@@ -168,6 +168,24 @@ def main() -> int:
     banner = wave_banner(bench, refs)
     if banner:
         print(banner)
+    # r16: per-key wave brackets — bench.py snapshots probes every
+    # ~10 keys and brackets each key into a window with a wavy bit,
+    # so an OVER flag can name its own interference evidence instead
+    # of inheriting one whole-run banner
+    info = bench.get("interference", {})
+    wavy_keys: dict[str, str] = {}
+    for i, w in enumerate(info.get("windows", [])):
+        if w.get("wavy"):
+            ev = "; ".join(w.get("evidence", [])) or "wavy bracket"
+            for k in w.get("keys", []):
+                wavy_keys[k] = f"window {i}: {ev}"
+    retimed = set(info.get("retimed", []))
+    if wavy_keys:
+        note = info.get("retime_note")
+        print(
+            f"{len(wavy_keys)} keys bracketed by wavy probe windows"
+            + (f" — {note}" if note else "")
+        )
     keys = refs["keys"]
     over, missing = [], []
     for k, v in sorted(queries.items()):
@@ -178,8 +196,12 @@ def main() -> int:
         if v > ref * band:
             over.append((k, ref, v, v / ref))
     for k, ref, v, ratio in over:
+        tag = ""
+        if k in wavy_keys:
+            tag = f"  [WAVY {wavy_keys[k]}"
+            tag += "; re-timed, still over]" if k in retimed else "]"
         print(f"OVER  {k}: {v:.3f}s vs quiet {ref:.3f}s = {ratio:.2f}x "
-              f"(band {band}x)")
+              f"(band {band}x){tag}")
     for k in missing:
         print(f"NEW   {k}: {queries[k]:.3f}s (no quiet ref — add one)")
     ok = len(queries) - len(over) - len(missing)
