@@ -514,6 +514,7 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     # tfidf (corpus rescan) vs tfidf_from_index (stored postings) and
     # bm25_topk vs bm25_from_index (O(query-terms) pruned scan).
     from level_mapreduce_spark.operators.text import (
+        bm25_batch_from_index,
         bm25_topk_from_index,
         build_postings_index,
         tfidf_from_index,
@@ -548,10 +549,36 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
                 bm25_topk_from_index(post_idx["idx"], q._BM25_QUERY, k=10)
             ),
         )
+
+        # r16 (VERDICT r15 #4): the bulk-retrieval shape — 100 probe
+        # queries in ONE batched plan. Each probe is 8 real tokens
+        # from a distinct document (RAG context-fetch shape); the
+        # union of distinct terms lands under terms_in_max, so this
+        # times the pushed literal-In regime (the semi-join regime
+        # is probed separately: scripts/bm25_batch_regime_probe.py)
+        probe_queries = (
+            docs.where(F.col("text").isNotNull())
+            .limit(100)
+            .select(
+                F.col("doc_id").cast("long").alias("query_id"),
+                F.concat_ws(
+                    " ", F.slice(F.split(F.lower("text"), "\\s+"), 1, 8)
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        timed(
+            "bm25_batch",
+            lambda: materialize(
+                bm25_batch_from_index(post_idx["idx"], probe_queries, k=10)
+            ),
+        )
     else:
         dep_failed("postings_index_update_1pct", "postings_index_build")
         dep_failed("tfidf_from_index", "postings_index_build")
         dep_failed("bm25_from_index", "postings_index_build")
+        dep_failed("bm25_batch", "postings_index_build")
 
     from level_mapreduce_spark.operators.text import inverted_index_mapper
 

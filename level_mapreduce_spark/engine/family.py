@@ -74,6 +74,7 @@ class StoredIndexFamily:
             Callable[[SparkSession, str, str, dict], MapIndex] | None
         ) = None,
         validate: Callable[[MapIndex, dict], None] | None = None,
+        compact_epochs: int | None = None,
     ):
         self.kind = kind
         self.sidecar = sidecar
@@ -84,15 +85,26 @@ class StoredIndexFamily:
         self.attach = attach
         self.handle_factory = handle_factory
         self.validate = validate
+        # family-level maintenance tier (MapIndex.compact_epochs):
+        # latency-sensitive serving families fold every N epochs so
+        # the per-serve epoch-listing tax stays bounded; a per-build
+        # ``compact_epochs`` in the sidecar meta overrides it
+        self.compact_epochs = compact_epochs
 
     def _handle(
         self, spark: SparkSession, store: str, name: str, meta: dict
     ) -> MapIndex:
         if self.handle_factory is not None:
-            return self.handle_factory(spark, name, store, meta)
-        return MapIndex(
-            spark, name, self.mapper_for(meta), store, doc_key=self.doc_key
-        )
+            idx = self.handle_factory(spark, name, store, meta)
+        else:
+            idx = MapIndex(
+                spark, name, self.mapper_for(meta), store,
+                doc_key=self.doc_key,
+            )
+        tier = meta.get("compact_epochs") or self.compact_epochs
+        if tier:
+            idx.compact_epochs = int(tier)
+        return idx
 
     def create(
         self,

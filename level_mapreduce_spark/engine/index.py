@@ -261,12 +261,23 @@ class MapIndex:
         store_path: str,
         doc_key: str = DOC_KEY,
         auto_compact: bool = True,
+        compact_epochs: int | None = None,
     ):
         self.spark = spark
         self.name = name
         self.mapper = mapper
         self.store_path = store_path
         self.doc_key = doc_key
+        # compact_epochs: per-handle override of the segment-epoch-
+        # count maintenance tier (default AUTO_COMPACT_EPOCHS).
+        # Latency-sensitive SERVING families (semdedup) set a lower
+        # tier: each live epoch adds a listing + per-read union tax
+        # to every serve, and a server ingesting small churn batches
+        # accumulates epochs far below the 64 MiB bytes-ratio floor —
+        # the r15 measured curve grew ~20 ms/epoch unbounded. A minor
+        # fold every N epochs caps serve cost at ~N x the floor while
+        # keeping fold cost proportional to the deltas.
+        self.compact_epochs = compact_epochs
         # auto_compact=True folds epochs inline when update() crosses the
         # thresholds — convenient at small scale. Large deployments pass
         # False and schedule compact() themselves off the hot path: an
@@ -1338,9 +1349,10 @@ class MapIndex:
         # unfolded base), so counting them against the segment
         # threshold would re-trigger maintenance every batch; only
         # the occasional full fold reclaims them
+        tier = self.compact_epochs or AUTO_COMPACT_EPOCHS
         self.compaction_due = (
-            len(seg) >= AUTO_COMPACT_EPOCHS
-            or n_tomb >= 4 * AUTO_COMPACT_EPOCHS
+            len(seg) >= tier
+            or n_tomb >= 4 * tier
             or self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
             or self._seg_size_pressure(seg)
         )
@@ -1421,13 +1433,14 @@ class MapIndex:
             seg = _list_epochs(self.spark, self.segments_path)
         if tomb is None:
             tomb = _list_epochs(self.spark, self.tombstones_path)
+        tier = self.compact_epochs or AUTO_COMPACT_EPOCHS
 
         def tomb_pressure(tomb_eps=None):
             if tomb_eps is None:
                 tomb_eps = _list_epochs(self.spark, self.tombstones_path)
             return (
                 self._tomb_bytes() > TOMBSTONE_BROADCAST_BYTES
-                or len(tomb_eps) >= 4 * AUTO_COMPACT_EPOCHS
+                or len(tomb_eps) >= 4 * tier
             )
 
         if tomb_pressure(tomb):
@@ -1449,12 +1462,12 @@ class MapIndex:
             self.compact()
             return
         if len(seg) < 3:
-            if len(seg) >= AUTO_COMPACT_EPOCHS:  # degenerate tiny config
+            if len(seg) >= tier:  # degenerate tiny config
                 self.compact()
             else:
                 self._refresh_views()
             return
-        if len(seg) >= AUTO_COMPACT_EPOCHS:
+        if len(seg) >= tier:
             self.compact(max_epochs=len(seg) - 1, tier="newest")
         else:
             self._refresh_views()

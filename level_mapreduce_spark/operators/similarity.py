@@ -1139,6 +1139,14 @@ def _semdedup_family():
         doc_key="vec_id",
         mapper_for=lambda meta: _semdedup_member_mapper(),
         builder_name="build_semdedup_index",
+        # serving family: a dedup server accumulates SMALL churn
+        # batches, each one epoch, all far below the bytes-ratio
+        # floor — the r15 measured serve curve grew ~20 ms/epoch
+        # unbounded until the 24-epoch default tier. A minor fold
+        # every 8 epochs caps the listing+union+anti-join tax at
+        # ~8x the floor (VERDICT r15 #3); per-build override via
+        # compact_epochs= in the build meta.
+        compact_epochs=8,
     )
 
 

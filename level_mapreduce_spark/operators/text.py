@@ -678,11 +678,17 @@ class PostingsIndex(MapIndex):
     to the corpus statistics themselves; the M# rows are its per-doc
     meta reverse index (index.js:182-205).
 
-    **Time travel caveat:** ``read(as_of_epoch=...)`` works on the
-    postings rows (engine feature), but the serve functions and the
-    stats index answer for the LATEST state only — the two indexes'
-    epoch counters are independent, so there is no meaningful joint
-    snapshot to serve historical BM25 from.
+    **Time travel (r16):** the two indexes' epoch counters are
+    independent, so a bare ``read(as_of_epoch=...)`` cannot pick a
+    consistent stats state — instead every mutation records its
+    ``seq -> (postings_epoch, stats_epoch)`` pair in the sidecar
+    (:meth:`snapshots`), and the serve functions accept
+    ``as_of_seq=`` to read BOTH sides filtered to that consistent
+    pair: historical serves equal the batch operators over the
+    historical corpus. Snapshots live until a compaction folds their
+    epochs (the engine's documented time-travel horizon); folded
+    seqs are garbage-collected from the map and refused with the
+    list of still-servable seqs.
     """
 
     def __init__(self, spark, name: str, store_path: str):
@@ -704,8 +710,14 @@ class PostingsIndex(MapIndex):
         return int(meta.get("seq", 0))
 
     def _stamp(self, seq: int) -> None:
+        meta = self.get_sidecar(name="postings.json") or {}
         self.put_sidecar(
-            {"type": "postings", "version": 2, "seq": seq},
+            {
+                "type": "postings",
+                "version": 2,
+                "seq": seq,
+                "snapshots": meta.get("snapshots", {}),
+            },
             name="postings.json",
         )
 
@@ -713,6 +725,58 @@ class PostingsIndex(MapIndex):
         self.stats.put_sidecar(
             {"type": "postings_stats", "seq": seq}, name="stats.json"
         )
+        self._record_snapshot(seq)
+
+    def _record_snapshot(self, seq: int) -> None:
+        """Append ``seq -> [postings_epoch, stats_epoch]`` to the
+        postings sidecar — the joint-consistency map that completes
+        the time-travel story (VERDICT r15 #6): the two indexes'
+        epoch counters are independent, but the stats stamp is the
+        LAST step of every mutation, so the pair of max live epochs
+        observed here IS the consistent joint snapshot for this seq.
+        Serves accept ``as_of_seq=`` and read both sides epoch-
+        filtered to the recorded pair. Entries whose epochs a later
+        fold absorbed are garbage-collected (an epoch-filtered read
+        of a folded-away epoch would silently return an empty frame);
+        the surviving-epoch rule matches the engine's documented
+        time-travel horizon (MapIndex.read / compact_tombstones)."""
+        from level_mapreduce_spark.engine.index import _list_epochs
+
+        # a delete_range writes ONLY a tombstone epoch (numbered above
+        # the segments from the shared counter), so the snapshot point
+        # is the max across BOTH lists — read(as_of_epoch=N) filters
+        # segments and tombstones to <= N symmetrically
+        p_live = _list_epochs(self.spark, self.segments_path) + _list_epochs(
+            self.spark, self.tombstones_path
+        )
+        s_live = _list_epochs(
+            self.spark, self.stats.segments_path
+        ) + _list_epochs(self.spark, self.stats.tombstones_path)
+        if not p_live or not s_live:
+            return
+        meta = self.get_sidecar(name="postings.json") or {}
+        snaps = {
+            k: v
+            for k, v in (meta.get("snapshots") or {}).items()
+            if int(k) < seq and v[0] in p_live and v[1] in s_live
+        }
+        snaps[str(seq)] = [max(p_live), max(s_live)]
+        meta["snapshots"] = snaps
+        self.put_sidecar(meta, name="postings.json")
+
+    def snapshots(self) -> dict[int, tuple[int, int]]:
+        """The servable historical seqs: ``{seq: (postings_epoch,
+        stats_epoch)}``, most-recent last. A seq disappears from this
+        map when a compaction folds its epochs (the engine's
+        time-travel horizon)."""
+        meta = self.get_sidecar(name="postings.json") or {}
+        return {
+            int(k): (v[0], v[1])
+            for k, v in sorted(
+                (meta.get("snapshots") or {}).items(),
+                key=lambda kv: int(kv[0]),
+            )
+        }
 
     # -------------------------------------------------------- mutations
 
@@ -1049,8 +1113,45 @@ def load_postings_index(
     return _postings_family().load(spark, store, name)
 
 
+def _resolve_seq(idx, as_of_seq: int) -> tuple[int, int]:
+    """Look up the joint (postings_epoch, stats_epoch) snapshot for
+    ``as_of_seq`` and refuse seqs that were never recorded or whose
+    epochs a compaction has folded away since the sidecar map was
+    last garbage-collected — an epoch-filtered read of a folded-away
+    epoch would silently return an empty frame, so liveness is
+    re-checked at serve time (see :meth:`PostingsIndex.snapshots`)."""
+    snaps = idx.snapshots()
+    if as_of_seq in snaps:
+        from level_mapreduce_spark.engine.index import _list_epochs
+
+        p_e, s_e = snaps[as_of_seq]
+        p_live = _list_epochs(idx.spark, idx.segments_path) + _list_epochs(
+            idx.spark, idx.tombstones_path
+        )
+        s_live = _list_epochs(
+            idx.spark, idx.stats.segments_path
+        ) + _list_epochs(idx.spark, idx.stats.tombstones_path)
+        if p_e in p_live and s_e in s_live:
+            return p_e, s_e
+        raise ValueError(
+            f"as_of_seq={as_of_seq} is not servable: its epochs "
+            f"(postings {p_e}, stats {s_e}) were folded away by a "
+            "compaction — the time-travel horizon is the last compact"
+        )
+    avail = sorted(snaps)
+    raise ValueError(
+        f"as_of_seq={as_of_seq} is not servable: "
+        + (
+            f"available seqs are {avail}"
+            if avail
+            else "no snapshots recorded (pre-r16 index, or all "
+            "folded away by compaction)"
+        )
+    )
+
+
 def _postings_frame(
-    idx, terms: list[str] | None = None
+    idx, terms: list[str] | None = None, as_of_epoch: int | None = None
 ) -> DataFrame:
     """(term, doc_id, tf, dl) from the stored ``T#`` rows. The slice
     predicate is on the RAW ``index_key`` (prefix / literal In) over
@@ -1058,7 +1159,7 @@ def _postings_frame(
     (min/max row-group skipping): a caller that touches a few terms
     reads only those postings. ``dl`` rides every posting (v2), so
     serving never touches the L# slice."""
-    rows = idx.read()
+    rows = idx.read(as_of_epoch=as_of_epoch)
     if terms is None:
         rows = rows.where(F.col("index_key").startswith("T#"))
     else:
@@ -1073,14 +1174,14 @@ def _postings_frame(
     )
 
 
-def _stats_frame(idx) -> DataFrame:
+def _stats_frame(idx, as_of_epoch: int | None = None) -> DataFrame:
     """1-row (n_docs, avgdl) served from the two scalar stats rows —
     a literal In over the stats index (point lookups), NEVER a
     corpus-slice aggregate. avgdl = sum_dl / n_docs in double, which
     equals the batch path's ``avg(dl)`` exactly while sum_dl fits the
     53-bit double mantissa (integer doc lengths; sums are exact far
     past 100 TB-scale corpora)."""
-    rows = idx.stats.read().where(
+    rows = idx.stats.read(as_of_epoch=as_of_epoch).where(
         F.col("index_key").isin([_SK_NDOCS, _SK_SUMDL])
     )
     return rows.agg(
@@ -1102,11 +1203,13 @@ def _stats_frame(idx) -> DataFrame:
     )
 
 
-def _df_frame(idx, terms: list[str] | None = None) -> DataFrame:
+def _df_frame(
+    idx, terms: list[str] | None = None, as_of_epoch: int | None = None
+) -> DataFrame:
     """(term, df) from the stored ``DF#`` stats rows — maintained
     exact values, so no groupBy over the postings slice at serve
     time."""
-    rows = idx.stats.read()
+    rows = idx.stats.read(as_of_epoch=as_of_epoch)
     if terms is None:
         rows = rows.where(F.col("index_key").startswith(_SK_DF))
     else:
@@ -1119,17 +1222,25 @@ def _df_frame(idx, terms: list[str] | None = None) -> DataFrame:
     )
 
 
-def tfidf_from_index(idx) -> DataFrame:
+def tfidf_from_index(idx, as_of_seq: int | None = None) -> DataFrame:
     """Serve :func:`tfidf` from a stored postings index — no corpus
     re-tokenize AND no per-serve corpus aggregate (v2): tf rides the
     stored ``T#`` rows, df joins the maintained ``DF#`` stats rows
     (no groupBy over the postings), N is one stored-row point lookup
     (driver-side scalar, same contract as ``tfidf``'s
     ``docs.count()``). Value-identical to the batch operator (same
-    formula, integer inputs)."""
-    post = _postings_frame(idx)
-    dfreq = _df_frame(idx)
-    n, _, _ = _stats_lookup(idx, [])
+    formula, integer inputs).
+
+    ``as_of_seq`` serves a recorded historical snapshot — postings
+    AND stats epoch-filtered to the consistent pair stamped at that
+    seq (see :meth:`PostingsIndex.snapshots`); equals the batch
+    operator on the historical corpus."""
+    p_e = s_e = None
+    if as_of_seq is not None:
+        p_e, s_e = _resolve_seq(idx, as_of_seq)
+    post = _postings_frame(idx, as_of_epoch=p_e)
+    dfreq = _df_frame(idx, as_of_epoch=s_e)
+    n, _, _ = _stats_lookup(idx, [], as_of_epoch=s_e)
     return post.join(dfreq, "term").select(
         "doc_id",
         "term",
@@ -1142,7 +1253,7 @@ def tfidf_from_index(idx) -> DataFrame:
 
 
 def _stats_lookup(
-    idx, terms: list[str]
+    idx, terms: list[str], as_of_epoch: int | None = None
 ) -> tuple[int, int, dict[str, int]]:
     """One bounded driver collect of the stats rows a single-query
     serve needs: (n_docs, sum_dl, {term: df}) via a literal In over
@@ -1153,7 +1264,11 @@ def _stats_lookup(
     fixed tombstone-broadcast + listing overhead that dwarfed the
     data at bench scale)."""
     keys = [_SK_NDOCS, _SK_SUMDL] + [f"{_SK_DF}{t}" for t in terms]
-    rows = idx.stats.read().where(F.col("index_key").isin(keys)).collect()
+    rows = (
+        idx.stats.read(as_of_epoch=as_of_epoch)
+        .where(F.col("index_key").isin(keys))
+        .collect()
+    )
     vals = {r["index_key"]: int(r["value"]) for r in rows}
     df = {
         t: vals[f"{_SK_DF}{t}"]
@@ -1169,6 +1284,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Serve :func:`bm25_topk` from a stored postings index,
     O(query-terms' postings) END TO END (v2): the query's ``T#`` and
@@ -1177,17 +1293,25 @@ def bm25_topk_from_index(
     N/avgdl are two stored stats rows — NO L#-slice scan, NO corpus
     aggregate anywhere in the plan (plan-asserted,
     tests/test_plans.py). Scoring is the SHARED :func:`_bm25_score`
-    tail, so batch and served results are identical by construction."""
+    tail, so batch and served results are identical by construction.
+
+    ``as_of_seq`` serves a recorded historical snapshot (postings +
+    stats epoch-filtered to the consistent pair stamped at that seq,
+    :meth:`PostingsIndex.snapshots`) — historical BM25 equals the
+    batch operator over the historical corpus."""
     q_terms = sorted({t for t in query.lower().split() if t})
     if not q_terms:
         raise ValueError("bm25_topk_from_index: query has no tokens")
+    p_e = s_e = None
+    if as_of_seq is not None:
+        p_e, s_e = _resolve_seq(idx, as_of_seq)
     # all three reads ride ONE job as parallel pruned subtrees — the
     # r15 A/B measured this 1.4x faster than folding the stats slice
     # to literals first (a bounded collect is a SEQUENTIAL extra job;
     # the subtree scans are point lookups either way)
-    tfdl = _postings_frame(idx, terms=q_terms)
-    dfreq = _df_frame(idx, terms=q_terms)
-    stats = _stats_frame(idx)
+    tfdl = _postings_frame(idx, terms=q_terms, as_of_epoch=p_e)
+    dfreq = _df_frame(idx, terms=q_terms, as_of_epoch=s_e)
+    stats = _stats_frame(idx, as_of_epoch=s_e)
     return _bm25_score(tfdl, dfreq, stats, k, k1, b)
 
 

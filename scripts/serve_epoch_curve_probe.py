@@ -168,12 +168,16 @@ def run_family(spark, sf_dir, store, family, auto_compact, n_batches, out):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # optional 3rd arg: comma-separated family filter
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     spark = get_spark(app_name="serve-curve-probe")
     spark.sparkContext.setLogLevel("ERROR")
     store = tempfile.mkdtemp(prefix="lmr_curve_")
     out: list[dict] = []
     try:
         for family in ("postings", "span", "semdedup"):
+            if only and family not in only:
+                continue
             for auto_compact in (False, True):
                 run_family(
                     spark, sf_dir, store, family, auto_compact, n_batches, out

@@ -1158,3 +1158,88 @@ def test_r16_advice_guards(spark, store):
     )
     batch_rows = sorted(tuple(r) for r in tfidf(docs2).collect())
     assert served == batch_rows
+
+
+def test_postings_as_of_seq_historical_serve(spark, store):
+    """r16 joint time travel: every mutation records its seq ->
+    (postings_epoch, stats_epoch) pair, and serves accept as_of_seq
+    to read BOTH sides at the consistent pair — historical
+    tfidf/bm25 equal the batch operators over the historical corpus;
+    unknown seqs and compaction-folded seqs are refused with the
+    servable list."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [
+            (0, "spark merge window spark"),
+            (1, "merge window merge"),
+            (2, "spark only here"),
+            (3, "window pane glass"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_postings_index(spark, v1, store, name="tt_post")
+    seq1 = idx._read_seq()
+
+    # mutate: overwrite one doc, add one, delete one
+    idx.update(
+        spark.createDataFrame(
+            [(1, "totally different now"), (4, "fresh spark window doc")],
+            "doc_id long, text string",
+        ),
+        assume_unique=True,
+    )
+    seq2 = idx._read_seq()
+    assert idx.delete_range(key="L#2") == 1  # doc 2 dies whole
+    seq3 = idx._read_seq()
+    assert sorted(idx.snapshots()) == [seq1, seq2, seq3]
+
+    v2 = spark.createDataFrame(
+        [
+            (0, "spark merge window spark"),
+            (1, "totally different now"),
+            (2, "spark only here"),
+            (3, "window pane glass"),
+            (4, "fresh spark window doc"),
+        ],
+        "doc_id long, text string",
+    )
+    v3 = v2.where(F.col("doc_id") != 2)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    q = "spark window"
+    for seq, corpus in ((seq1, v1), (seq2, v2), (seq3, v3)):
+        assert rows(tfidf_from_index(idx, as_of_seq=seq)) == rows(
+            tfidf(corpus)
+        ), f"tfidf snapshot mismatch at seq {seq}"
+        assert rows(
+            bm25_topk_from_index(idx, q, k=3, as_of_seq=seq)
+        ) == rows(bm25_topk(corpus, q, k=3)), f"bm25 mismatch at seq {seq}"
+    # latest (no as_of_seq) == latest corpus
+    assert rows(tfidf_from_index(idx)) == rows(tfidf(v3))
+
+    with pytest.raises(ValueError, match="not servable"):
+        tfidf_from_index(idx, as_of_seq=999)
+
+    # a full fold consumes the history; old seqs are refused and
+    # garbage-collected at the next stamp, the newest stays servable
+    idx.compact()
+    idx.stats.compact()
+    with pytest.raises(ValueError, match="not servable|available seqs"):
+        bm25_topk_from_index(idx, q, as_of_seq=seq1).collect()
+    idx.update(
+        spark.createDataFrame(
+            [(5, "one more doc")], "doc_id long, text string"
+        ),
+        assume_unique=True,
+    )
+    snaps = idx.snapshots()
+    assert seq1 not in snaps and idx._read_seq() in snaps
