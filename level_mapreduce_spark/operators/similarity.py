@@ -1065,8 +1065,12 @@ def build_semdedup_index(
     codes filter, the source scores. Scores and decisions are exact;
     recall of the candidate step is probabilistic (a true near-dup
     whose reconstruction error exceeds ``pq_margin`` can be missed —
-    raise the margin to trade update cost for recall). The gate keeps
-    "full"; pq equivalence is differential-tested."""
+    raise the margin to trade update cost for recall; MEASURED
+    against planted near-dups whose true sims hug the threshold (the
+    worst case, scripts/semdedup_pq_margin_sweep.py at sf0.1,
+    threshold 0.85, m=8 k=64 on dim-64): recall 1.0 at the 0.3
+    default, 0.94 at 0.2, 0.48 at 0.1). The gate keeps "full"; pq
+    equivalence is differential-tested."""
     if centroids is None:
         from level_mapreduce_spark.operators.ivf import train_centroids
 

@@ -819,8 +819,23 @@ class PostingsIndex(MapIndex):
             deltas = self._stat_deltas(new_doc, new_terms, old)
             seq = self._read_seq() + 1
             self._stamp(seq)
-            feed = super().update(norm, assume_unique=True)
-            self._fold_stats(deltas)
+            # the postings write and the stats fold are independent
+            # once the deltas are pinned (the fold reads ONLY the
+            # stats index + the pinned deltas; the write touches only
+            # the postings segments), so they overlap in two driver
+            # threads instead of running as sequential job waves —
+            # A/B at sf0.1 1% churn: 2.65 s sequential vs 1.96 s
+            # overlapped, min-of-3 (VERDICT r15 #7). Crash semantics
+            # are unchanged: both sides complete before the stats
+            # stamp, and ANY crash in between leaves the seq stamps
+            # mismatched -> loader refuses -> refresh_postings_stats
+            # rebuilds (direction-agnostic recovery).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fold = ex.submit(self._fold_stats, deltas)
+                feed = super().update(norm, assume_unique=True)
+                fold.result()
             self._stamp_stats(seq)
             return feed
         finally:
