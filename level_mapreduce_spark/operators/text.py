@@ -1330,13 +1330,23 @@ def bm25_topk_from_index(
     return _bm25_score(tfdl, dfreq, stats, k, k1, b)
 
 
+# The batch serve's regime threshold is the MEASURED crossover, not
+# the generic literal cap (_POSTINGS_IN_MAX):
+# scripts/bm25_batch_regime_probe.py (sf0.1-sized synthetic
+# corpus, 50k vocab) times the semi-join at parity by ~256 distinct
+# probe terms and strictly faster above (512: 1.6 vs 2.5 s; 2048:
+# 1.5 vs 5.2; 4096: 2.6 vs 17.2 — the literal-In plan cost grows
+# superlinearly in terms), while results are identical either side.
+_BM25_BATCH_TERMS_MAX = 256
+
+
 def bm25_batch_from_index(
     idx,
     queries: DataFrame,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    terms_in_max: int = _POSTINGS_IN_MAX,
+    terms_in_max: int = _BM25_BATCH_TERMS_MAX,
 ) -> DataFrame:
     """Batch BM25 over a stored postings index: top-``k`` documents
     for EVERY query in ``queries`` (``query_id``, ``text``) in one

@@ -65,7 +65,29 @@ def main() -> None:
 
     store = tempfile.mkdtemp(prefix="lmr_bm25_regime_")
     try:
-        docs = load_table(spark, sf_dir, "documents")
+        # the testdata documents have a ~31-token vocabulary (too
+        # narrow to cross any regime threshold), so the probe corpus
+        # is synthetic: same row count as the sf documents table, 30
+        # Zipf-ish tokens per doc from a 50k-term vocabulary (xxhash
+        # mixed, squared to skew toward low term ids so
+        # frequency-ranked probe slices hit real posting lists)
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        V = 50_000
+        tok = lambda i: F.concat(  # noqa: E731
+            F.lit("w"),
+            (
+                F.pow(
+                    (F.xxhash64(F.col("doc_id"), F.lit(i)) % 100_000
+                     + 100_000) % 100_000 / 100_000.0,
+                    2.0,
+                )
+                * V
+            ).cast("long").cast("string"),
+        )
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[tok(i) for i in range(30)]).alias("text"),
+        )
         idx = build_postings_index(spark, docs, store, name="regime_probe")
 
         # the corpus vocabulary, frequency-ranked: probe sets are term

@@ -74,9 +74,50 @@ def variant_report(spark_cols, sr, orr):
             )
 
 
+def list_variants(sf_dir: str) -> int:
+    """Print the variant -> entry map by EXECUTING each registry
+    entry at a small sf and reading its distinct ``variant`` values
+    (VERDICT r15 #8: the driver caps the registry at 50, so operators
+    land as tagged-union variants inside existing entries — this
+    makes every operator traceable to its gate without reading
+    queries.py). Ground truth by construction: whatever variants the
+    gate actually emits is what prints."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="list_variants")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_variants = 0
+    for name, fn in qs.items():
+        gate = "oracle" if name in oracles else "rows-only"
+        try:
+            df = fn(spark, sf_dir)
+            if "variant" in df.columns:
+                vs = sorted(
+                    r[0]
+                    for r in df.select("variant").distinct().collect()
+                )
+                n_variants += len(vs)
+                print(f"{name} [{gate}]: {', '.join(vs)}")
+            else:
+                n_variants += 1
+                print(f"{name} [{gate}]: (single)")
+        except Exception as e:  # noqa: BLE001 — keep listing
+            print(f"{name} [{gate}]: ERROR {type(e).__name__}: {e}"[:160])
+    print(
+        f"{len(qs)} entries, {n_variants} gated variants "
+        f"({len(oracles)} oracle-checked entries)"
+    )
+    return 0
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--list-variants":
+        sf = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
+        return list_variants(sf)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
     for t in TABLES:
