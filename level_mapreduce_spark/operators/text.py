@@ -1347,6 +1347,7 @@ def bm25_batch_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     terms_in_max: int = _BM25_BATCH_TERMS_MAX,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Batch BM25 over a stored postings index: top-``k`` documents
     for EVERY query in ``queries`` (``query_id``, ``text``) in one
@@ -1372,6 +1373,9 @@ def bm25_batch_from_index(
     queries × corpus, per-doc dl rides the postings, and N/avgdl are
     two stored stats rows.
 
+    ``as_of_seq`` serves a recorded historical snapshot in either
+    regime (see :meth:`PostingsIndex.snapshots`).
+
     Returns ``(query_id, doc_id, score)``, top-k rows per query,
     (score DESC, doc_id) within each query.
     """
@@ -1391,19 +1395,22 @@ def bm25_batch_from_index(
     n_terms = terms_df.count()
     if not n_terms:
         raise ValueError("bm25_batch_from_index: queries have no tokens")
+    p_e = s_e = None
+    if as_of_seq is not None:
+        p_e, s_e = _resolve_seq(idx, as_of_seq)
     if n_terms <= terms_in_max:
         # bounded collect: distinct terms across the PROBE query set
         terms = sorted(r["term"] for r in terms_df.collect())
-        post = _postings_frame(idx, terms=terms)
-        dfreq = _df_frame(idx, terms=terms)
+        post = _postings_frame(idx, terms=terms, as_of_epoch=p_e)
+        dfreq = _df_frame(idx, terms=terms, as_of_epoch=s_e)
     else:
-        post = _postings_frame(idx).join(
+        post = _postings_frame(idx, as_of_epoch=p_e).join(
             F.broadcast(terms_df), "term", "left_semi"
         )
-        dfreq = _df_frame(idx).join(
+        dfreq = _df_frame(idx, as_of_epoch=s_e).join(
             F.broadcast(terms_df), "term", "left_semi"
         )
-    stats = _stats_frame(idx)
+    stats = _stats_frame(idx, as_of_epoch=s_e)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "doc_id"
     )

@@ -1131,8 +1131,15 @@ def q_tfidf(spark, sf_dir):
       promise (index.js:173-249 vs :124-172) applied to the heaviest
       sf1.0 text key.
 
-    The oracle computes the frame once and emits it under both
-    labels, so `served` is gated hash-identical to `batch`."""
+    - ``served_asof`` (r16): the JOINT historical snapshot — a fresh
+      index is churned (overwrites shift df/N for every doc) and then
+      served ``as_of_seq`` the pre-churn seq; the result must equal
+      TF-IDF over the ORIGINAL corpus, proving postings and stats
+      travel together (PostingsIndex.snapshots).
+
+    The oracle computes the frame once and emits it under all
+    labels, so `served`/`served_asof` are gated hash-identical to
+    `batch`."""
     docs = _docs(spark, sf_dir)
     batch = tx.tfidf(docs).select(
         F.lit("batch").alias("variant"), "*"
@@ -1140,7 +1147,26 @@ def q_tfidf(spark, sf_dir):
     served = tx.tfidf_from_index(_postings_index(spark, sf_dir)).select(
         F.lit("served").alias("variant"), "*"
     )
-    return batch.unionByName(served)
+    idx_tt = tx.build_postings_index(
+        spark,
+        docs,
+        _store(),
+        name=f"postings_tt_{abs(hash(sf_dir)) % 10**8}",
+    )
+    seq0 = idx_tt._read_seq()
+    idx_tt.update(
+        docs.where(F.col("doc_id") % 7 == 0).withColumn(
+            "text",
+            F.concat(
+                F.lit("zzchurn "), F.coalesce(F.col("text"), F.lit(""))
+            ),
+        ),
+        assume_unique=True,
+    )
+    asof = tx.tfidf_from_index(idx_tt, as_of_seq=seq0).select(
+        F.lit("served_asof").alias("variant"), "*"
+    )
+    return batch.unionByName(served).unionByName(asof)
 
 
 # fixed gate query: words drawn from the synthetic corpus vocabulary.
@@ -3679,11 +3705,15 @@ ORACLES: dict[str, str] = {
                round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 6) AS score
         FROM tf JOIN df ON tf.term = df.term
       )
-      -- `served` must be hash-identical to `batch`: one computation,
-      -- two labels
+      -- `served`/`served_asof` must be hash-identical to `batch`:
+      -- one computation, three labels (served_asof = the historical
+      -- serve of a churned index at the pre-churn seq, which is
+      -- exactly the unchanged corpus)
       SELECT 'batch' AS variant, * FROM res
       UNION ALL
       SELECT 'served' AS variant, * FROM res
+      UNION ALL
+      SELECT 'served_asof' AS variant, * FROM res
     """,
     "bm25_topk": f"""
       WITH toks AS (

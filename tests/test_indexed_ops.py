@@ -1215,6 +1215,12 @@ def test_postings_as_of_seq_historical_serve(spark, store):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
+    from level_mapreduce_spark.operators.text import bm25_batch_from_index
+
+    probe = spark.createDataFrame(
+        [(0, "spark window"), (1, "merge glass")],
+        "query_id long, text string",
+    )
     q = "spark window"
     for seq, corpus in ((seq1, v1), (seq2, v2), (seq3, v3)):
         assert rows(tfidf_from_index(idx, as_of_seq=seq)) == rows(
@@ -1223,6 +1229,23 @@ def test_postings_as_of_seq_historical_serve(spark, store):
         assert rows(
             bm25_topk_from_index(idx, q, k=3, as_of_seq=seq)
         ) == rows(bm25_topk(corpus, q, k=3)), f"bm25 mismatch at seq {seq}"
+        # batch serve at the same snapshot, both regimes, per-query ==
+        # the single-query serve
+        for cap in (256, 1):
+            got = sorted(
+                tuple(r)
+                for r in bm25_batch_from_index(
+                    idx, probe, k=3, terms_in_max=cap, as_of_seq=seq
+                ).collect()
+            )
+            want = sorted(
+                (qid, r["doc_id"], r["score"])
+                for qid, text in [(0, "spark window"), (1, "merge glass")]
+                for r in bm25_topk_from_index(
+                    idx, text, k=3, as_of_seq=seq
+                ).collect()
+            )
+            assert got == want, f"batch snapshot mismatch seq {seq} cap {cap}"
     # latest (no as_of_seq) == latest corpus
     assert rows(tfidf_from_index(idx)) == rows(tfidf(v3))
 

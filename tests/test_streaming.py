@@ -943,3 +943,83 @@ def test_stream_semdedup_ingest_matches_manual_updates(spark, store, tmp_path):
     assert by_id[103][3] and by_id[103][1] == -1
     # frozen: the original 20 decisions unchanged
     assert [t for t in served if t[0] < 100] == frozen
+
+
+def test_stream_postings_index_ingest_stays_fresh(spark, store, tmp_path):
+    """Continuous-ingest ranked retrieval: documents streamed through
+    stream_into -> the PostingsIndex (whose update() override
+    maintains the stats sibling per micro-batch) -> served tfidf/bm25
+    equal a batch recompute over exactly the drained corpus after
+    every wave, and the joint seq snapshots stay servable (r16)."""
+    from level_mapreduce_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_postings_index,
+        tfidf,
+        tfidf_from_index,
+    )
+
+    src = str(tmp_path / "postsrc")
+    ckpt = str(tmp_path / "postckpt")
+    os.makedirs(src)
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    seed = [
+        (0, "spark merge window spark"),
+        (1, "merge window merge"),
+        (2, "spark only here"),
+    ]
+    idx = build_postings_index(
+        spark,
+        spark.createDataFrame(seed, doc_schema),
+        store,
+        name="post_stream",
+    )
+
+    def drain_docs(rows):
+        with open(
+            os.path.join(src, f"b{len(os.listdir(src))}.json"), "w"
+        ) as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        stream = spark.readStream.schema(doc_schema).json(src)
+        q = stream_into(idx, stream, ckpt, assume_unique=True)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    corpus = {r[0]: r[1] for r in seed}
+
+    def check():
+        docs = spark.createDataFrame(
+            sorted(corpus.items()), doc_schema
+        )
+        assert sorted(
+            tuple(r) for r in tfidf_from_index(idx).collect()
+        ) == sorted(tuple(r) for r in tfidf(docs).collect())
+        assert [
+            tuple(r)
+            for r in bm25_topk_from_index(idx, "spark window", k=3).collect()
+        ] == [tuple(r) for r in bm25_topk(docs, "spark window", k=3).collect()]
+
+    # wave 1: insert + overwrite (df of 'merge' shifts for outsiders)
+    wave1 = [(3, "window pane glass"), (1, "totally different now")]
+    drain_docs(wave1)
+    corpus.update(dict(wave1))
+    check()
+
+    # wave 2: another insert; the earlier wave's seq snapshot still
+    # serves ITS historical corpus
+    seq_after_w1 = idx._read_seq()
+    hist = spark.createDataFrame(sorted(corpus.items()), doc_schema)
+    wave2 = [(4, "fresh spark window doc")]
+    drain_docs(wave2)
+    corpus.update(dict(wave2))
+    check()
+    assert sorted(
+        tuple(r)
+        for r in tfidf_from_index(idx, as_of_seq=seq_after_w1).collect()
+    ) == sorted(tuple(r) for r in tfidf(hist).collect())
