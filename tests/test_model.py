@@ -288,6 +288,11 @@ def test_random_ops_match_dict_model(
     from level_mapreduce_spark.engine.index import ConcurrentWriterError
 
     rng = random.Random(seed)
+    # r16: the epoch-count tier is either the global constant or the
+    # per-handle compact_epochs override (serving families) — the two
+    # must be behaviorally identical, so even seeds drive the knob
+    # and odd seeds the monkeypatched global
+    tier_knob = 4 if (auto and seed % 2 == 0) else None
     if auto:
         # 1-byte tombstone pressure: every mutation that writes a
         # tombstone epoch (all updates; every non-empty delete_range)
@@ -295,7 +300,8 @@ def test_random_ops_match_dict_model(
         # _auto_fold -> compact_tombstones -> compact() chain inside
         # the op itself — for the upstream AND the piped replica
         monkeypatch.setattr(index_mod, "TOMBSTONE_BROADCAST_BYTES", 1)
-        monkeypatch.setattr(index_mod, "AUTO_COMPACT_EPOCHS", 4)
+        if tier_knob is None:
+            monkeypatch.setattr(index_mod, "AUTO_COMPACT_EPOCHS", 4)
     idx = MapIndex(
         spark,
         f"model{seed}",
@@ -306,12 +312,19 @@ def test_random_ops_match_dict_model(
         # the time-travel horizon bookkeeping); auto=True: folds also
         # happen inline mid-op, reentrant under the op's own lease
         auto_compact=auto,
+        compact_epochs=tier_knob,
     )
     down = None
     if chained:
         # the piped replica ALSO runs auto_compact=True, so the random
         # churn exercises _auto_fold's tiering decisions for free
-        down = MapIndex(spark, f"model{seed}_down", _down_mapper(), store)
+        down = MapIndex(
+            spark,
+            f"model{seed}_down",
+            _down_mapper(),
+            store,
+            compact_epochs=tier_knob,
+        )
         idx.pipe(down)
 
     model = {}
