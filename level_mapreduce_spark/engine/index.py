@@ -1219,14 +1219,18 @@ class MapIndex:
         self._seg_bytes_by_epoch.clear()
         self.compaction_due = False
         if self._downstreams:
-            # Same feed shape as update(): every input doc key appears,
-            # empty-emit/tombstoned docs as (doc_key, value=[], deleted
-            # =false) — so rebuilding a chain from scratch converges to
-            # the same downstream state as incremental maintenance
-            # (incremental == rebuild invariant, FIXTURES.md A.3).
-            feed = self.changes_feed(
-                changes.select(DOC_KEY).distinct(), broadcast_keys=False
-            )
+            # Full-rebuild feed = the stored documents as-is. update()
+            # must feed every CHANGED key (empty-emit/tombstoned docs
+            # as (doc_key, value=[], deleted=false) so the downstream
+            # tombstones its prior emits), but a downstream BUILD is a
+            # from-scratch overwrite: empty-value rows emit zero index
+            # rows either way, so the input-key-set join of
+            # changes_feed() added a full re-derivation of the input
+            # plus a distinct + two joins for rows that cannot affect
+            # the result (r16, guide §2.4 — the converged state is
+            # identical, FIXTURES.md A.3's incremental == rebuild
+            # invariant holds unchanged).
+            feed = self.as_documents()
             for down in self._downstreams:
                 down.build(feed, assume_unique=True)
         self._refresh_views()

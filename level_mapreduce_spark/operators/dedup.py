@@ -266,6 +266,9 @@ def jaccard_pairs_exact(
     # explode_outer + null filter: a plain explode gets an inferred
     # size()>0 filter whose pushdown clones the shingle chain below
     # the repartition (see MapIndex._emits for the full story)
+    # pinned: sizes and BOTH self-join sides derive from sh — unpinned,
+    # the tokenize+shingle explode ran once per consumer (three full
+    # corpus re-derivations; r16, the fuzzy_pairs repeated-subtree fix)
     sh = (
         docs.repartition(n_part, "doc_id")
         .select(
@@ -279,6 +282,7 @@ def jaccard_pairs_exact(
             ).alias("s"),
         )
         .where(F.col("s").isNotNull())
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -463,7 +467,10 @@ def simhash_pairs(
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates
     from exact-match chunks (4 chunks of nbits/4 — complete for
     max_hamming <= 3 by pigeonhole)."""
-    fps = simhash(docs, hash_fn=hash_fn)
+    # pinned: both self-join sides derive from fps — unpinned, the
+    # whole simhash explode+groupBy ran once PER SIDE (r16, the
+    # fuzzy_pairs repeated-subtree fix applied here)
+    fps = simhash(docs, hash_fn=hash_fn).localCheckpoint(eager=True)
     chunk_bits = _SIMHASH_FNS[hash_fn][1] // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = fps.select(
@@ -1082,11 +1089,24 @@ def edit_distance_pairs(
     # with conflicting strings resolves to its lexicographically
     # smallest value, documented rather than silently arbitrary.
     # Same single shuffle as dropDuplicates.
-    ids = ids.groupBy("_id").agg(F.min("_s").alias("_s"))
+    # PINNED (r16 optimization, guide §2.4): ids feeds five consumers
+    # (vals, both id-attach joins, both eq self-join sides) and vals
+    # four more (index side, probe side, lengths, short stratum) —
+    # unpinned, Spark re-derives each from the source scan, and the
+    # sf0.01 gate plan carried 20 parquet scans / 50 exchanges for
+    # ONE operator. Two eager localCheckpoints collapse that to one
+    # scan + one distinct; both frames are corpus-bounded and
+    # ContextCleaner-reclaimed (the semantic_dedup pattern).
+    ids = (
+        ids.groupBy("_id")
+        .agg(F.min("_s").alias("_s"))
+        .localCheckpoint(eager=True)
+    )
     vals = (
         ids.select("_s")
         .distinct()
         .select("_s", F.length("_s").alias("_len"))
+        .localCheckpoint(eager=True)
     )
 
     # PassJoin even-partition scheme for a string of length l: the
@@ -1157,6 +1177,15 @@ def edit_distance_pairs(
     # (d+1)^2(2d+1) to about half, and for equal-length corpora cuts
     # per-value probe rows ~2.3x (only |shift| <= d/2 survives at
     # delta=0).
+    # Each struct carries the probe SUBSTRING itself ('g', computed
+    # in-expression, guarded by the validity conditions that used to
+    # live in a post-explode where()), so the per-value duplicate
+    # probes (runs of one char, coinciding shifts) collapse with ONE
+    # in-row array_distinct instead of a corpus-wide dropDuplicates
+    # shuffle of 56x|values| rows (r16 optimization, guide §2.3/2.4:
+    # the dedup key (_j,_pl,_g,_sb) contained the row's own distinct
+    # value _sb, so the old shuffle only ever deduped WITHIN one
+    # row's exploded probes — per-row work dressed as an exchange).
     probe_structs = []
     for delta in range(max_dist + 1):
         lv = f"(_len - {delta})"
@@ -1164,13 +1193,22 @@ def edit_distance_pairs(
             for shift in range(-max_dist, max_dist + 1):
                 if abs(shift) + abs(delta - shift) > max_dist:
                     continue
+                p_sql = f"CAST(({_sql_spos(lv, j)}) + ({shift}) AS INT)"
+                sl_sql = f"CAST({_sql_slen(lv, j)} AS INT)"
                 probe_structs.append(
-                    f"named_struct('j', {j},"
+                    f"IF(({lv}) >= {k} AND {p_sql} >= 1"
+                    f" AND {sl_sql} >= 1"
+                    f" AND {p_sql} + {sl_sql} - 1 <= _len,"
+                    f" named_struct('j', {j},"
                     f" 'pl', CAST({lv} AS INT),"
-                    f" 'p', CAST(({_sql_spos(lv, j)}) + ({shift}) AS INT),"
-                    f" 'sl', CAST({_sql_slen(lv, j)} AS INT))"
+                    f" 'g', substring(_s, {p_sql}, {sl_sql})),"
+                    " NULL)"
                 )
-    probe_array = F.expr("array(" + ",".join(probe_structs) + ")")
+    probe_array = F.expr(
+        "array_distinct(filter(array("
+        + ",".join(probe_structs)
+        + "), x -> x IS NOT NULL))"
+    )
     # The unrolled struct arrays make THIS operator's stage the one
     # "Broadcasting large task binary (~1 MB)" WARN in the full bench
     # (r13 attribution via bench.py's [bench-key] stderr markers): the
@@ -1194,23 +1232,14 @@ def edit_distance_pairs(
     ).distinct()
     probe = (
         vals.select("_s", "_len", F.explode(probe_array).alias("pr"))
-        .where(
-            (F.col("pr.pl") >= k)
-            & (F.col("pr.p") >= 1)
-            & (F.col("pr.sl") >= 1)
-            & (F.col("pr.p") + F.col("pr.sl") - 1 <= F.col("_len"))
-        )
         .select(
             F.col("pr.j").alias("_j"),
             F.col("pr.pl").alias("_pl"),
-            F.col("_s").substr(F.col("pr.p"), F.col("pr.sl")).alias("_g"),
+            F.col("pr.g").alias("_g"),
             F.col("_s").alias("_sb"),
             F.col("_len").alias("_lb"),
         )
         .join(F.broadcast(lengths), "_pl", "left_semi")
-        # repeated substrings (e.g. runs of one char) collapse before
-        # the join so they cannot multiply candidates
-        .dropDuplicates(["_j", "_pl", "_g", "_sb"])
     )
     hot = (
         idx_side.groupBy("_j", "_pl", "_g")
@@ -1270,8 +1299,13 @@ def edit_distance_pairs(
 
     # value pairs (_sa < _sb strictly) -> id pairs: two equi-joins;
     # each unordered id pair appears exactly once (the value-pair
-    # orientation is unique), so no dedup shuffle
-    vpairs = vlong.unionByName(vshort)
+    # orientation is unique), so no dedup shuffle. The verified pair
+    # set is the duplicate-density-bounded side (never corpus-sized),
+    # so it takes the broadcast hint — the corpus-sized ids frame is
+    # never shuffled by value for the attach (guide §3.1; at sf-scale
+    # Spark happened to broadcast ids instead, which inverts at
+    # 100 TB where ids cannot broadcast).
+    vpairs = F.broadcast(vlong.unionByName(vshort))
     diff_pairs = (
         vpairs.join(
             ids.select(F.col("_s").alias("_sa"), F.col("_id").alias("_ia")),

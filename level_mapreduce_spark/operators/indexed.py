@@ -632,16 +632,26 @@ def build_ivfpq_index(
     able to probe (and incrementally update) the stored cells without
     retraining: see :func:`load_ivfpq_index`. Returns
     (index, centroids, codebooks)."""
-    from level_mapreduce_spark.operators.ivf import train_centroids
+    from level_mapreduce_spark.operators.ivf import (
+        train_centroids,
+        train_sample,
+    )
     from level_mapreduce_spark.operators.pq import train_pq, train_pq_residual
 
-    centroids = train_centroids(embeddings, n_centroids=n_centroids, seed=seed)
+    # both quantizer levels train on the SAME bounded deterministic
+    # sample (identical fraction/seed/TakeOrdered by construction) —
+    # collect it once and hand it to both trainers instead of paying
+    # the count+collect job pair twice (r16; see ivf.train_sample)
+    sample_x = train_sample(embeddings, max_train=4096, seed=seed)
+    centroids = train_centroids(
+        embeddings, n_centroids=n_centroids, seed=seed, sample_x=sample_x
+    )
     if residual:
         books = train_pq_residual(
-            embeddings, centroids, m=m, k=k, seed=seed
+            embeddings, centroids, m=m, k=k, seed=seed, sample_x=sample_x
         )
     else:
-        books = train_pq(embeddings, m=m, k=k, seed=seed)
+        books = train_pq(embeddings, m=m, k=k, seed=seed, sample_x=sample_x)
     # resolve encoder="auto" BEFORE the sidecar write so load rebuilds
     # the exact same mapper from the persisted choice
     _, enc = _ivfpq_make_mapper(centroids, books, residual, encoder)

@@ -25,6 +25,29 @@ from level_mapreduce_spark.functions import unpushable
 from level_mapreduce_spark.operators.similarity import cosine_sim
 
 
+def train_sample(embeddings: DataFrame, max_train: int, seed: int):
+    """The bounded deterministic driver-side training sample shared
+    by every "sample"-trainer (coarse centroids, PQ, residual PQ):
+    seeded fraction sample -> first ``max_train`` rows by vec_id, as
+    a float64 matrix. Composite builds (IVFPQ: coarse + PQ codebooks)
+    collect this ONCE and hand it to both trainers — the two
+    count+TakeOrdered+collect job pairs were identical by
+    construction, so fusing them halves the build's driver-job
+    preamble without moving a single float (r16 optimization)."""
+    import numpy as np
+
+    total = embeddings.count()
+    frac = min(1.0, (max_train * 1.2) / max(total, 1))
+    sample = (
+        embeddings.sample(fraction=frac, seed=seed)
+        .orderBy("vec_id")
+        .limit(max_train)
+        .select("embedding")
+        .collect()
+    )
+    return np.array([[float(v) for v in r["embedding"]] for r in sample])
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -32,6 +55,7 @@ def train_centroids(
     iters: int = 5,
     seed: int = 42,
     trainer: str = "sample",
+    sample_x=None,
 ) -> list[list[float]]:
     """k-means codebook.
 
@@ -49,18 +73,12 @@ def train_centroids(
         return _train_centroids_mllib(embeddings, n_centroids, iters, seed)
     if trainer != "sample":
         raise ValueError(f"unknown trainer {trainer!r}")
-    import numpy as np
 
-    total = embeddings.count()
-    frac = min(1.0, (max_train * 1.2) / max(total, 1))
-    sample = (
-        embeddings.sample(fraction=frac, seed=seed)
-        .orderBy("vec_id")
-        .limit(max_train)
-        .select("vec_id", "embedding")
-        .collect()
+    x = (
+        train_sample(embeddings, max_train, seed)
+        if sample_x is None
+        else sample_x
     )
-    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     k = min(n_centroids, len(x))
     cents = x[:k].copy()
     for _ in range(iters):

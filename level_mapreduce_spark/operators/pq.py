@@ -43,6 +43,7 @@ def train_pq(
     iters: int = 8,
     seed: int = 42,
     trainer: str = "sample",
+    sample_x=None,
 ) -> list:
     """Per-subspace k-means codebooks, shape (m, k, dim/m).
 
@@ -59,18 +60,13 @@ def train_pq(
         return _train_pq_mllib(embeddings, m, k, iters, seed)
     if trainer != "sample":
         raise ValueError(f"unknown trainer {trainer!r}")
-    import numpy as np
+    from level_mapreduce_spark.operators.ivf import train_sample
 
-    total = embeddings.count()
-    frac = min(1.0, (max_train * 1.2) / max(total, 1))
-    sample = (
-        embeddings.sample(fraction=frac, seed=seed)
-        .orderBy("vec_id")
-        .limit(max_train)
-        .select("embedding")
-        .collect()
+    x = (
+        train_sample(embeddings, max_train, seed)
+        if sample_x is None
+        else sample_x
     )
-    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -306,6 +302,7 @@ def train_pq_residual(
     max_train: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    sample_x=None,
 ) -> list:
     """Codebooks trained on COARSE RESIDUALS ``x - centroid(x)`` —
     the standard IVFPQ encoding (FAISS ``IVFPQ``): residuals have far
@@ -314,16 +311,13 @@ def train_pq_residual(
     Same sampling/init scheme as :func:`train_pq`."""
     import numpy as np
 
-    total = embeddings.count()
-    frac = min(1.0, (max_train * 1.2) / max(total, 1))
-    sample = (
-        embeddings.sample(fraction=frac, seed=seed)
-        .orderBy("vec_id")
-        .limit(max_train)
-        .select("embedding")
-        .collect()
+    from level_mapreduce_spark.operators.ivf import train_sample
+
+    x = (
+        train_sample(embeddings, max_train, seed)
+        if sample_x is None
+        else sample_x
     )
-    x = np.array([[float(v) for v in r["embedding"]] for r in sample])
     cents = np.array(centroids)
     d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     res = x - cents[d2.argmin(axis=1)]

@@ -1389,21 +1389,28 @@ def bm25_batch_from_index(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    terms_df = q_terms.select("term").distinct().localCheckpoint(
-        eager=True
+    # one LIMITED collect over the pinned q_terms decides the regime
+    # AND supplies the literal term list (the _old_doc_state pattern)
+    # — r16: was a second eager checkpoint + count() + collect(),
+    # three sequential driver jobs where one bounded job suffices
+    head = (
+        q_terms.select("term").distinct().limit(terms_in_max + 1).collect()
     )
-    n_terms = terms_df.count()
-    if not n_terms:
+    if not head:
         raise ValueError("bm25_batch_from_index: queries have no tokens")
     p_e = s_e = None
     if as_of_seq is not None:
         p_e, s_e = _resolve_seq(idx, as_of_seq)
-    if n_terms <= terms_in_max:
+    if len(head) <= terms_in_max:
         # bounded collect: distinct terms across the PROBE query set
-        terms = sorted(r["term"] for r in terms_df.collect())
+        terms = sorted(r["term"] for r in head)
         post = _postings_frame(idx, terms=terms, as_of_epoch=p_e)
         dfreq = _df_frame(idx, terms=terms, as_of_epoch=s_e)
     else:
+        # above the threshold the term set stays distributed; the
+        # distinct re-derives from the PINNED q_terms (cheap, probe-
+        # bounded) for each semi-join side
+        terms_df = q_terms.select("term").distinct()
         post = _postings_frame(idx, as_of_epoch=p_e).join(
             F.broadcast(terms_df), "term", "left_semi"
         )
