@@ -551,10 +551,18 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
             ),
         ),
     )
-    exploded = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode_outer(chunks).alias("chunk_idx", "chunk_hash"),
-    ).where(F.col("chunk_hash").isNotNull())
+    # pinned: exploded feeds the first-occurrence aggregate AND the
+    # join back — unpinned, the tokenize + per-chunk md5 ran twice
+    # (r16, the fuzzy_pairs repeated-subtree fix; rows are narrow
+    # (long, int, 32-char md5) so the checkpoint is cheap)
+    exploded = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode_outer(chunks).alias("chunk_idx", "chunk_hash"),
+        )
+        .where(F.col("chunk_hash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     firsts = exploded.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
     )
@@ -656,6 +664,14 @@ def _merged_spans(occ: DataFrame, ngram: int) -> DataFrame:
     groupBy-HAVING) + doc-local gaps-and-islands merge. Shared by the
     stats tail (:func:`_span_stats`) and the cut operator
     (:func:`remove_repeated_spans`)."""
+    # occ feeds BOTH the duplicate-hash aggregate and the join back —
+    # unpinned, the window-md5 explode (one md5 of a 10-token join
+    # PER TOKEN POSITION, the operator's dominant compute) ran twice
+    # per call, whether occ came from a live tokenize or a stored
+    # span-index read (r16, the fuzzy_pairs repeated-subtree fix).
+    # Eager RDD blocks, ContextCleaner-reclaimed; at 100 TB this is
+    # the staging table you'd checkpoint (the minhash pattern).
+    occ = occ.localCheckpoint(eager=True)
     dup_hashes = (
         occ.groupBy("_h").count().where(F.col("count") > 1).select("_h")
     )
