@@ -398,6 +398,23 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
     orders.count()  # warm the session + file listing before timing
     _warmup(spark, sf_dir, store)
 
+    # state guards: if a one-time build key was skipped (scale_probe /
+    # key_probe run _run with a key filter) or FAILED, dependent keys
+    # and the cleanup must not abort the rest of the run. A failed
+    # build still surfaces its dependents loudly: the raiser routes a
+    # clear "dependency did not complete" through timed() into errors
+    # — a silently-absent key would be indistinguishable from a
+    # removed one — while a probe-filtered dependent stays silent
+    # (timed() filters it before the raiser runs). Defined FIRST:
+    # the postings else-branch is its earliest caller, and a filtered
+    # probe run reached it before the old definition site
+    # (UnboundLocalError — r16 probe session).
+    def dep_failed(name: str, dep: str) -> None:
+        def raiser():
+            raise RuntimeError(f"skipped: dependency {dep} did not complete")
+
+        timed(name, raiser, repeat=1)
+
     # --- engine measurements (BASELINE.md) ---------------------------------
     idx = MapIndex(
         spark, "bench_orders", q._orders_mapper(), store, doc_key="o_orderkey"
@@ -606,20 +623,6 @@ def _run(spark, sf_dir: str, store: str, timed) -> None:
         pq_state["codes"].count()
 
     timed("pq_train_encode", pq_build, repeat=1)
-
-    # state guards: if a one-time build key was skipped (scale_probe
-    # runs _run with a key filter) or FAILED, dependent keys and the
-    # cleanup must not abort the rest of the run. A failed build still
-    # surfaces its dependents loudly: the raiser routes a clear
-    # "dependency did not complete" through timed() into errors — a
-    # silently-absent key would be indistinguishable from a removed
-    # one — while a probe-filtered dependent stays silent (timed()
-    # filters it before the raiser runs).
-    def dep_failed(name: str, dep: str) -> None:
-        def raiser():
-            raise RuntimeError(f"skipped: dependency {dep} did not complete")
-
-        timed(name, raiser, repeat=1)
 
     if "codes" in pq_state:
         timed(

@@ -1209,22 +1209,13 @@ def edit_distance_pairs(
             for shift in range(-max_dist, max_dist + 1):
                 if abs(shift) + abs(delta - shift) > max_dist:
                     continue
-                p_sql = f"CAST(({_sql_spos(lv, j)}) + ({shift}) AS INT)"
-                sl_sql = f"CAST({_sql_slen(lv, j)} AS INT)"
                 probe_structs.append(
-                    f"IF(({lv}) >= {k} AND {p_sql} >= 1"
-                    f" AND {sl_sql} >= 1"
-                    f" AND {p_sql} + {sl_sql} - 1 <= _len,"
-                    f" named_struct('j', {j},"
+                    f"named_struct('j', {j},"
                     f" 'pl', CAST({lv} AS INT),"
-                    f" 'g', substring(_s, {p_sql}, {sl_sql})),"
-                    " NULL)"
+                    f" 'p', CAST(({_sql_spos(lv, j)}) + ({shift}) AS INT),"
+                    f" 'sl', CAST({_sql_slen(lv, j)} AS INT))"
                 )
-    probe_array = F.expr(
-        "array_distinct(filter(array("
-        + ",".join(probe_structs)
-        + "), x -> x IS NOT NULL))"
-    )
+    probe_array = F.expr("array(" + ",".join(probe_structs) + ")")
     # The unrolled struct arrays make THIS operator's stage the one
     # "Broadcasting large task binary (~1 MB)" WARN in the full bench
     # (r13 attribution via bench.py's [bench-key] stderr markers): the
@@ -1248,14 +1239,21 @@ def edit_distance_pairs(
     ).distinct()
     probe = (
         vals.select("_s", "_len", F.explode(probe_array).alias("pr"))
+        .where(
+            (F.col("pr.pl") >= k)
+            & (F.col("pr.p") >= 1)
+            & (F.col("pr.sl") >= 1)
+            & (F.col("pr.p") + F.col("pr.sl") - 1 <= F.col("_len"))
+        )
         .select(
             F.col("pr.j").alias("_j"),
             F.col("pr.pl").alias("_pl"),
-            F.col("pr.g").alias("_g"),
+            F.col("_s").substr(F.col("pr.p"), F.col("pr.sl")).alias("_g"),
             F.col("_s").alias("_sb"),
             F.col("_len").alias("_lb"),
         )
         .join(F.broadcast(lengths), "_pl", "left_semi")
+        .dropDuplicates(["_j", "_pl", "_g", "_sb"])
     )
     hot = (
         idx_side.groupBy("_j", "_pl", "_g")
@@ -1321,7 +1319,7 @@ def edit_distance_pairs(
     # never shuffled by value for the attach (guide §3.1; at sf-scale
     # Spark happened to broadcast ids instead, which inverts at
     # 100 TB where ids cannot broadcast).
-    vpairs = F.broadcast(vlong.unionByName(vshort))
+    vpairs = vlong.unionByName(vshort)
     diff_pairs = (
         vpairs.join(
             ids.select(F.col("_s").alias("_sa"), F.col("_id").alias("_ia")),
