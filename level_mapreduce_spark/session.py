@@ -66,6 +66,15 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1: allow shuffled-hash join where the planner's
+        # size conditions hold (sort-merge is the default preference;
+        # SHJ skips both sorts). Parameterised for A/B — local
+        # default keeps the driver's bench comparable; flip per-run
+        # with SPARK_GRAFT_PREFER_SMJ=false.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
