@@ -551,18 +551,16 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 20) -> DataFrame:
             ),
         ),
     )
-    # pinned: exploded feeds the first-occurrence aggregate AND the
-    # join back — unpinned, the tokenize + per-chunk md5 ran twice
-    # (r16, the fuzzy_pairs repeated-subtree fix; rows are narrow
-    # (long, int, 32-char md5) so the checkpoint is cheap)
-    exploded = (
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode_outer(chunks).alias("chunk_idx", "chunk_hash"),
-        )
-        .where(F.col("chunk_hash").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    # exploded feeds the first-occurrence aggregate AND the join back;
+    # the tokenize + per-chunk md5 recompute is cheaper than an eager
+    # localCheckpoint round-trip here (r16 quiet interleaved A/B with
+    # matched yardstick measured the pinned form 1.08x slower — the
+    # grid explode is 20x sparser than the span family's sliding
+    # window, so there is little recompute to save)
+    exploded = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode_outer(chunks).alias("chunk_idx", "chunk_hash"),
+    ).where(F.col("chunk_hash").isNotNull())
     firsts = exploded.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
     )
@@ -657,21 +655,24 @@ def _span_occ(staged: DataFrame, ngram: int) -> DataFrame:
     return occ.select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
 
 
-def _merged_spans(occ: DataFrame, ngram: int) -> DataFrame:
+def _merged_spans(occ: DataFrame, ngram: int, pin: bool = False) -> DataFrame:
     """Maximal merged duplicated spans ``(doc_id, s, e)`` (1-based
     token bounds, inclusive) from ``occ`` (doc_id, pos, _h) window
     occurrences: duplicate-window detection (partial-aggregable
     groupBy-HAVING) + doc-local gaps-and-islands merge. Shared by the
     stats tail (:func:`_span_stats`) and the cut operator
     (:func:`remove_repeated_spans`)."""
-    # occ feeds BOTH the duplicate-hash aggregate and the join back —
-    # unpinned, the window-md5 explode (one md5 of a 10-token join
-    # PER TOKEN POSITION, the operator's dominant compute) ran twice
-    # per call, whether occ came from a live tokenize or a stored
-    # span-index read (r16, the fuzzy_pairs repeated-subtree fix).
-    # Eager RDD blocks, ContextCleaner-reclaimed; at 100 TB this is
-    # the staging table you'd checkpoint (the minhash pattern).
-    occ = occ.localCheckpoint(eager=True)
+    # occ feeds BOTH the duplicate-hash aggregate and the join back.
+    # ``pin=True`` (the stored-index serve) materializes it once so
+    # the persisted W# slice is READ once, not twice — measured 0.75x
+    # on span_index_serve. The live-tokenize callers pass pin=False:
+    # re-running the in-memory window-md5 explode is CHEAPER than an
+    # eager localCheckpoint round-trip (r16 quiet interleaved A/B,
+    # matched yardstick: pinned repeated_spans 1.54x / span_remove
+    # 1.27x SLOWER; the earlier same-wave win was the recompute being
+    # bandwidth-starved, not the pin being free).
+    if pin:
+        occ = occ.localCheckpoint(eager=True)
     dup_hashes = (
         occ.groupBy("_h").count().where(F.col("count") > 1).select("_h")
     )
@@ -705,14 +706,17 @@ def _merged_spans(occ: DataFrame, ngram: int) -> DataFrame:
     )
 
 
-def _span_stats(occ: DataFrame, base: DataFrame, ngram: int) -> DataFrame:
+def _span_stats(
+    occ: DataFrame, base: DataFrame, ngram: int, pin: bool = False
+) -> DataFrame:
     """Shared tail of the repeated-span pipeline: duplicate-window
     detection + gaps-and-islands merge + per-doc stats, over ``occ``
     (doc_id, pos, _h) window occurrences — whether they came from a
-    live tokenize (:func:`repeated_spans`) or a stored span index
-    (:func:`repeated_spans_from_index`). ``base`` is the full
+    live tokenize (:func:`repeated_spans`, ``pin=False``) or a stored
+    span index (:func:`repeated_spans_from_index`, ``pin=True`` so
+    the persisted slice is read once). ``base`` is the full
     (doc_id, n_tokens) doc list for the zero rows."""
-    spans = _merged_spans(occ, ngram)
+    spans = _merged_spans(occ, ngram, pin=pin)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
@@ -908,7 +912,7 @@ def repeated_spans_from_index(idx) -> DataFrame:
         F.substring("index_key", 3, 20).cast("long").alias("doc_id"),
         F.col("value").alias("n_tokens"),
     )
-    return _span_stats(occ, base, ngram)
+    return _span_stats(occ, base, ngram, pin=True)
 
 
 def contamination_check(

@@ -75,6 +75,15 @@ def get_spark(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
+        # guide §6: parquet codec for every engine segment/sidecar
+        # write. Default stays snappy (Spark's default, keeps the
+        # driver's bench comparable); parameterised so a deployment —
+        # or the r16 A/B probe — can flip to zstd (smaller files at
+        # similar read speed on storage-bound clusters).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

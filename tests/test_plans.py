@@ -85,6 +85,27 @@ def test_repeated_spans_partial_agg_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+    # the live-tokenize path must NOT checkpoint its occurrence frame:
+    # recomputing the in-memory window-md5 explode is cheaper than an
+    # eager localCheckpoint round-trip (r16 quiet A/B: the pinned form
+    # measured 1.54x slower with a matched noise yardstick)
+    assert "ExistingRDD" not in plan, "live span path gained a checkpoint"
+
+
+def test_merged_spans_pins_only_when_asked(spark):
+    """_merged_spans(pin=True) — the stored-index serve path — must
+    read its occurrence input from a materialized checkpoint (the
+    persisted W# slice is scanned once, not once per consumer);
+    pin=False must leave the lineage in place."""
+    from level_mapreduce_spark.operators.dedup import _merged_spans
+
+    # range-based source: createDataFrame(local rows) itself plans as
+    # a Scan ExistingRDD and would mask the assertion
+    occ = spark.range(6).selectExpr(
+        "id % 2 as doc_id", "id as pos", "string(id % 3) as _h"
+    )
+    assert "ExistingRDD" in plan_of(_merged_spans(occ, 3, pin=True))
+    assert "ExistingRDD" not in plan_of(_merged_spans(occ, 3, pin=False))
 
 
 def test_dim_join_broadcasts(spark):
