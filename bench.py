@@ -192,6 +192,11 @@ def main() -> None:
     fns: dict[str, tuple] = {}
     mid_snaps: list[dict] = []
     in_retime = [False]
+    # per-key executed-shot counts (VERDICT r16 #2): the re-time pass
+    # gives damaged keys extra min-merge shots that a previous round's
+    # run may not have had; recording min-of-N vs min-of-M makes that
+    # protocol asymmetry visible in the artifact instead of silent
+    n_shots: dict[str, int] = {}
 
     def timed(name: str, fn, repeat: int = 2) -> None:
         # min-of-N: drops first-run codegen/JIT-compile noise so
@@ -219,10 +224,12 @@ def main() -> None:
                 t0 = time.time()
                 fn()
                 dt = time.time() - t0
+                n_shots[name] = n_shots.get(name, 0) + 1
                 best = dt if best is None else min(best, dt)
             if repeat > 1 and best is not None and best < 1.0:
                 t0 = time.time()
                 fn()
+                n_shots[name] = n_shots.get(name, 0) + 1
                 best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
@@ -272,6 +279,29 @@ def main() -> None:
     burned = [k for w in windows if w["wavy"] for k in w["keys"]]
     retimed: list[str] = []
     retime_note = None
+    # bounded quiet-wait (VERDICT r16 #2): when keys were burned and
+    # the run-end probes still read wavy, re-timing immediately would
+    # re-measure the wave. Poll the light probes for up to ~2 min; if
+    # two consecutive readings come back quiet, the re-time pass runs
+    # against a quiet box. Capped so a persistent wave costs at most
+    # 2 min of wall-clock, and the wait itself is recorded.
+    quiet_wait_s = 0.0
+    if burned and _snap_wavy(after, healthy):
+        wait_t0 = time.time()
+        quiet_streak = 0
+        while time.time() - wait_t0 < 120.0:
+            time.sleep(10.0)
+            snap = _interference_snapshot(spark, light=True)
+            if _snap_wavy(snap, healthy):
+                quiet_streak = 0
+            else:
+                quiet_streak += 1
+                if quiet_streak >= 2:
+                    after = dict(
+                        snap, after_n_keys=len(key_log), quiet_waited=True
+                    )
+                    break
+        quiet_wait_s = round(time.time() - wait_t0, 1)
     if burned and not _snap_wavy(after, healthy):
         targets, mode = burned, "all wave-window keys"
     elif burned:
@@ -338,6 +368,12 @@ def main() -> None:
             "healthy": healthy,
             "retimed": retimed,
             **({"retime_note": retime_note} if retime_note else {}),
+            **(
+                {"quiet_wait_s": quiet_wait_s} if quiet_wait_s else {}
+            ),
+            # min-of-N transparency: how many executed shots each
+            # key's min was taken over (re-time shots included)
+            "n_shots": n_shots,
             "ncpu": os.cpu_count(),
         },
     }

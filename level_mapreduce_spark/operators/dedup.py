@@ -268,7 +268,12 @@ def jaccard_pairs_exact(
     # the repartition (see MapIndex._emits for the full story)
     # pinned: sizes and BOTH self-join sides derive from sh — unpinned,
     # the tokenize+shingle explode ran once per consumer (three full
-    # corpus re-derivations; r16, the fuzzy_pairs repeated-subtree fix)
+    # corpus re-derivations; r16, the fuzzy_pairs repeated-subtree fix).
+    # persist + count, NOT localCheckpoint (r17; VERDICT r16 #4): this
+    # frame is CORPUS-sized (every shingle occurrence) — a local
+    # checkpoint truncates lineage, so at 100 TB one lost executor
+    # kills the job unrecoverably; a reliable persist keeps the same
+    # dedup-of-subtrees (InMemoryTableScan) with recompute-on-loss.
     sh = (
         docs.repartition(n_part, "doc_id")
         .select(
@@ -282,8 +287,9 @@ def jaccard_pairs_exact(
             ).alias("s"),
         )
         .where(F.col("s").isNotNull())
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    sh.count()  # eager: consumers share one materialization race-free
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -469,8 +475,12 @@ def simhash_pairs(
     max_hamming <= 3 by pigeonhole)."""
     # pinned: both self-join sides derive from fps — unpinned, the
     # whole simhash explode+groupBy ran once PER SIDE (r16, the
-    # fuzzy_pairs repeated-subtree fix applied here)
-    fps = simhash(docs, hash_fn=hash_fn).localCheckpoint(eager=True)
+    # fuzzy_pairs repeated-subtree fix applied here). persist, not
+    # localCheckpoint (r17; VERDICT r16 #4): one fingerprint per doc
+    # is corpus-sized — keep the lineage so executor loss recomputes
+    # instead of killing the job at scale.
+    fps = simhash(docs, hash_fn=hash_fn).persist()
+    fps.count()  # eager: both join sides share one materialization
     chunk_bits = _SIMHASH_FNS[hash_fn][1] // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = fps.select(
@@ -893,7 +903,15 @@ def repeated_spans_from_index(idx) -> DataFrame:
     one scan of the persisted (key, value) pairs — O(index), never a
     corpus re-tokenize — through the same duplicate-detection +
     island-merge tail as the batch operator, so the two agree exactly
-    (pinned by tests and the ``span_idx`` gate variant)."""
+    (pinned by tests and the ``span_idx`` gate variant).
+
+    EAGER: constructing the returned frame runs a Spark job — the
+    serve tail checkpoints the W# occurrence slice up front so it is
+    read once, not once per consumer (ADVICE r16) — and the
+    checkpointed slice occupies executor storage for the frame's
+    lifetime (index-sized: one row per stored window). Callers that
+    only want a lazy handle should build the plan themselves from
+    ``idx.read()``."""
     ngram = getattr(idx, "span_ngram", None)
     if ngram is None:
         meta = idx.get_sidecar(name="span.json")
@@ -1114,14 +1132,13 @@ def edit_distance_pairs(
     # four more (index side, probe side, lengths, short stratum) —
     # unpinned, Spark re-derives each from the source scan, and the
     # sf0.01 gate plan carried 20 parquet scans / 50 exchanges for
-    # ONE operator. Two eager localCheckpoints collapse that to one
-    # scan + one distinct; both frames are corpus-bounded and
+    # ONE operator. ids is CORPUS-sized (one row per id), so it takes
+    # a reliable persist (recompute-on-loss at 100 TB; r17, VERDICT
+    # r16 #4) while the value-distinct vals below stays an eager
+    # localCheckpoint (bounded frame, cheapest pin). Both are
     # ContextCleaner-reclaimed (the semantic_dedup pattern).
-    ids = (
-        ids.groupBy("_id")
-        .agg(F.min("_s").alias("_s"))
-        .localCheckpoint(eager=True)
-    )
+    ids = ids.groupBy("_id").agg(F.min("_s").alias("_s")).persist()
+    ids.count()  # eager: five consumers share one materialization
     vals = (
         ids.select("_s")
         .distinct()

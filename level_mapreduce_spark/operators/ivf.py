@@ -28,19 +28,29 @@ from level_mapreduce_spark.operators.similarity import cosine_sim
 def train_sample(embeddings: DataFrame, max_train: int, seed: int):
     """The bounded deterministic driver-side training sample shared
     by every "sample"-trainer (coarse centroids, PQ, residual PQ):
-    seeded fraction sample -> first ``max_train`` rows by vec_id, as
-    a float64 matrix. Composite builds (IVFPQ: coarse + PQ codebooks)
-    collect this ONCE and hand it to both trainers — the two
-    count+TakeOrdered+collect job pairs were identical by
-    construction, so fusing them halves the build's driver-job
-    preamble without moving a single float (r16 optimization)."""
+    the ``max_train`` rows that sort first under a seeded hash of
+    vec_id, as a float64 matrix. Composite builds (IVFPQ: coarse +
+    PQ codebooks) collect this ONCE and hand it to both trainers
+    (r16 optimization).
+
+    ONE job, no count (r17; VERDICT r16 #6): hash-order + limit
+    plans as TakeOrderedAndProject — per-partition top-N, no shuffle
+    — and the seeded xxhash64 order IS a uniform pseudo-random
+    draw, so the sample stays representative without the
+    fraction-sizing count() pass the Bernoulli form paid (a full
+    corpus scan per composite build when the source carries
+    transformations). Deterministic in (vec_id set, seed); a corpus
+    smaller than ``max_train`` contributes every row, so small gate
+    corpora can never starve the trainer."""
     import numpy as np
 
-    total = embeddings.count()
-    frac = min(1.0, (max_train * 1.2) / max(total, 1))
     sample = (
-        embeddings.sample(fraction=frac, seed=seed)
-        .orderBy("vec_id")
+        embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        .orderBy(
+            F.xxhash64(F.col("vec_id"), F.lit(int(seed))), "vec_id"
+        )
         .limit(max_train)
         .select("embedding")
         .collect()

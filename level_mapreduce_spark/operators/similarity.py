@@ -1259,12 +1259,20 @@ def semdedup_update(
     n_part = spark.sparkContext.defaultParallelism
     from pyspark.sql.window import Window
 
+    # ONE driver wave replaces three (r17; VERDICT r16 #5): the
+    # assignment checkpoint is LAZY — the per-cluster count collect
+    # below is its first action, so one job materializes the pinned
+    # batch AND returns the batch size (sum) AND the affected cluster
+    # set (keys) that the old path paid three sequential waves for
+    # (eager ckpt, count(), distinct-collect). The collect stays
+    # bounded: <= n_clusters + 1 groups by construction.
     newa = _semdedup_assignment(
         new_embeddings, centroids, n_part
-    ).localCheckpoint(eager=True)
-    # cheap batch-size guard (checkpointed: a metadata count) — see
-    # the docstring's skew paragraph for why big batches are refused
-    batch_n = newa.count()
+    ).localCheckpoint(eager=False)
+    cluster_counts = (
+        newa.groupBy("cluster").agg(F.count("*").alias("_n")).collect()
+    )
+    batch_n = sum(r["_n"] for r in cluster_counts)
     if batch_n > max_batch:
         raise ValueError(
             f"semdedup_update batch has {batch_n} rows > max_batch="
@@ -1272,13 +1280,8 @@ def semdedup_update(
             "sized for incremental batches — rebuild the index for "
             "corpus-sized ingest, or raise max_batch deliberately"
         )
-    # bounded collect: <= n_clusters distinct values by construction
     live = sorted(
-        r["cluster"]
-        for r in newa.where(F.col("cluster") >= 0)
-        .select("cluster")
-        .distinct()
-        .collect()
+        r["cluster"] for r in cluster_counts if r["cluster"] >= 0
     )
     keys = [f"C#{c}" for c in live]
     # an all-zero-norm batch has no affected clusters: empty isin is
@@ -1318,7 +1321,15 @@ def semdedup_update(
             )
             .drop("_books")
         )
-    stored = stored.drop("_codes")
+    # LAZY persist (r17): stored feeds both the rank-base aggregate
+    # (materialized inside the ranked_new checkpoint wave) and the
+    # predecessor side of the pair join (the decision wave) — without
+    # the pin the key-pruned index read runs once PER consumer, which
+    # at scale is a second full read of every affected cluster's
+    # members. persist() adds no driver wave (the first consumer
+    # builds the cache in its own job) and is released before the
+    # engine write below rewrites the files the plan reads.
+    stored = stored.drop("_codes").persist()
     base = stored.groupBy("cluster").agg(
         F.max("rank").alias("_base"), F.count("*").alias("_nstored")
     )
@@ -1529,6 +1540,10 @@ def semdedup_update(
         )
         .localCheckpoint(eager=True)
     )
+    # the decisions are pinned — the cached stored slice is done
+    # (releasing BEFORE the engine write also keeps the cache from
+    # shadowing the rewritten files for any later reader)
+    stored.unpersist()
     idx.update(out, assume_unique=True)
     return out.select(
         "vec_id",

@@ -105,6 +105,14 @@ def get_spark(
     # uiWebUrl=None or silently under-count spill. Fail loudly instead
     # of mis-measuring — the caller must stop the existing session (or
     # run in a fresh process) to get the confs it asked for.
+    # Only STATIC confs need this mismatch check (ADVICE r16): the
+    # env-driven knobs above (SPARK_GRAFT_PREFER_SMJ,
+    # SPARK_GRAFT_PARQUET_CODEC, shuffle width) are modifiable runtime
+    # confs that getOrCreate() propagates to a pre-existing session,
+    # so they are deliberately absent here. A future env knob that
+    # sets a STATIC conf must be added to ``requested`` like
+    # SPARK_GRAFT_UI below, or a reused session will silently ignore
+    # it.
     requested = dict(extra_conf or {})
     if os.environ.get("SPARK_GRAFT_UI"):
         requested["spark.ui.enabled"] = os.environ["SPARK_GRAFT_UI"]

@@ -19,6 +19,14 @@ PYTHON_PATH_QUERIES = {
 }
 SF_DIR = "/root/testdata/sf0.001"
 
+# How Spark 4.x renders a localCheckpoint read in the physical plan.
+# Centralized (ADVICE r16): the pin-polarity tests below assert BOTH
+# directions on this literal — if a Spark upgrade renames the node,
+# the positive assertion fails loudly and this one constant is the
+# whole fix; scattering the string would leave the negative ("not
+# in") assertions passing vacuously under the new name.
+CHECKPOINT_SCAN_NODE = "ExistingRDD"
+
 
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -89,7 +97,9 @@ def test_repeated_spans_partial_agg_no_cartesian(spark):
     # recomputing the in-memory window-md5 explode is cheaper than an
     # eager localCheckpoint round-trip (r16 quiet A/B: the pinned form
     # measured 1.54x slower with a matched noise yardstick)
-    assert "ExistingRDD" not in plan, "live span path gained a checkpoint"
+    assert (
+        CHECKPOINT_SCAN_NODE not in plan
+    ), "live span path gained a checkpoint"
 
 
 def test_merged_spans_pins_only_when_asked(spark):
@@ -104,8 +114,10 @@ def test_merged_spans_pins_only_when_asked(spark):
     occ = spark.range(6).selectExpr(
         "id % 2 as doc_id", "id as pos", "string(id % 3) as _h"
     )
-    assert "ExistingRDD" in plan_of(_merged_spans(occ, 3, pin=True))
-    assert "ExistingRDD" not in plan_of(_merged_spans(occ, 3, pin=False))
+    assert CHECKPOINT_SCAN_NODE in plan_of(_merged_spans(occ, 3, pin=True))
+    assert CHECKPOINT_SCAN_NODE not in plan_of(
+        _merged_spans(occ, 3, pin=False)
+    )
 
 
 def test_dim_join_broadcasts(spark):
